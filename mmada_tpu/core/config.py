@@ -1,0 +1,200 @@
+"""YAML config system with dotted CLI overrides and `${a.b.c}` interpolation.
+
+OmegaConf-compatible in behavior for everything the reference uses
+(reference: training/utils.py:12-17 `get_config` merges a yaml file with
+`key.sub=value` CLI args; configs use `${optimizer.params.learning_rate}`
+interpolation, e.g. configs/mmada_demo.yaml). Implemented on plain dicts so
+it carries no dependency; values round-trip through PyYAML.
+"""
+
+from __future__ import annotations
+
+import copy
+import re
+import sys
+from typing import Any, Iterator, Mapping, Optional
+
+import yaml
+
+_INTERP_RE = re.compile(r"\$\{([a-zA-Z0-9_.]+)\}")
+
+
+class Config(dict):
+    """dict with attribute access, deep merge, and interpolation resolution."""
+
+    def __init__(self, data: Optional[Mapping[str, Any]] = None):
+        super().__init__()
+        if data:
+            for k, v in data.items():
+                self[k] = _wrap(v)
+
+    # attribute access --------------------------------------------------
+    def __getattr__(self, name: str) -> Any:
+        try:
+            return self[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+
+    def __setattr__(self, name: str, value: Any) -> None:
+        self[name] = _wrap(value)
+
+    def __delattr__(self, name: str) -> None:
+        del self[name]
+
+    def get_path(self, path: str, default: Any = None) -> Any:
+        node: Any = self
+        for part in path.split("."):
+            if not isinstance(node, Mapping) or part not in node:
+                return default
+            node = node[part]
+        return node
+
+    def set_path(self, path: str, value: Any) -> None:
+        parts = path.split(".")
+        node = self
+        for part in parts[:-1]:
+            nxt = node.get(part)
+            if not isinstance(nxt, Config):
+                nxt = Config()
+                node[part] = nxt
+            node = nxt
+        node[parts[-1]] = _wrap(value)
+
+    # merge --------------------------------------------------------------
+    def merge(self, other: Mapping[str, Any]) -> "Config":
+        for k, v in other.items():
+            if isinstance(v, Mapping) and isinstance(self.get(k), Config):
+                self[k].merge(v)
+            else:
+                self[k] = _wrap(v)
+        return self
+
+    # interpolation ------------------------------------------------------
+    def resolve(self, root: Optional["Config"] = None) -> "Config":
+        root = root if root is not None else self
+        for k, v in list(self.items()):
+            if isinstance(v, Config):
+                v.resolve(root)
+            elif isinstance(v, list):
+                self[k] = [_resolve_value(item, root) for item in v]
+            else:
+                self[k] = _resolve_value(v, root)
+        return self
+
+    # serialization ------------------------------------------------------
+    def to_dict(self) -> dict:
+        out: dict = {}
+        for k, v in self.items():
+            if isinstance(v, Config):
+                out[k] = v.to_dict()
+            elif isinstance(v, list):
+                out[k] = [i.to_dict() if isinstance(i, Config) else i for i in v]
+            else:
+                out[k] = v
+        return out
+
+    def to_yaml(self) -> str:
+        return yaml.safe_dump(self.to_dict(), sort_keys=False)
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            f.write(self.to_yaml())
+
+    def copy(self) -> "Config":
+        return Config(copy.deepcopy(self.to_dict()))
+
+    def flatten(self, prefix: str = "") -> Iterator[tuple[str, Any]]:
+        """Flat (dotted_key, leaf) pairs — the reference's
+        `flatten_omega_conf` equivalent for experiment logging."""
+        for k, v in self.items():
+            key = f"{prefix}{k}" if not prefix else f"{prefix}.{k}"
+            if isinstance(v, Config):
+                yield from v.flatten(key)
+            else:
+                yield key, v
+
+
+def _wrap(value: Any) -> Any:
+    if isinstance(value, Config):
+        return value
+    if isinstance(value, Mapping):
+        return Config(value)
+    if isinstance(value, list):
+        return [_wrap(v) for v in value]
+    return value
+
+
+def _resolve_value(value: Any, root: Config) -> Any:
+    if not isinstance(value, str):
+        return value
+    m = _INTERP_RE.fullmatch(value)
+    if m:  # whole-string reference keeps the referent's type
+        target = root.get_path(m.group(1))
+        if target is None:
+            raise KeyError(f"unresolvable interpolation: {value}")
+        return _resolve_value(target, root)
+    # embedded references become strings
+    def repl(match: re.Match) -> str:
+        target = root.get_path(match.group(1))
+        if target is None:
+            raise KeyError(f"unresolvable interpolation: {match.group(0)}")
+        return str(_resolve_value(target, root))
+    return _INTERP_RE.sub(repl, value)
+
+
+_FLOAT_RE = re.compile(r"[-+]?(\d+\.?\d*|\.\d+)[eE][-+]?\d+")
+
+
+def _parse_scalar(text: str) -> Any:
+    # YAML 1.1 reads bare "1e-4" as a string (needs "1.0e-4"); accept the
+    # common scientific-notation spelling as float like OmegaConf does.
+    if _FLOAT_RE.fullmatch(text.strip()):
+        return float(text)
+    try:
+        return yaml.safe_load(text)
+    except yaml.YAMLError:
+        return text
+
+
+def parse_overrides(args: list[str]) -> Config:
+    """Parse `a.b.c=value` CLI tokens into a nested Config."""
+    cfg = Config()
+    for arg in args:
+        if "=" not in arg:
+            raise ValueError(f"override must look like key=value, got: {arg!r}")
+        key, _, raw = arg.partition("=")
+        cfg.set_path(key.strip(), _parse_scalar(raw))
+    return cfg
+
+
+def load_config(
+    path: Optional[str] = None,
+    overrides: Optional[list[str]] = None,
+    cli_args: Optional[list[str]] = None,
+) -> Config:
+    """Load yaml + dotted overrides, matching the reference CLI contract
+    `python train.py config=path.yaml a.b=1` (training/utils.py:12-17)."""
+    argv = list(cli_args if cli_args is not None else [])
+    kv = [a for a in argv if "=" in a]
+    for item in kv:
+        k, _, v = item.partition("=")
+        if k == "config" and path is None:
+            path = v
+    kv = [a for a in kv if not a.startswith("config=")]
+
+    cfg = Config()
+    if path:
+        with open(path) as f:
+            loaded = yaml.safe_load(f) or {}
+        cfg.merge(loaded)
+    if overrides:
+        cfg.merge(parse_overrides(overrides))
+    if kv:
+        cfg.merge(parse_overrides(kv))
+    cfg.resolve()
+    return cfg
+
+
+def get_config() -> Config:
+    """Drop-in for the reference's `training.utils.get_config`."""
+    return load_config(cli_args=sys.argv[1:])

@@ -1,0 +1,410 @@
+"""LLaDA bidirectional masked-diffusion transformer backbone, TPU-native.
+
+Functionally equivalent to the reference's `LLaDAModel`
+(models/modeling_llada.py:1161-1366): token embedding → N pre-norm
+transformer blocks (non-causal attention with RoPE + gated MLP) → final
+RMSNorm → vocab head. Re-designed for XLA:
+
+  * Parameters are a pytree of layer-stacked arrays — one `(n_layers, ...)`
+    array per weight kind — and the layer loop is a `lax.scan`, so the HLO is
+    O(1) in depth, activation checkpointing is one `jax.checkpoint` on the
+    scan body, and FSDP/TP shardings are a single PartitionSpec per kind.
+  * No KV cache and no causal path: MDM attends bidirectionally and re-runs
+    the full sequence every denoise step (reference asserts this,
+    modeling_llada.py:1203-1205).
+  * fp32 islands: RMSNorm and attention softmax compute in fp32, RoPE in
+    fp32 (`rope_full_precision`), matching reference numerics.
+  * Optional windowed vocab head: image/motion denoise steps only need an
+    8k-wide slice of the 134k-row head — `logit_window` computes just that
+    slice's matmul.
+
+Block types mirror the reference: ``llama`` (split q/k/v + ff_proj/up_proj
+gated MLP, modeling_llada.py:836-934) and ``sequential`` (fused att_proj +
+SwiGLU chunking, :746-833).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mmada_tpu.core.precision import FP32, Policy
+from mmada_tpu.ops.attention import bidirectional_attention, NEG_INF
+from mmada_tpu.ops.norms import layer_norm, rms_norm
+
+Params = dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class LLaDAConfig:
+    """Backbone hyper-parameters (reference: models/configuration_llada.py:129-384)."""
+
+    d_model: int = 4096
+    n_heads: int = 32
+    n_kv_heads: Optional[int] = None
+    n_layers: int = 32
+    mlp_hidden_size: Optional[int] = 12288
+    mlp_ratio: int = 4
+    vocab_size: int = 126464
+    embedding_size: Optional[int] = 126464
+    max_sequence_length: int = 4096
+    rope_theta: float = 500000.0
+    rope_full_precision: bool = True
+    layer_norm_type: str = "rms"          # 'rms' | 'gemma_rms' | 'default'
+    layer_norm_with_affine: bool = True
+    rms_norm_eps: float = 1e-5
+    activation_type: str = "silu"          # 'silu' | 'swiglu' | 'gelu' | 'relu'
+    block_type: str = "llama"              # 'llama' | 'sequential'
+    weight_tying: bool = False
+    include_bias: bool = False
+    include_qkv_bias: bool = False
+    attention_layer_norm: bool = False     # q/k norm
+    input_emb_norm: bool = False
+    scale_logits: bool = False
+    mask_token_id: int = 126336
+    attention_bias_enabled: bool = False
+    """Whether attention masks/biases actually gate attention.
+
+    Default False is checkpoint-faithful: the reference builds pairwise
+    biases everywhere (generate.py:59-60, modeling_mmada.py:162) but its
+    attention always calls SDPA with `attn_mask=None`
+    (modeling_llada.py:652-660) — the bias is dead code, and the released
+    weights were trained with pads visible as [iPAD] embeddings. Verified:
+    reference masked and unmasked logits are bit-identical
+    (tests/goldens/forward_mha.npz). Set True to genuinely honor masks
+    (recommended for training from scratch in this framework)."""
+
+    @property
+    def effective_n_kv_heads(self) -> int:
+        return self.n_kv_heads if self.n_kv_heads is not None else self.n_heads
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.n_heads
+
+    @property
+    def hidden_size(self) -> int:
+        return (
+            self.mlp_hidden_size
+            if self.mlp_hidden_size is not None
+            else self.mlp_ratio * self.d_model
+        )
+
+    @property
+    def effective_hidden_size(self) -> int:
+        """Width of the MLP activation entering ff_out (SwiGLU halves it)."""
+        if self.block_type == "sequential" and self.activation_type == "swiglu":
+            return self.hidden_size // 2
+        return self.hidden_size
+
+    @property
+    def effective_vocab_size(self) -> int:
+        return self.embedding_size if self.embedding_size is not None else self.vocab_size
+
+
+def llada_8b(vocab_size: int = 134656) -> LLaDAConfig:
+    """Flagship 8B config with the fused multimodal vocabulary
+    (reference: configs/mmada_demo.yaml:17-24 resizes embeddings to 134,656)."""
+    return LLaDAConfig(vocab_size=vocab_size, embedding_size=vocab_size)
+
+
+def tiny_config(
+    vocab_size: int = 320,
+    d_model: int = 64,
+    n_heads: int = 4,
+    n_kv_heads: Optional[int] = None,
+    n_layers: int = 2,
+    mlp_hidden_size: int = 128,
+    block_type: str = "llama",
+    activation_type: str = "silu",
+    weight_tying: bool = False,
+    max_sequence_length: int = 256,
+    attention_layer_norm: bool = False,
+) -> LLaDAConfig:
+    return LLaDAConfig(
+        d_model=d_model,
+        n_heads=n_heads,
+        n_kv_heads=n_kv_heads,
+        n_layers=n_layers,
+        mlp_hidden_size=mlp_hidden_size,
+        vocab_size=vocab_size,
+        embedding_size=vocab_size,
+        max_sequence_length=max_sequence_length,
+        rope_theta=10000.0,
+        block_type=block_type,
+        activation_type=activation_type,
+        weight_tying=weight_tying,
+        attention_layer_norm=attention_layer_norm,
+        mask_token_id=vocab_size - 1,
+    )
+
+
+# --------------------------------------------------------------------------
+# Initialization
+# --------------------------------------------------------------------------
+
+def init_params(
+    key: jax.Array, cfg: LLaDAConfig, dtype: jnp.dtype = jnp.float32
+) -> Params:
+    """Random init (normal 0.02, reference 'mitchell'/'normal' variants are
+    only relevant for from-scratch pretraining; fine-tuning loads weights)."""
+    d, nh, kvh, hd = cfg.d_model, cfg.n_heads, cfg.effective_n_kv_heads, cfg.head_dim
+    f, f_out = cfg.hidden_size, cfg.effective_hidden_size
+    v = cfg.effective_vocab_size
+    n = cfg.n_layers
+    std = 0.02
+
+    keys = jax.random.split(key, 16)
+
+    def w(k, *shape):
+        return (jax.random.normal(k, shape, jnp.float32) * std).astype(dtype)
+
+    blocks: Params = {
+        "attn_norm": jnp.ones((n, d), dtype),
+        "ff_norm": jnp.ones((n, d), dtype),
+        "attn_out": w(keys[0], n, d, d),
+        "ff_out": w(keys[1], n, f_out, d),
+    }
+    if cfg.block_type == "llama":
+        blocks.update(
+            q_proj=w(keys[2], n, d, nh * hd),
+            k_proj=w(keys[3], n, d, kvh * hd),
+            v_proj=w(keys[4], n, d, kvh * hd),
+            ff_proj=w(keys[5], n, d, f),
+            up_proj=w(keys[6], n, d, f),
+        )
+        if cfg.include_bias or cfg.include_qkv_bias:
+            blocks.update(
+                q_bias=jnp.zeros((n, nh * hd), dtype),
+                k_bias=jnp.zeros((n, kvh * hd), dtype),
+                v_bias=jnp.zeros((n, kvh * hd), dtype),
+            )
+    elif cfg.block_type == "sequential":
+        fused = d + 2 * kvh * hd
+        blocks.update(
+            att_proj=w(keys[2], n, d, fused),
+            ff_proj=w(keys[5], n, d, f),
+        )
+        if cfg.include_bias or cfg.include_qkv_bias:
+            blocks["att_proj_bias"] = jnp.zeros((n, fused), dtype)
+    else:
+        raise ValueError(f"unknown block_type: {cfg.block_type}")
+
+    if cfg.attention_layer_norm:
+        blocks["q_norm"] = jnp.ones((n, d), dtype)
+        blocks["k_norm"] = jnp.ones((n, kvh * hd), dtype)
+
+    params: Params = {
+        "wte": w(keys[7], v, d),
+        "ln_f": jnp.ones((d,), dtype),
+        "blocks": blocks,
+    }
+    if not cfg.weight_tying:
+        params["ff_out"] = w(keys[8], d, v)
+    return params
+
+
+# --------------------------------------------------------------------------
+# Forward
+# --------------------------------------------------------------------------
+
+def _norm(cfg: LLaDAConfig, x: jax.Array, weight: Optional[jax.Array]) -> jax.Array:
+    if cfg.layer_norm_type == "rms":
+        return rms_norm(x, weight, eps=cfg.rms_norm_eps)
+    if cfg.layer_norm_type == "gemma_rms":
+        return rms_norm(x, weight, eps=cfg.rms_norm_eps, gemma_style=True)
+    return layer_norm(x, weight, None, eps=1e-5)
+
+
+def _activation(cfg: LLaDAConfig, x: jax.Array) -> jax.Array:
+    act = cfg.activation_type
+    if act == "silu":
+        return jax.nn.silu(x)
+    if act == "gelu":
+        return jax.nn.gelu(x, approximate=False)
+    if act == "relu":
+        return jax.nn.relu(x)
+    if act == "swiglu":
+        # reference SwiGLU chunks [value, gate] (modeling_llada.py:475-482)
+        val, gate = jnp.split(x, 2, axis=-1)
+        return jax.nn.silu(gate) * val
+    raise ValueError(f"unknown activation: {act}")
+
+
+def rope_sin_cos(
+    seq_len: int, head_dim: int, theta: float, dtype: jnp.dtype = jnp.float32
+) -> tuple[jax.Array, jax.Array]:
+    """Neox-style rotary tables, full head_dim with duplicated halves
+    (reference: modeling_llada.py:363-428 caches cat(freqs, freqs))."""
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    pos = jnp.arange(seq_len, dtype=jnp.float32)
+    freqs = jnp.outer(pos, inv_freq)
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.sin(emb).astype(dtype), jnp.cos(emb).astype(dtype)
+
+
+def _rotate_half(x: jax.Array) -> jax.Array:
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def apply_rope(
+    q: jax.Array,  # (B, H, L, D)
+    k: jax.Array,
+    sin: jax.Array,  # (L, D)
+    cos: jax.Array,
+    full_precision: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    dtype = q.dtype
+    if full_precision:
+        q, k = q.astype(jnp.float32), k.astype(jnp.float32)
+        sin, cos = sin.astype(jnp.float32), cos.astype(jnp.float32)
+    else:
+        sin, cos = sin.astype(dtype), cos.astype(dtype)
+    q = q * cos + _rotate_half(q) * sin
+    k = k * cos + _rotate_half(k) * sin
+    return q.astype(dtype), k.astype(dtype)
+
+
+def _block(
+    cfg: LLaDAConfig,
+    policy: Policy,
+    x: jax.Array,          # (B, L, D)
+    lp: Params,            # one layer's params (no leading layer axis)
+    bias: Optional[jax.Array],
+    sin: jax.Array,
+    cos: jax.Array,
+    attn_impl: str,
+) -> jax.Array:
+    b, l, d = x.shape
+    nh, kvh, hd = cfg.n_heads, cfg.effective_n_kv_heads, cfg.head_dim
+
+    h = _norm(cfg, x, lp.get("attn_norm"))
+    if cfg.block_type == "llama":
+        q = h @ lp["q_proj"]
+        k = h @ lp["k_proj"]
+        v = h @ lp["v_proj"]
+        if "q_bias" in lp:
+            q, k, v = q + lp["q_bias"], k + lp["k_bias"], v + lp["v_bias"]
+    else:
+        fused = h @ lp["att_proj"]
+        if "att_proj_bias" in lp:
+            fused = fused + lp["att_proj_bias"]
+        q, k, v = jnp.split(fused, [d, d + kvh * hd], axis=-1)
+
+    # Optional q/k norm applied on flat projections (modeling_llada.py:675-677).
+    if "q_norm" in lp:
+        q = _norm(cfg, q, lp["q_norm"])
+        k = _norm(cfg, k, lp["k_norm"])
+
+    q = q.reshape(b, l, nh, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(b, l, kvh, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(b, l, kvh, hd).transpose(0, 2, 1, 3)
+
+    q, k = apply_rope(q, k, sin, cos, cfg.rope_full_precision)
+    att = bidirectional_attention(
+        q, k, v, bias=bias, softmax_dtype=policy.softmax_dtype, impl=attn_impl
+    )
+    att = att.transpose(0, 2, 1, 3).reshape(b, l, d)
+    x = x + att @ lp["attn_out"]
+
+    h = _norm(cfg, x, lp.get("ff_norm"))
+    if cfg.block_type == "llama":
+        # act(ff_proj(h)) * up_proj(h) — llama-style gated MLP
+        # (modeling_llada.py:924-930: ff_proj is the gate input).
+        h = _activation(cfg, h @ lp["ff_proj"]) * (h @ lp["up_proj"])
+    else:
+        h = _activation(cfg, h @ lp["ff_proj"])
+    x = x + h @ lp["ff_out"]
+    return x
+
+
+def prepare_attention_bias(
+    attention_mask: Optional[jax.Array] = None,  # (B, L) 1=keep 0=pad
+    attention_bias: Optional[jax.Array] = None,  # (B|1, 1, L, L) bool/float
+) -> Optional[jax.Array]:
+    """Merge mask/bias into one additive fp32 bias, reference semantics
+    (modeling_llada.py:1242-1286; pairwise construction generate.py:59-60)."""
+    out = None
+    if attention_bias is not None:
+        if attention_bias.dtype == jnp.bool_:
+            out = jnp.where(attention_bias, 0.0, NEG_INF).astype(jnp.float32)
+        else:
+            out = attention_bias.astype(jnp.float32)
+    if attention_mask is not None:
+        pair = (attention_mask[:, :, None] * attention_mask[:, None, :]) > 0
+        mask_bias = jnp.where(pair, 0.0, NEG_INF).astype(jnp.float32)[:, None]
+        out = mask_bias if out is None else out + mask_bias
+    if out is not None:
+        # dtype.min + dtype.min would be -inf; clamp like `ensure_finite_`
+        # (modeling_llada.py:158-166).
+        out = jnp.maximum(out, NEG_INF)
+    return out
+
+
+def forward(
+    params: Params,
+    cfg: LLaDAConfig,
+    input_ids: jax.Array,                        # (B, L) int32
+    attention_mask: Optional[jax.Array] = None,  # (B, L)
+    attention_bias: Optional[jax.Array] = None,  # (B|1, 1, L, L)
+    input_embeddings: Optional[jax.Array] = None,
+    policy: Policy = FP32,
+    logit_window: Optional[tuple[int, int]] = None,
+    remat: bool = False,
+    attn_impl: str = "auto",
+    output_hidden_states: bool = False,
+):
+    """Compute logits `(B, L, V)` (or `(B, L, window)` with `logit_window`).
+
+    Equivalent to `LLaDAModel.forward` (modeling_llada.py:1161-1366) minus
+    the KV-cache/causal paths that MDM forbids.
+    """
+    if input_embeddings is None:
+        x = params["wte"][input_ids]
+    else:
+        x = input_embeddings
+    x = x.astype(policy.compute_dtype)
+    if cfg.input_emb_norm:
+        x = x * math.sqrt(cfg.d_model)
+
+    if cfg.attention_bias_enabled:
+        bias = prepare_attention_bias(attention_mask, attention_bias)
+    else:
+        bias = None  # reference-faithful: masks never reach attention
+
+    seq_len = x.shape[1]
+    sin, cos = rope_sin_cos(seq_len, cfg.head_dim, cfg.rope_theta)
+
+    def body(carry, lp):
+        h = _block(cfg, policy, carry, lp, bias, sin, cos, attn_impl)
+        return h, (h if output_hidden_states else None)
+
+    if remat:
+        body = jax.checkpoint(body, prevent_cse=False)
+
+    x, hidden = jax.lax.scan(body, x, params["blocks"])
+
+    x = _norm(cfg, x, params["ln_f"])
+
+    head = params["wte"].T if cfg.weight_tying else params["ff_out"]
+    if logit_window is not None:
+        start, stop = logit_window
+        head = head[:, start:stop]
+    logits = (x @ head.astype(x.dtype)).astype(policy.logits_dtype)
+    if cfg.scale_logits:
+        logits = logits * (1.0 / math.sqrt(cfg.d_model))
+
+    if output_hidden_states:
+        return logits, hidden
+    return logits
+
+
+def param_count(params: Params) -> int:
+    return sum(p.size for p in jax.tree.leaves(params))

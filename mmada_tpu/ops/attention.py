@@ -1,0 +1,97 @@
+"""Bidirectional (non-causal) multi-head attention for masked diffusion.
+
+The reference runs `F.scaled_dot_product_attention(..., is_causal=False)` or
+CUDA flash-attn (models/modeling_llada.py:624-660); MDM never uses a causal
+mask or KV cache (modeling_llada.py:1205). Here:
+
+  * ``xla`` — einsum attention with fp32 softmax. XLA fuses this well and it
+    is the reference implementation for parity tests.
+  * ``pallas`` — flash-style tiled kernel (ops/flash_attention.py), used on
+    TPU for long sequences / serving.
+
+Bias semantics match the reference (modeling_llada.py:1242-1286): a boolean
+bias marks *allowed* pairs; a float bias is added to the scores pre-softmax.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+def _merge_bias(
+    scores: jax.Array, bias: Optional[jax.Array]
+) -> jax.Array:
+    if bias is None:
+        return scores
+    if bias.dtype == jnp.bool_:
+        bias = jnp.where(bias, 0.0, NEG_INF).astype(scores.dtype)
+    else:
+        bias = bias.astype(scores.dtype)
+    return scores + bias
+
+
+def xla_attention(
+    q: jax.Array,  # (B, H, L, D)
+    k: jax.Array,  # (B, KVH, L, D)
+    v: jax.Array,  # (B, KVH, L, D)
+    bias: Optional[jax.Array] = None,  # (B|1, 1|H, L, L) bool or float
+    softmax_dtype: jnp.dtype = jnp.float32,
+) -> jax.Array:
+    orig_dtype = q.dtype
+    n_heads, n_kv = q.shape[1], k.shape[1]
+    if n_heads != n_kv:
+        rep = n_heads // n_kv
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
+    scale = 1.0 / jnp.sqrt(q.shape[-1]).astype(softmax_dtype)
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=softmax_dtype
+    )
+    scores = scores.astype(softmax_dtype) * scale
+    scores = _merge_bias(scores, bias)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd",
+        probs.astype(orig_dtype),
+        v,
+        preferred_element_type=softmax_dtype,
+    )
+    return out.astype(orig_dtype)
+
+
+def bidirectional_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: Optional[jax.Array] = None,
+    softmax_dtype: jnp.dtype = jnp.float32,
+    impl: str = "auto",
+) -> jax.Array:
+    """Dispatch to the configured attention implementation.
+
+    impl: 'auto' | 'xla' | 'pallas'. 'auto' picks pallas on TPU when shapes
+    are tile-aligned, else xla.
+    """
+    if impl == "pallas" or (impl == "auto" and _pallas_eligible(q, k, bias)):
+        from mmada_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, bias=bias)
+    return xla_attention(q, k, v, bias=bias, softmax_dtype=softmax_dtype)
+
+
+def _pallas_eligible(q, k, bias) -> bool:
+    if jax.devices()[0].platform != "tpu":
+        return False
+    seq_q, seq_k = q.shape[2], k.shape[2]
+    head_dim = q.shape[-1]
+    return (
+        seq_q % 128 == 0
+        and seq_k % 128 == 0
+        and head_dim % 128 == 0
+        and seq_q >= 256
+    )

@@ -1,0 +1,128 @@
+"""Pallas fused bidirectional attention for TPU.
+
+Replaces the reference's CUDA flash-attn / SDPA calls
+(models/modeling_llada.py:574-581, 624-660) with a TPU kernel. MMaDA
+sequences are short (≤ ~2.1k fused tokens: 512 text + 1026 image frame, see
+SURVEY.md §5 long-context notes), so the whole K/V row for one (batch, head)
+fits comfortably in VMEM (2k × 128 × bf16 = 512 KB). The kernel therefore
+runs one-pass per q-block — scores in fp32 on the MXU, softmax on the VPU,
+weighted sum back on the MXU — with no online-softmax carry, which beats a
+flash-style two-pass for these shapes. Longer sequences fall back to the XLA
+implementation (ops/attention.py) until a ring/blockwise variant lands.
+
+GQA is expressed through BlockSpec index maps (q head h reads kv head
+h // rep) so grouped K/V are never materialized, unlike the reference's
+`repeat_interleave` (modeling_llada.py:646-650).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    q = q_ref[0, 0].astype(jnp.float32)            # (bq, D)
+    k = k_ref[0, 0].astype(jnp.float32)            # (L, D)
+    v = v_ref[0, 0]                                # (L, D)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale                                      # (bq, L)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
+def _attn_bias_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale: float):
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    s = s + b_ref[0, 0].astype(jnp.float32)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
+def flash_attention(
+    q: jax.Array,  # (B, H, L, D)
+    k: jax.Array,  # (B, KVH, L, D)
+    v: jax.Array,  # (B, KVH, L, D)
+    bias: Optional[jax.Array] = None,  # (B|1, 1|H, L, L) float32 additive
+    block_q: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    b, h, l, d = q.shape
+    kvh = k.shape[1]
+    rep = h // kvh
+    block_q = min(block_q, l)
+    if l % block_q:
+        raise ValueError(f"seq_len {l} not divisible by block_q {block_q}")
+    scale = 1.0 / (d ** 0.5)
+    grid = (b, h, l // block_q)
+
+    q_spec = pl.BlockSpec(
+        (1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+        memory_space=pltpu.VMEM,
+    )
+    kv_spec = pl.BlockSpec(
+        (1, 1, l, d), lambda bi, hi, qi: (bi, hi // rep, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct(q.shape, q.dtype)
+    flops = 4 * b * h * l * l * d
+    cost = pl.CostEstimate(
+        flops=flops,
+        bytes_accessed=(q.size + k.size * rep + v.size * rep + q.size) * q.dtype.itemsize,
+        transcendentals=b * h * l * l,
+    )
+
+    if bias is None:
+        return pl.pallas_call(
+            functools.partial(_attn_kernel, scale=scale),
+            grid=grid,
+            in_specs=[q_spec, kv_spec, kv_spec],
+            out_specs=out_spec,
+            out_shape=out_shape,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(q, k, v)
+
+    bias = bias.astype(jnp.float32)
+    bias_b = 0 if bias.shape[0] == 1 else None
+    bias_h = 0 if bias.shape[1] == 1 else None
+    b_spec = pl.BlockSpec(
+        (1, 1, block_q, l),
+        lambda bi, hi, qi: (
+            bias_b if bias_b is not None else bi,
+            bias_h if bias_h is not None else hi,
+            qi,
+            0,
+        ),
+        memory_space=pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        functools.partial(_attn_bias_kernel, scale=scale),
+        grid=grid,
+        in_specs=[q_spec, kv_spec, kv_spec, b_spec],
+        out_specs=out_spec,
+        out_shape=out_shape,
+        cost_estimate=cost,
+        interpret=interpret,
+    )(q, k, v, bias)

@@ -1,0 +1,166 @@
+"""MaskGIT-style non-autoregressive image generation with CFG, on device.
+
+Algorithm parity with `MMadaModelLM.t2i_generate`
+(models/modeling_mmada.py:117-211): all image positions start masked inside
+the t2i frame `[pad* <|t2i|> <bos> text <eos> <|soi|> IMG <|eoi|>]`; each of
+`timesteps` steps forwards the sequence (batch-doubled under CFG with an
+empty-prompt uncond row sharing the current image tokens), slices logits to
+the image-vocab window, samples a candidate at every position, keeps
+already-committed tokens, and re-masks the lowest-confidence positions down
+to the schedule's mask count.
+
+Faithfully reproduced reference details:
+  * CFG combine is the muse form `(1+s)·cond − s·uncond`
+    (modeling_mmada.py:167);
+  * temperature *compounds* across steps — the reference rebinds
+    `temperature = temperature * (1.0 - ratio)` inside its loop
+    (modeling_mmada.py:205), so step t uses T0·Π(1−r_i);
+  * `mask_len` is clamped to [1, unknown_count−1] so at least one token
+    commits and at least one stays masked each step (:199-203).
+
+TPU-native differences: the step loop is `lax.scan` (zero host round-trips),
+sampling uses `jax.random.categorical` (same distribution as the reference's
+`torch.multinomial(softmax)`, different RNG stream — greedy mode matches
+token-exactly and is the parity configuration), and the vocab head is
+evaluated only over the 8k image window via the model's `logit_window`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mmada_tpu.sampling.gumbel import mask_by_random_topk
+from mmada_tpu.sampling.schedules import cosine_schedule
+
+# (tokens (B, L), attention_mask (B, L) | None) -> (B, num_vq_tokens, codebook)
+WindowForwardFn = Callable[[jax.Array, Optional[jax.Array]], jax.Array]
+
+
+@dataclasses.dataclass(frozen=True)
+class MaskGITConfig:
+    timesteps: int = 18
+    temperature: float = 1.0
+    guidance_scale: float = 0.0
+    noise_schedule: Callable = cosine_schedule
+    mask_id: int = 126336
+    num_vq_tokens: int = 1024
+    codebook_size: int = 8192
+    text_vocab_size: int = 126464   # fused-id offset of the image window
+    greedy: bool = False            # argmax instead of categorical (parity/tests)
+
+
+def _scan(forward_fn, input_ids, cfg, key, uncond_input_ids,
+          attention_mask, uncond_attention_mask):
+    """Run the MaskGIT loop; returns `(timesteps, B, n)` sampled VQ grids."""
+    b, l = input_ids.shape
+    n = cfg.num_vq_tokens
+    img_lo = l - (n + 1)          # image span is [-(n+1), -1) inside the frame
+    prompt_len = l - (n + 2)      # text portion before <|soi|>
+    use_cfg = uncond_input_ids is not None and cfg.guidance_scale > 0
+
+    x = input_ids.astype(jnp.int32)
+    # current image tokens in VQ space; masked positions keep mask_id
+    cur = x[:, img_lo:-1]
+    cur = jnp.where(cur == cfg.mask_id, cfg.mask_id, cur - cfg.text_vocab_size)
+
+    if use_cfg:
+        uncond_prefix = uncond_input_ids[:, :prompt_len].astype(jnp.int32)
+        if attention_mask is not None and uncond_attention_mask is not None:
+            full_mask = jnp.concatenate([attention_mask, uncond_attention_mask], 0)
+        else:
+            full_mask = None
+    else:
+        full_mask = attention_mask
+
+    if key is None:
+        key = jax.random.key(0)
+    step_keys = jax.random.split(key, cfg.timesteps)
+
+    def step(carry, inp):
+        x, cur, temperature = carry
+        t, step_key = inp
+        k_sample, k_mask = jax.random.split(step_key)
+
+        if use_cfg:
+            uncond_x = jnp.concatenate([uncond_prefix, x[:, prompt_len:]], axis=1)
+            model_in = jnp.concatenate([x, uncond_x], axis=0)
+            logits = forward_fn(model_in, full_mask)
+            cond, uncond = jnp.split(logits, 2, axis=0)
+            logits = (1.0 + cfg.guidance_scale) * cond - cfg.guidance_scale * uncond
+        else:
+            logits = forward_fn(x, full_mask)
+        logits = logits.astype(jnp.float32)        # (B, n, codebook)
+
+        if cfg.greedy:
+            sampled = jnp.argmax(logits, axis=-1)
+        else:
+            sampled = jax.random.categorical(k_sample, logits, axis=-1)
+        sampled = sampled.astype(jnp.int32)
+
+        unknown = cur == cfg.mask_id
+        sampled = jnp.where(unknown, sampled, cur)
+
+        ratio = (t + 1.0) / cfg.timesteps
+        mask_ratio = cfg.noise_schedule(ratio)
+
+        probs = jax.nn.softmax(logits, axis=-1)
+        selected = jnp.take_along_axis(probs, sampled[..., None], axis=-1)[..., 0]
+        selected = jnp.where(unknown, selected, jnp.finfo(jnp.float32).max)
+
+        mask_len = jnp.floor(n * mask_ratio).astype(jnp.int32)
+        unknown_count = unknown.sum(axis=-1, keepdims=True)
+        mask_len = jnp.maximum(1, jnp.minimum(unknown_count - 1, mask_len))
+
+        temperature = temperature * (1.0 - ratio)
+        masking = mask_by_random_topk(
+            mask_len, selected, temperature,
+            None if cfg.temperature == 0.0 else k_mask,
+        )
+
+        new_cur = jnp.where(masking, cfg.mask_id, sampled)
+        new_img = jnp.where(masking, cfg.mask_id, sampled + cfg.text_vocab_size)
+        x = jax.lax.dynamic_update_slice(x, new_img, (0, img_lo))
+        return (x, new_cur, temperature), sampled
+
+    ts = jnp.arange(cfg.timesteps, dtype=jnp.float32)
+    _, sampled_steps = jax.lax.scan(
+        step, (x, cur, jnp.float32(cfg.temperature)), (ts, step_keys)
+    )
+    return sampled_steps
+
+
+def t2i_generate(
+    forward_fn: WindowForwardFn,
+    input_ids: jax.Array,                      # (B, L) full t2i frame
+    cfg: MaskGITConfig,
+    key: Optional[jax.Array] = None,
+    uncond_input_ids: Optional[jax.Array] = None,   # (B, L) empty-prompt frame
+    attention_mask: Optional[jax.Array] = None,     # (B, L)
+    uncond_attention_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Returns raw VQ codes `(B, num_vq_tokens)` in [0, codebook_size)."""
+    return _scan(
+        forward_fn, input_ids, cfg, key, uncond_input_ids,
+        attention_mask, uncond_attention_mask,
+    )[-1]
+
+
+def t2i_generate_stepwise(
+    forward_fn: WindowForwardFn,
+    input_ids: jax.Array,
+    cfg: MaskGITConfig,
+    key: Optional[jax.Array] = None,
+    uncond_input_ids: Optional[jax.Array] = None,
+    attention_mask: Optional[jax.Array] = None,
+    uncond_attention_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """`(timesteps, B, n)` trajectory of committed VQ grids, for stepwise
+    demo decoding (`t2i_generate_decoding_stepwise`, modeling_mmada.py:558-663)."""
+    return _scan(
+        forward_fn, input_ids, cfg, key, uncond_input_ids,
+        attention_mask, uncond_attention_mask,
+    )

@@ -1,0 +1,281 @@
+"""Generate golden test fixtures from the PyTorch reference at /root/reference.
+
+Builds tiny randomly-initialized reference models, runs forwards and the
+denoise loops in their deterministic configurations, and saves inputs,
+weights (flat torch state-dict as numpy), and outputs to tests/goldens/.
+The JAX test suite then checks numerical/token parity WITHOUT needing the
+reference at test time.
+
+Deterministic configurations used:
+  * forward logits: exact function of weights — fp32 elementwise compare.
+  * semi-AR text generate: temperature 0 (pure argmax), 'low_confidence'
+    remasking — token-exact compare. Run with cfg_scale 0 and >0.
+  * MaskGIT t2i: temperature 0 + torch.multinomial monkeypatched to argmax
+    (stochastic draws are the only RNG in the loop) — token-exact compare
+    of the full loop logic (CFG combine, window slicing, schedule,
+    confidence cutoff, clamping).
+
+Usage: python tools/gen_goldens.py
+"""
+
+import os
+import sys
+
+import numpy as np
+import torch
+
+REFERENCE = os.environ.get("MMADA_REFERENCE", "/root/reference")
+OUT_DIR = os.path.join(os.path.dirname(__file__), "..", "tests", "goldens")
+
+sys.path.insert(0, REFERENCE)
+
+# `models/__init__.py` eagerly imports the VQGAN stack, which needs
+# `diffusers` (absent here). Register a namespace package pointing at the
+# reference's models/ dir so submodules import directly, bypassing __init__.
+import types
+
+_pkg = types.ModuleType("refmodels")
+_pkg.__path__ = [os.path.join(REFERENCE, "models")]
+sys.modules["refmodels"] = _pkg
+
+
+def _ref(name):
+    import importlib
+
+    return importlib.import_module(f"refmodels.{name}")
+
+TEXT_LEN = 64          # pretend tokenizer length
+CODEBOOK = 16          # image codebook
+VOCAB = 96             # fused vocab (text 64 + image 16 + slack)
+MASK_ID = 90
+BOS, EOS, PAD = 1, 2, 3
+SOI, EOI, T2I = 10, 11, 12
+
+
+def build_tiny(n_kv_heads=None, block_type="llama", weight_tying=False,
+               seed=0):
+    LLaDAConfig = _ref("configuration_llada").LLaDAConfig
+    LLaDAModelLM = _ref("modeling_llada").LLaDAModelLM
+
+    torch.manual_seed(seed)
+    cfg = LLaDAConfig(
+        d_model=64,
+        n_heads=4,
+        n_kv_heads=n_kv_heads,
+        n_layers=2,
+        mlp_hidden_size=128,
+        vocab_size=VOCAB,
+        embedding_size=VOCAB,
+        max_sequence_length=128,
+        rope=True,
+        rope_theta=10000.0,
+        attention_dropout=0.0,
+        residual_dropout=0.0,
+        embedding_dropout=0.0,
+        layer_norm_type="rms",
+        activation_type="silu",
+        block_type=block_type,
+        weight_tying=weight_tying,
+        include_bias=False,
+        include_qkv_bias=False,
+        alibi=False,
+        flash_attention=False,
+        mask_token_id=MASK_ID,
+        pad_token_id=PAD,
+        eos_token_id=EOS,
+        bos_token_id=BOS,
+    )
+    model = LLaDAModelLM(cfg, init_params=True)
+    model.eval()
+    # Give weights a healthy spread so logits are not degenerate.
+    with torch.no_grad():
+        for p in model.parameters():
+            if p.ndim >= 2:
+                p.normal_(0.0, 0.05)
+    return model, cfg
+
+
+def state_to_numpy(model):
+    return {k: v.detach().cpu().float().numpy() for k, v in model.state_dict().items()}
+
+
+def save(name, **arrays):
+    os.makedirs(OUT_DIR, exist_ok=True)
+    path = os.path.join(OUT_DIR, f"{name}.npz")
+    np.savez_compressed(path, **arrays)
+    print(f"wrote {path}: {list(arrays)[:8]}{'...' if len(arrays) > 8 else ''}")
+
+
+def golden_forward():
+    for tag, kwargs in {
+        "mha": dict(),
+        "gqa": dict(n_kv_heads=2),
+        "seq": dict(block_type="sequential", weight_tying=True),
+    }.items():
+        model, _ = build_tiny(**kwargs)
+        rng = np.random.default_rng(42)
+        ids = rng.integers(0, VOCAB, size=(2, 24))
+        x = torch.tensor(ids, dtype=torch.long)
+        with torch.no_grad():
+            logits = model(x).logits.float().numpy()
+        # masked variant: pairwise bias from an attention mask with pads
+        mask = np.ones((2, 24), dtype=np.int64)
+        mask[0, :4] = 0
+        am = torch.tensor(mask)
+        bias = (am[:, :, None] & am[:, None, :]).bool().unsqueeze(1)
+        with torch.no_grad():
+            logits_masked = model(x, attention_bias=bias).logits.float().numpy()
+        state = state_to_numpy(model)
+        save(
+            f"forward_{tag}",
+            input_ids=ids,
+            attention_mask=mask,
+            logits=logits,
+            logits_masked=logits_masked,
+            **{f"w::{k}": v for k, v in state.items()},
+        )
+
+
+def golden_text_generate():
+    # generate.py does `from models import MMadaModelLM`; satisfy it without
+    # triggering the reference models/__init__ (which needs diffusers).
+    fake_models = types.ModuleType("models")
+    fake_models.MMadaModelLM = _ref("modeling_mmada").MMadaModelLM
+    sys.modules.setdefault("models", fake_models)
+    import generate as ref_generate
+
+    model, _ = build_tiny()
+    rng = np.random.default_rng(7)
+    prompt = rng.integers(4, TEXT_LEN, size=(2, 5))
+    pt = torch.tensor(prompt, dtype=torch.long)
+    outs = {}
+    for cfg_scale in (0.0, 1.5):
+        with torch.no_grad():
+            out = ref_generate.generate(
+                model, pt, steps=8, gen_length=16, block_length=8,
+                temperature=0.0, cfg_scale=cfg_scale,
+                remasking="low_confidence", mask_id=MASK_ID,
+            )
+        outs[f"out_cfg{cfg_scale}"] = out.numpy()
+    state = state_to_numpy(model)
+    save(
+        "text_generate",
+        prompt=prompt,
+        **outs,
+        **{f"w::{k}": v for k, v in state.items()},
+    )
+
+
+class _FakeTokenizer:
+    def __len__(self):
+        return TEXT_LEN
+
+
+class _FakeUniPrompting:
+    text_tokenizer = _FakeTokenizer()
+
+
+def golden_t2i():
+    mm = _ref("modeling_mmada")
+    MMadaModelLM, MMadaConfig = mm.MMadaModelLM, mm.MMadaConfig
+    ModelConfig = _ref("configuration_llada").ModelConfig
+
+    import dataclasses as _dc
+
+    base_kwargs = {f.name: getattr(ModelConfig(), f.name) for f in _dc.fields(ModelConfig)}
+
+    torch.manual_seed(0)
+    cfg = MMadaConfig(
+        **{k: v for k, v in base_kwargs.items() if k not in {
+            "d_model", "n_heads", "n_layers", "mlp_hidden_size", "vocab_size",
+            "embedding_size", "max_sequence_length", "rope", "rope_theta",
+            "attention_dropout", "residual_dropout", "embedding_dropout",
+            "layer_norm_type", "activation_type", "block_type", "weight_tying",
+            "include_bias", "include_qkv_bias", "alibi", "flash_attention",
+            "mask_token_id", "pad_token_id", "eos_token_id", "bos_token_id",
+        }},
+        d_model=64, n_heads=4, n_layers=2, mlp_hidden_size=128,
+        vocab_size=VOCAB, embedding_size=VOCAB, max_sequence_length=128,
+        rope=True, rope_theta=10000.0,
+        attention_dropout=0.0, residual_dropout=0.0, embedding_dropout=0.0,
+        layer_norm_type="rms", activation_type="silu", block_type="llama",
+        weight_tying=False, include_bias=False, include_qkv_bias=False,
+        alibi=False, flash_attention=False,
+        mask_token_id=MASK_ID, pad_token_id=PAD, eos_token_id=EOS,
+        bos_token_id=BOS,
+        llm_vocab_size=TEXT_LEN, codebook_size=CODEBOOK,
+        num_vq_tokens=16, new_vocab_size=VOCAB,
+        use_cache=False,
+    )
+    model = MMadaModelLM(cfg, init_params=True)
+    model.eval()
+    with torch.no_grad():
+        for p in model.parameters():
+            if p.ndim >= 2:
+                p.normal_(0.0, 0.05)
+
+    n_img = 16
+    prompt_len = 8  # [PAD, PAD, T2I, BOS, w, w, w, EOS]
+    rng = np.random.default_rng(3)
+    words = rng.integers(13, TEXT_LEN, size=(2, 3))
+    frames = []
+    uncond_frames = []
+    for b in range(2):
+        text = [PAD, PAD, T2I, BOS, *words[b].tolist(), EOS]
+        frames.append(text + [SOI] + [MASK_ID] * n_img + [EOI])
+        uncond = [PAD] * 4 + [T2I, BOS, EOS, EOS]
+        uncond_frames.append(uncond + [SOI] + [MASK_ID] * n_img + [EOI])
+    input_ids = torch.tensor(frames, dtype=torch.long)
+    uncond_ids = torch.tensor(uncond_frames, dtype=torch.long)
+    attn = torch.ones_like(input_ids)
+    attn[:, :2] = 0
+    uncond_attn = torch.ones_like(uncond_ids)
+    uncond_attn[:, :4] = 0
+
+    # Deterministic t2i: argmax instead of multinomial, temperature 0.
+    real_multinomial = torch.multinomial
+
+    def argmax_multinomial(probs, num_samples, generator=None):
+        assert num_samples == 1
+        return probs.argmax(dim=-1, keepdim=True)
+
+    torch.multinomial = argmax_multinomial
+    try:
+        outs = {}
+        for gs in (0.0, 2.0):
+            with torch.no_grad():
+                out = model.t2i_generate(
+                    input_ids=input_ids.clone(),
+                    uncond_input_ids=uncond_ids.clone() if gs > 0 else None,
+                    attention_mask=attn.clone(),
+                    uncond_attention_mask=uncond_attn.clone() if gs > 0 else None,
+                    temperature=0.0,
+                    timesteps=6,
+                    guidance_scale=gs,
+                    uni_prompting=_FakeUniPrompting(),
+                    seq_len=n_img,
+                    mask_token_id=MASK_ID,
+                    resolution=prompt_len - 1,  # prefix len = resolution+1
+                    codebook_size=CODEBOOK,
+                )
+            outs[f"out_gs{gs}"] = out.numpy()
+    finally:
+        torch.multinomial = real_multinomial
+
+    state = state_to_numpy(model)
+    save(
+        "t2i_generate",
+        input_ids=input_ids.numpy(),
+        uncond_ids=uncond_ids.numpy(),
+        attn=attn.numpy(),
+        uncond_attn=uncond_attn.numpy(),
+        **outs,
+        **{f"w::{k}": v for k, v in state.items()},
+    )
+
+
+if __name__ == "__main__":
+    golden_forward()
+    golden_text_generate()
+    golden_t2i()
+    print("done")
