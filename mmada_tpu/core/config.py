@@ -145,6 +145,18 @@ def _resolve_value(value: Any, root: Config) -> Any:
 _FLOAT_RE = re.compile(r"[-+]?(\d+\.?\d*|\.\d+)[eE][-+]?\d+")
 
 
+def _coerce_floats(node: Any) -> Any:
+    """PyYAML 1.1 reads bare `5e-5` as a string; OmegaConf (the reference's
+    config layer) reads it as float. Recursively coerce to match."""
+    if isinstance(node, dict):
+        return {k: _coerce_floats(v) for k, v in node.items()}
+    if isinstance(node, list):
+        return [_coerce_floats(v) for v in node]
+    if isinstance(node, str) and _FLOAT_RE.fullmatch(node.strip()):
+        return float(node)
+    return node
+
+
 def _parse_scalar(text: str) -> Any:
     # YAML 1.1 reads bare "1e-4" as a string (needs "1.0e-4"); accept the
     # common scientific-notation spelling as float like OmegaConf does.
@@ -186,7 +198,7 @@ def load_config(
     if path:
         with open(path) as f:
             loaded = yaml.safe_load(f) or {}
-        cfg.merge(loaded)
+        cfg.merge(_coerce_floats(loaded))
     if overrides:
         cfg.merge(parse_overrides(overrides))
     if kv:

@@ -1,0 +1,167 @@
+"""MMaDA: unified multimodal masked-diffusion model API.
+
+One canonical model object replacing the reference's two diverging files
+(models/modeling_mmada.py and models/modelling_ours.py — SURVEY.md §2.1
+notes they must be unified): the LLaDA backbone plus the fused vocab layout
+plus every task entry point:
+
+  * `forward`                — raw logits over the fused vocab
+  * `generate`               — semi-AR text denoising (generate.py:43-113)
+  * `mmu_generate[_fast]`    — image-conditioned text (modeling_mmada.py:388-556)
+  * `t2i_generate[_stepwise]`— MaskGIT image generation (modeling_mmada.py:117-211)
+  * `t2m_generate`           — MaskGIT motion generation (modelling_ours.py:557-682)
+  * `forward_process`        — multi-task training losses (training/losses.py)
+
+Image/motion generation evaluates the vocab head only over its 8k/512-wide
+window (`logit_window`), skipping >90% of the 134k-row head matmul on the
+denoise path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mmada_tpu.core.precision import FP32, Policy
+from mmada_tpu.core.vocab import VocabLayout
+from mmada_tpu.models import llada
+from mmada_tpu.sampling import motion as motion_sampling
+from mmada_tpu.sampling import t2i as t2i_sampling
+from mmada_tpu.sampling import text as text_sampling
+from mmada_tpu.sampling.schedules import cosine_schedule
+
+
+@dataclasses.dataclass
+class MMadaModel:
+    cfg: llada.LLaDAConfig
+    params: Any
+    vocab: VocabLayout
+    policy: Policy = FP32
+    attn_impl: str = "auto"
+    remat: bool = False
+
+    # ------------------------------------------------------------- factory
+    @classmethod
+    def init(cls, key, cfg: llada.LLaDAConfig, vocab: VocabLayout, **kw):
+        params = llada.init_params(key, cfg, dtype=kw.pop("dtype", jnp.float32))
+        return cls(cfg=cfg, params=params, vocab=vocab, **kw)
+
+    @classmethod
+    def from_pretrained(cls, model_dir: str, vocab: VocabLayout,
+                        dtype=jnp.bfloat16, **kw):
+        from mmada_tpu.checkpoints.hf_import import config_from_hf_json, load_pretrained
+
+        cfg = config_from_hf_json(model_dir)
+        params = load_pretrained(model_dir, cfg, dtype=dtype)
+        return cls(cfg=cfg, params=params, vocab=vocab, **kw)
+
+    # ------------------------------------------------------------- forward
+    def forward(self, input_ids, attention_mask=None, attention_bias=None,
+                logit_window=None):
+        return llada.forward(
+            self.params, self.cfg, input_ids,
+            attention_mask=attention_mask, attention_bias=attention_bias,
+            policy=self.policy, logit_window=logit_window,
+            remat=self.remat, attn_impl=self.attn_impl,
+        )
+
+    def _text_forward_fn(self):
+        def fn(tokens):
+            return self.forward(tokens)
+        return fn
+
+    def _window_forward_fn(self, num_tokens: int, window: tuple[int, int],
+                           mask_ignored: bool = True):
+        def fn(tokens, attention_mask):
+            logits = self.forward(
+                tokens, attention_mask=attention_mask, logit_window=window
+            )
+            return logits[:, -(num_tokens + 1):-1, :]
+        return fn
+
+    # ---------------------------------------------------------------- text
+    def generate(self, prompt, gen_length=128, steps=128, block_length=128,
+                 temperature=0.0, cfg_scale=0.0, remasking="low_confidence",
+                 key=None):
+        scfg = text_sampling.SemiARConfig(
+            gen_length=gen_length, steps=steps, block_length=block_length,
+            temperature=temperature, cfg_scale=cfg_scale, remasking=remasking,
+            mask_id=self.vocab.mask_token_id,
+        )
+        return text_sampling.generate(self._text_forward_fn(), prompt, scfg, key=key)
+
+    def mmu_generate(self, input_ids, max_new_tokens=128, steps=128,
+                     block_length=128, temperature=0.0, cfg_scale=0.0,
+                     remasking="low_confidence", key=None):
+        """Identical denoiser; prompt already contains the <|mmu|> image frame."""
+        return self.generate(
+            input_ids, gen_length=max_new_tokens, steps=steps,
+            block_length=block_length, temperature=temperature,
+            cfg_scale=cfg_scale, remasking=remasking, key=key,
+        )
+
+    def mmu_generate_fast(self, input_ids, eot_token: int, max_new_tokens=128,
+                          steps=128, block_length=128, temperature=0.0,
+                          cfg_scale=0.0, key=None):
+        scfg = text_sampling.SemiARConfig(
+            gen_length=max_new_tokens, steps=steps, block_length=block_length,
+            temperature=temperature, cfg_scale=cfg_scale,
+            mask_id=self.vocab.mask_token_id,
+        )
+        return text_sampling.generate_with_early_stop(
+            self._text_forward_fn(), input_ids, scfg, eot_token, key=key
+        )
+
+    # ----------------------------------------------------------------- t2i
+    def t2i_generate(self, input_ids, uncond_input_ids=None,
+                     attention_mask=None, uncond_attention_mask=None,
+                     temperature=1.0, timesteps=18, guidance_scale=0.0,
+                     noise_schedule=cosine_schedule, num_vq_tokens=1024,
+                     key=None, greedy=False, stepwise=False):
+        mcfg = t2i_sampling.MaskGITConfig(
+            timesteps=timesteps, temperature=temperature,
+            guidance_scale=guidance_scale, noise_schedule=noise_schedule,
+            mask_id=self.vocab.mask_token_id, num_vq_tokens=num_vq_tokens,
+            codebook_size=self.vocab.image_codebook_size,
+            text_vocab_size=self.vocab.image_offset, greedy=greedy,
+        )
+        fwd = self._window_forward_fn(num_vq_tokens, self.vocab.image_window)
+        gen = (t2i_sampling.t2i_generate_stepwise if stepwise
+               else t2i_sampling.t2i_generate)
+        return gen(
+            fwd, input_ids, mcfg, key=key,
+            uncond_input_ids=uncond_input_ids,
+            attention_mask=attention_mask,
+            uncond_attention_mask=uncond_attention_mask,
+        )
+
+    # ----------------------------------------------------------------- t2m
+    def t2m_generate(self, input_ids, attention_mask=None, temperature=1.0,
+                     timesteps=18, noise_schedule=cosine_schedule,
+                     num_motion_tokens=256, key=None, greedy=False):
+        if self.vocab.motion_codebook_size == 0:
+            raise ValueError("vocab has no motion window; use vocab.with_motion()")
+        mcfg = motion_sampling.MotionGITConfig(
+            timesteps=timesteps, temperature=temperature,
+            noise_schedule=noise_schedule, mask_id=self.vocab.mask_token_id,
+            num_motion_tokens=num_motion_tokens,
+            motion_vocab_size=self.vocab.motion_codebook_size,
+            motion_offset=self.vocab.motion_offset, greedy=greedy,
+        )
+        window = (
+            self.vocab.motion_offset,
+            self.vocab.motion_offset + self.vocab.motion_codebook_size,
+        )
+        fwd = self._window_forward_fn(num_motion_tokens, window)
+        return motion_sampling.t2m_generate(
+            fwd, input_ids, mcfg, key=key, attention_mask=attention_mask
+        )
+
+    # ------------------------------------------------------------ training
+    def forward_process(self, *args, **kwargs):
+        from mmada_tpu.training.losses import forward_process
+
+        return forward_process(self, *args, **kwargs)

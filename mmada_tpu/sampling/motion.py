@@ -1,0 +1,107 @@
+"""MaskGIT text-to-motion generation over the motion vocab window.
+
+Parity with `t2m_generate` (models/modelling_ours.py:557-682). Differences
+from the t2i loop that the reference bakes in (and we reproduce):
+
+  * no classifier-free guidance;
+  * temperature anneal is *fresh* per step (`T·(1−ratio)`) rather than the
+    compounding rebind in t2i (modeling_mmada.py:205);
+  * the final step commits every remaining position (no remask), whereas
+    t2i always keeps ≥1 masked.
+
+The motion span is located by `<|som|>`/`<|eom|>` markers in the reference
+at runtime (modelling_ours.py:585-603); here the span is static — the t2m
+frame is fixed-layout `[pad]* <|t2m|> <bos> cap <eos> <|som|> motion <|eom|>`
+(prompting/universal.py:t2m), so `span_start = L - n - 1`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mmada_tpu.sampling.gumbel import mask_by_random_topk
+from mmada_tpu.sampling.schedules import cosine_schedule
+
+WindowForwardFn = Callable[[jax.Array, Optional[jax.Array]], jax.Array]
+
+
+@dataclasses.dataclass(frozen=True)
+class MotionGITConfig:
+    timesteps: int = 18
+    temperature: float = 1.0
+    noise_schedule: Callable = cosine_schedule
+    mask_id: int = 126336
+    num_motion_tokens: int = 256
+    motion_vocab_size: int = 512
+    motion_offset: int = 134656          # text_vocab + image codebook
+    greedy: bool = False
+
+
+def t2m_generate(
+    forward_fn: WindowForwardFn,
+    input_ids: jax.Array,                   # (B, L) full t2m frame
+    cfg: MotionGITConfig,
+    key: Optional[jax.Array] = None,
+    attention_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Returns raw motion VQ codes `(B, num_motion_tokens)`."""
+    b, l = input_ids.shape
+    n = cfg.num_motion_tokens
+    span_lo = l - (n + 1)  # motion span inside frame ending with <|eom|>
+
+    x = input_ids.astype(jnp.int32)
+    cur = x[:, span_lo:-1]  # offset-space tokens or mask_id
+
+    if key is None:
+        key = jax.random.key(0)
+    step_keys = jax.random.split(key, cfg.timesteps)
+
+    def step(carry, inp):
+        x, cur = carry
+        t, step_key = inp
+        k_sample, k_mask = jax.random.split(step_key)
+
+        logits = forward_fn(x, attention_mask).astype(jnp.float32)  # (B, n, M)
+
+        if cfg.greedy:
+            sampled = jnp.argmax(logits, axis=-1)
+        else:
+            sampled = jax.random.categorical(k_sample, logits, axis=-1)
+        sampled = sampled.astype(jnp.int32)
+
+        unknown = cur == cfg.mask_id
+        sampled_off = jnp.where(unknown, sampled + cfg.motion_offset, cur)
+
+        ratio = (t + 1.0) / cfg.timesteps
+        mask_ratio = cfg.noise_schedule(ratio)
+        probs = jax.nn.softmax(logits, axis=-1)
+        sampled_vq = jnp.where(
+            unknown, sampled, jnp.clip(cur - cfg.motion_offset, 0)
+        )
+        selected = jnp.take_along_axis(probs, sampled_vq[..., None], axis=-1)[..., 0]
+        selected = jnp.where(unknown, selected, jnp.finfo(jnp.float32).max)
+
+        mask_len = jnp.floor(n * mask_ratio).astype(jnp.int32)
+        unknown_count = unknown.sum(axis=-1, keepdims=True)
+        mask_len = jnp.maximum(1, jnp.minimum(unknown_count - 1, mask_len))
+
+        temperature_adj = cfg.temperature * (1.0 - ratio)
+        masking = mask_by_random_topk(
+            mask_len, selected, temperature_adj,
+            None if cfg.temperature == 0.0 else k_mask,
+        )
+        # last step commits everything (reference skips remasking then)
+        is_last = t >= cfg.timesteps - 1
+        masking = jnp.logical_and(masking, jnp.logical_not(is_last))
+
+        new_cur = jnp.where(masking, cfg.mask_id, sampled_off)
+        x = jax.lax.dynamic_update_slice(x, new_cur, (0, span_lo))
+        return (x, new_cur), sampled_vq
+
+    ts = jnp.arange(cfg.timesteps, dtype=jnp.float32)
+    (_, _), sampled_steps = jax.lax.scan(step, (x, cur), (ts, step_keys))
+    return sampled_steps[-1]

@@ -1,0 +1,72 @@
+"""Core infrastructure tests: vocab layout, config system, mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from mmada_tpu.core.config import Config, load_config, parse_overrides
+from mmada_tpu.core.mesh import make_mesh
+from mmada_tpu.core.vocab import MMADA_8B, MMADA_8B_T2M, tiny_layout
+
+
+def test_flagship_vocab_layout():
+    assert MMADA_8B.total_vocab_size == 134656  # configs/mmada_demo.yaml:19
+    assert MMADA_8B.image_offset == 126464
+    assert MMADA_8B.mask_token_id == 126336
+    assert MMADA_8B.image_window == (126464, 134656)
+    assert MMADA_8B.special("<|soi|>") == 126084
+    assert MMADA_8B.special("<|eom|>") == 126097
+
+
+def test_t2m_vocab_layout():
+    assert MMADA_8B_T2M.motion_offset == 134656
+    assert MMADA_8B_T2M.total_vocab_size == 134656 + 512 + 2
+    np.testing.assert_array_equal(
+        np.asarray(MMADA_8B_T2M.motion_to_fused(np.asarray([0, 511]))),
+        [134656, 135167],
+    )
+
+
+def test_vocab_roundtrip():
+    vl = tiny_layout()
+    ids = np.asarray([0, 5, 63])
+    np.testing.assert_array_equal(vl.fused_to_image(vl.image_to_fused(ids)), ids)
+
+
+def test_config_yaml_roundtrip(tmp_path):
+    p = tmp_path / "c.yaml"
+    p.write_text(
+        "model:\n  lr: 5e-5\n  name: test\ntraining:\n"
+        "  lr: ${model.lr}\n  steps: 100\n"
+    )
+    cfg = load_config(str(p))
+    assert cfg.training.lr == 5e-5
+    assert cfg.model.name == "test"
+    # dotted override + save/reload
+    cfg2 = load_config(str(p), cli_args=["training.steps=7", "a.b.c=[1,2]"])
+    assert cfg2.training.steps == 7
+    assert cfg2.a.b.c == [1, 2]
+    out = tmp_path / "out.yaml"
+    cfg2.save(str(out))
+    cfg3 = load_config(str(out))
+    assert cfg3.training.steps == 7
+
+
+def test_config_scientific_notation():
+    cfg = parse_overrides(["opt.lr=1e-4", "opt.eps=1E-8", "opt.n=3"])
+    assert cfg.opt.lr == 1e-4 and isinstance(cfg.opt.lr, float)
+    assert cfg.opt.eps == 1e-8
+    assert cfg.opt.n == 3 and isinstance(cfg.opt.n, int)
+
+
+def test_config_flatten():
+    cfg = Config({"a": {"b": 1, "c": {"d": 2}}, "e": 3})
+    flat = dict(cfg.flatten())
+    assert flat == {"a.b": 1, "a.c.d": 2, "e": 3}
+
+
+def test_mesh_construction():
+    mesh = make_mesh(data=1, fsdp=-1, tensor=2)
+    assert mesh.shape == {"data": 1, "fsdp": 4, "tensor": 2}
+    with pytest.raises(ValueError):
+        make_mesh(data=3, fsdp=3, tensor=1)

@@ -152,3 +152,38 @@ def test_stochastic_generation_valid():
         )
     )
     assert (out != out2).any()
+
+
+def test_t2m_generate_parity():
+    """Motion MaskGIT vs reference `t2m_generate` (modelling_ours.py:557-682).
+
+    Compared against the *committed* motion span of the reference's mutated
+    input_ids (merged tokens). The reference's raw return value re-samples
+    already-committed positions on the last step — a documented wart we fix
+    (sampling/motion.py returns merged tokens).
+    """
+    state, rest = load_golden("t2m_generate")
+    cfg = tiny_cfg()
+    params = params_from_torch_state_dict(state, cfg)
+    n_motion = 8
+    motion_offset = TEXT_LEN + CODEBOOK  # 80
+    from mmada_tpu.sampling import motion as motion_sampling
+
+    def window_forward(tokens, attention_mask):
+        logits = llada.forward(
+            params, cfg, tokens,
+            attention_mask=attention_mask,
+            logit_window=(motion_offset, motion_offset + 8),
+        )
+        return logits[:, -(n_motion + 1):-1, :]
+
+    mcfg = motion_sampling.MotionGITConfig(
+        timesteps=5, temperature=0.0, mask_id=MASK_ID,
+        num_motion_tokens=n_motion, motion_vocab_size=8,
+        motion_offset=motion_offset, greedy=True,
+    )
+    out = motion_sampling.t2m_generate(
+        window_forward, jnp.asarray(rest["input_ids"]), mcfg,
+        key=jax.random.key(0),
+    )
+    np.testing.assert_array_equal(np.asarray(out), rest["out_committed"])

@@ -274,8 +274,233 @@ def golden_t2i():
     )
 
 
+def _stub_diffusers():
+    """modeling_utils.py imports ~20 diffusers symbols at module level; only
+    ConfigMixin/register_to_config are exercised when instantiating the
+    VQGAN classes directly. Stub the rest as inert placeholders."""
+    if "diffusers" in sys.modules:
+        return
+    d = types.ModuleType("diffusers")
+    d.__version__ = "0.0.0-stub"
+
+    utils = types.ModuleType("diffusers.utils")
+    for name in [
+        "FLAX_WEIGHTS_NAME", "SAFE_WEIGHTS_INDEX_NAME", "WEIGHTS_INDEX_NAME",
+    ]:
+        setattr(utils, name, name.lower())
+    for name in [
+        "_add_variant", "_get_checkpoint_shard_files", "_get_model_file",
+        "deprecate", "is_accelerate_available", "is_torch_version",
+    ]:
+        setattr(utils, name, lambda *a, **k: False)
+    import logging as _logging
+
+    class _Logging:
+        @staticmethod
+        def get_logger(name):
+            return _logging.getLogger(name)
+
+    utils.logging = _Logging()
+
+    hub_utils = types.ModuleType("diffusers.utils.hub_utils")
+
+    class PushToHubMixin:
+        pass
+
+    hub_utils.PushToHubMixin = PushToHubMixin
+    hub_utils.load_or_create_model_card = lambda *a, **k: None
+    hub_utils.populate_model_card = lambda *a, **k: None
+
+    mlu = types.ModuleType("diffusers.models.model_loading_utils")
+    for name in [
+        "_determine_device_map", "_fetch_index_file",
+        "_load_state_dict_into_model", "load_model_dict_into_meta",
+        "_fetch_index_file_legacy", "load_state_dict",
+    ]:
+        setattr(mlu, name, lambda *a, **k: None)
+    models_pkg = types.ModuleType("diffusers.models")
+    models_pkg.model_loading_utils = mlu
+
+    cu = types.ModuleType("diffusers.configuration_utils")
+
+    class ConfigMixin:
+        def register_to_config(self, **kwargs):
+            self._internal_dict = kwargs
+
+    def register_to_config(init):
+        import functools
+
+        @functools.wraps(init)
+        def wrapped(self, *args, **kwargs):
+            init(self, *args, **kwargs)
+
+        return wrapped
+
+    cu.ConfigMixin = ConfigMixin
+    cu.register_to_config = register_to_config
+
+    quant = types.ModuleType("diffusers.quantizers")
+    quant.DiffusersAutoQuantizer = object
+    base = types.ModuleType("diffusers.quantizers.base")
+    base.DiffusersQuantizer = object
+
+    oc = types.ModuleType("omegaconf")
+
+    class OmegaConf:
+        pass
+
+    oc.OmegaConf = OmegaConf
+    oc.DictConfig = dict
+    sys.modules.setdefault("omegaconf", oc)
+
+    sys.modules.update({
+        "diffusers": d,
+        "diffusers.utils": utils,
+        "diffusers.utils.hub_utils": hub_utils,
+        "diffusers.models": models_pkg,
+        "diffusers.models.model_loading_utils": mlu,
+        "diffusers.configuration_utils": cu,
+        "diffusers.quantizers": quant,
+        "diffusers.quantizers.base": base,
+    })
+
+
+def golden_magvit():
+    _stub_diffusers()
+    mg = _ref("modeling_magvitv2")
+
+    torch.manual_seed(0)
+    # ch=32 keeps GroupNorm(32) valid at every width
+    kw = dict(
+        ch=32, num_res_blocks=[2, 2], attn_resolutions=[8],
+        dropout=0.0, in_ch=3, out_ch=3, resolution=16, z_channels=5,
+        double_z=False,
+    )
+    encoder = mg.VQGANEncoder(ch_mult=[1, 2], **kw)
+    decoder = mg.VQGANDecoder(ch_mult=[1, 2], **kw)
+    quantizer = mg.LFQuantizer(codebook_dim=5)
+    encoder.eval(), decoder.eval()
+
+    rng = np.random.default_rng(11)
+    pixels = rng.uniform(-1, 1, size=(2, 3, 16, 16)).astype(np.float32)
+    px = torch.tensor(pixels)
+    with torch.no_grad():
+        h = encoder(px)
+        zq = quantizer(h)["z"]
+        codes = quantizer.get_indices(zq).reshape(px.shape[0], -1)
+        z_entry = quantizer.get_codebook_entry(codes)
+        recon = decoder(z_entry)["output"]
+
+    save(
+        "magvit_tiny",
+        pixels=pixels,
+        latents=h.numpy(),
+        codes=codes.numpy(),
+        z_entry=z_entry.numpy(),
+        recon=recon.numpy(),
+        **{f"we::{k}": v.detach().float().numpy() for k, v in encoder.state_dict().items()},
+        **{f"wd::{k}": v.detach().float().numpy() for k, v in decoder.state_dict().items()},
+    )
+
+
+MOTION_VOCAB = 8
+MOTION_OFFSET = TEXT_LEN + CODEBOOK  # 80
+SOM, EOM, T2M = 13, 14, 15
+
+
+class _FakeUniPromptingT2M:
+    text_tokenizer = _FakeTokenizer()
+    sptids_dict = {
+        "<|som|>": torch.tensor([SOM]),
+        "<|eom|>": torch.tensor([EOM]),
+    }
+
+
+def golden_t2m():
+    ours = _ref("modelling_ours")
+    ModelConfig = _ref("configuration_llada").ModelConfig
+    import dataclasses as _dc
+
+    base_kwargs = {f.name: getattr(ModelConfig(), f.name) for f in _dc.fields(ModelConfig)}
+    for k in ["d_model", "n_heads", "n_layers", "mlp_hidden_size", "vocab_size",
+              "embedding_size", "max_sequence_length", "rope", "rope_theta",
+              "attention_dropout", "residual_dropout", "embedding_dropout",
+              "layer_norm_type", "activation_type", "block_type", "weight_tying",
+              "include_bias", "include_qkv_bias", "alibi", "flash_attention",
+              "mask_token_id", "pad_token_id", "eos_token_id", "bos_token_id"]:
+        base_kwargs.pop(k, None)
+
+    torch.manual_seed(0)
+    cfg = ours.MMadaConfig(
+        **base_kwargs,
+        d_model=64, n_heads=4, n_layers=2, mlp_hidden_size=128,
+        vocab_size=VOCAB, embedding_size=VOCAB, max_sequence_length=128,
+        rope=True, rope_theta=10000.0,
+        attention_dropout=0.0, residual_dropout=0.0, embedding_dropout=0.0,
+        layer_norm_type="rms", activation_type="silu", block_type="llama",
+        weight_tying=False, include_bias=False, include_qkv_bias=False,
+        alibi=False, flash_attention=False,
+        mask_token_id=MASK_ID, pad_token_id=PAD, eos_token_id=EOS,
+        bos_token_id=BOS,
+        llm_vocab_size=TEXT_LEN, codebook_size=CODEBOOK,
+        motion_vocab_size=MOTION_VOCAB, num_vq_tokens=16,
+        use_cache=False,
+    )
+    model = ours.MMadaModelLM(cfg, init_params=True)
+    model.eval()
+    with torch.no_grad():
+        for p in model.parameters():
+            if p.ndim >= 2:
+                p.normal_(0.0, 0.05)
+
+    n_motion = 8
+    rng = np.random.default_rng(5)
+    words = rng.integers(16, TEXT_LEN, size=(2, 3))
+    frames = []
+    for b in range(2):
+        text = [PAD, PAD, T2M, BOS, *words[b].tolist(), EOS]
+        frames.append(text + [SOM] + [MASK_ID] * n_motion + [EOM])
+    input_ids = torch.tensor(frames, dtype=torch.long)
+
+    real_multinomial = torch.multinomial
+
+    def argmax_multinomial(probs, num_samples, generator=None):
+        return probs.argmax(dim=-1, keepdim=True)
+
+    torch.multinomial = argmax_multinomial
+    try:
+        work = input_ids.clone()
+        with torch.no_grad():
+            raw = model.t2m_generate(
+                input_ids=work,
+                attention_mask=None,
+                temperature=0.0,
+                timesteps=5,
+                uni_prompting=_FakeUniPromptingT2M(),
+                seq_len=n_motion,
+                mask_token_id=MASK_ID,
+                motion_vocab_size=MOTION_VOCAB,
+                image_codebook_size=CODEBOOK,
+            )
+    finally:
+        torch.multinomial = real_multinomial
+
+    # committed motion tokens live in the mutated input_ids span (offset space)
+    committed = work[:, -n_motion - 1:-1] - MOTION_OFFSET
+    state = state_to_numpy(model)
+    save(
+        "t2m_generate",
+        input_ids=input_ids.numpy(),
+        out_raw=raw.numpy(),
+        out_committed=committed.numpy(),
+        **{f"w::{k}": v for k, v in state.items()},
+    )
+
+
 if __name__ == "__main__":
     golden_forward()
     golden_text_generate()
     golden_t2i()
+    golden_magvit()
+    golden_t2m()
     print("done")
