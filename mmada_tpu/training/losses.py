@@ -1,0 +1,134 @@
+"""Multi-task masked-diffusion losses: one forward, three weighted CE terms.
+
+Equivalent of `MMadaModelLM.forward_process` (models/modeling_mmada.py:213-276):
+the train batch is a static concat `[t2i rows | lm rows | mmu rows]`; one
+backbone forward produces logits over the fused vocab, then
+
+  * t2i — mean CE over the image span (positions > max_seq_length) with
+    ignore_index −100;
+  * lm  — LLaDA estimator: Σ_masked CE/p_mask / (B·L) (the Eq. 8 masked-CE
+    Monte-Carlo estimate); with answer lengths (chat SFT):
+    Σ_masked CE/(p_mask·answer_len) / B;
+  * mmu — Σ_masked CE/(p_mask·answer_len) / B.
+
+Divergence note: the reference stage-3 lm path first collapses the masked
+CE to a scalar and *then* divides by answer lengths and re-sums
+(modeling_mmada.py:268-271), i.e. `scalar · Σ 1/len / B` — a compounding
+normalization bug; and the stage-1/2 call path crashes outright when
+`answer_lengths_lm is None` (:267 vs train_mmada.py:617-628). Here
+`lm_loss_mode='reference_stage3'` reproduces the former for drop-in parity;
+the default 'llada' mode is the correct estimator.
+
+Static segment sizes keep the step jit-friendly (SURVEY.md §7.4.5).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+IGNORE_ID = -100
+
+
+def masked_cross_entropy(
+    logits: jax.Array,   # (B, L, V) fp32
+    labels: jax.Array,   # (B, L) int, IGNORE_ID to skip
+) -> tuple[jax.Array, jax.Array]:
+    """Per-position CE and validity mask; ignored positions return 0."""
+    valid = labels != IGNORE_ID
+    safe_labels = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    ce = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    return jnp.where(valid, ce, 0.0), valid
+
+
+def t2i_loss(logits, labels, max_seq_length: int) -> jax.Array:
+    """Mean CE over the image span (modeling_mmada.py:240-247)."""
+    span_logits = logits[:, max_seq_length + 1:]
+    span_labels = labels[:, max_seq_length + 1:]
+    ce, valid = masked_cross_entropy(span_logits, span_labels)
+    denom = jnp.maximum(valid.sum(), 1)
+    return ce.sum() / denom
+
+
+def lm_loss(
+    logits, labels, masked_indices, p_mask,
+    answer_lengths: Optional[jax.Array] = None,
+    mode: str = "llada",
+) -> jax.Array:
+    b, l = labels.shape
+    ce, valid = masked_cross_entropy(logits, labels)
+    active = masked_indices & valid
+    weighted = jnp.where(active, ce / p_mask, 0.0)
+    if answer_lengths is None:
+        return weighted.sum() / (b * l)
+    if mode == "reference_stage3":
+        scalar = weighted.sum() / (b * l)
+        inv_len = jnp.where(active, 1.0 / answer_lengths, 0.0)
+        return scalar * inv_len.sum() / b
+    return jnp.where(active, weighted / answer_lengths, 0.0).sum() / b
+
+
+def answer_loss(logits, labels, masked_indices, p_mask, answer_lengths) -> jax.Array:
+    """mmu loss: Σ CE/(p·len) / B (modeling_mmada.py:273-276)."""
+    ce, valid = masked_cross_entropy(logits, labels)
+    active = masked_indices & valid
+    return jnp.where(
+        active, ce / (p_mask * answer_lengths), 0.0
+    ).sum() / labels.shape[0]
+
+
+def forward_process(
+    model,
+    input_ids: jax.Array,        # (Bt+Bl+Bm, L) fused tokens, corrupted
+    labels: jax.Array,           # same shape, IGNORE_ID outside targets
+    batch_size_t2i: int,
+    batch_size_lm: int,
+    batch_size_mmu: int,
+    max_seq_length: int,
+    p_mask_lm: Optional[jax.Array] = None,
+    p_mask_mmu: Optional[jax.Array] = None,
+    answer_lengths: Optional[jax.Array] = None,
+    t2i_masks: Optional[jax.Array] = None,
+    answer_lengths_lm: Optional[jax.Array] = None,
+    lm_loss_mode: str = "llada",
+):
+    """Returns (logits, loss_t2i, loss_lm, loss_mmu). Segment sizes are
+    Python ints (static) so slicing stays shape-stable under jit."""
+    bt, bl, bm = batch_size_t2i, batch_size_lm, batch_size_mmu
+    attention_mask = None
+    if t2i_masks is not None and bt > 0:
+        pad = jnp.ones((bl + bm, input_ids.shape[1]), t2i_masks.dtype)
+        attention_mask = jnp.concatenate([t2i_masks, pad], axis=0)
+
+    logits = model.forward(input_ids, attention_mask=attention_mask)
+    logits = logits.astype(jnp.float32)
+    mask_id = model.vocab.mask_token_id
+    masked_indices = input_ids == mask_id
+
+    zero = jnp.float32(0.0)
+    loss_t2i = (
+        t2i_loss(logits[:bt], labels[:bt], max_seq_length) if bt else zero
+    )
+    loss_lm = (
+        lm_loss(
+            logits[bt:bt + bl], labels[bt:bt + bl],
+            masked_indices[bt:bt + bl], p_mask_lm,
+            answer_lengths_lm, mode=lm_loss_mode,
+        ) if bl else zero
+    )
+    loss_mmu = (
+        answer_loss(
+            logits[bt + bl:], labels[bt + bl:],
+            masked_indices[bt + bl:], p_mask_mmu, answer_lengths,
+        ) if bm else zero
+    )
+    return logits, loss_t2i, loss_lm, loss_mmu
+
+
+def t2m_loss(logits, labels, masked_indices, p_mask, answer_lengths) -> jax.Array:
+    """Motion loss mirrors the mmu normalization
+    (modelling_ours.py:323-395 forward_process t2m branch)."""
+    return answer_loss(logits, labels, masked_indices, p_mask, answer_lengths)
