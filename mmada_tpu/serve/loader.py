@@ -1,0 +1,136 @@
+"""Model/tokenizer construction from config for CLIs and serving.
+
+Mirrors the reference entry-point setup blocks (inference_t2i.py:56-85,
+inference_mmu.py:40-71, generate.py:116-131): build text tokenizer,
+UniversalPrompting, MAGVIT-v2, and the MMaDA model. Supports:
+
+  * `pretrained_model_path` — local HF checkpoint dir (safetensors);
+  * `random_init` — architecture from config, random weights (tiny smoke
+    configs; this zero-egress environment has no hub access).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from mmada_tpu.core.config import Config
+from mmada_tpu.core.precision import BF16, FP32, policy_from_name
+from mmada_tpu.core.vocab import MMADA_8B, VocabLayout, tiny_layout
+from mmada_tpu.models import llada, magvit2
+from mmada_tpu.models.mmada import MMadaModel
+from mmada_tpu.prompting.universal import (
+    ByteTokenizer,
+    SpecialIds,
+    UniversalPrompting,
+)
+
+logger = logging.getLogger(__name__)
+
+
+def build_text_tokenizer(cfg: Config):
+    path = cfg.get_path("model.mmada.tokenizer_path") or cfg.get_path(
+        "model.mmada.pretrained_model_path"
+    )
+    if path and not cfg.get_path("model.mmada.random_init", False):
+        from transformers import AutoTokenizer
+
+        tok = AutoTokenizer.from_pretrained(path, trust_remote_code=True)
+        return tok
+    logger.warning("using ByteTokenizer (no pretrained tokenizer configured)")
+    return ByteTokenizer()
+
+
+def build_vocab(cfg: Config) -> VocabLayout:
+    m = cfg.get_path("model.mmada", Config())
+    if m.get("tiny"):
+        return tiny_layout(
+            text_vocab_size=m.get("llm_vocab_size", 256),
+            image_codebook_size=m.get("codebook_size", 64),
+            motion_codebook_size=m.get("motion_vocab_size", 0),
+            motion_special=2 if m.get("motion_vocab_size") else 0,
+        )
+    vocab = MMADA_8B
+    if m.get("motion_vocab_size"):
+        vocab = vocab.with_motion(m["motion_vocab_size"])
+    return vocab
+
+
+def build_prompting(cfg: Config, tokenizer, vocab: VocabLayout) -> UniversalPrompting:
+    if cfg.get_path("model.mmada.tiny"):
+        sp = SpecialIds(
+            soi=vocab.text_vocab_size - 20, eoi=vocab.text_vocab_size - 19,
+            t2i=vocab.text_vocab_size - 18, mmu=vocab.text_vocab_size - 17,
+            r2i=vocab.text_vocab_size - 16, t2m=vocab.text_vocab_size - 15,
+            som=vocab.text_vocab_size - 14, eom=vocab.text_vocab_size - 13,
+            pad=vocab.pad_token_id,
+            bos=getattr(tokenizer, "bos_token_id", 1) or 1,
+            eos=getattr(tokenizer, "eos_token_id", 2) or 2,
+        )
+    else:
+        sp = SpecialIds.from_vocab(vocab)
+        if getattr(tokenizer, "bos_token_id", None) is not None:
+            sp = dataclasses.replace(
+                sp, bos=tokenizer.bos_token_id, eos=tokenizer.eos_token_id
+            )
+    return UniversalPrompting(
+        tokenizer, sp,
+        max_text_len=cfg.get_path("dataset.preprocessing.max_seq_length", 512),
+        cond_dropout_prob=cfg.get_path("training.cond_dropout_prob", 0.1),
+    )
+
+
+def build_model(cfg: Config, vocab: VocabLayout) -> MMadaModel:
+    m = cfg.get_path("model.mmada", Config())
+    policy = policy_from_name(
+        cfg.get_path("training.mixed_precision", "bf16")
+        if not m.get("tiny") else "fp32"
+    )
+    if m.get("random_init") or m.get("tiny"):
+        if m.get("tiny"):
+            arch = llada.tiny_config(vocab_size=vocab.total_vocab_size)
+            arch = dataclasses.replace(arch, mask_token_id=vocab.mask_token_id)
+        else:
+            arch = llada.llada_8b(vocab.total_vocab_size)
+        return MMadaModel.init(
+            jax.random.key(cfg.get_path("training.seed", 0)),
+            arch, vocab, policy=policy,
+            dtype=policy.param_dtype,
+        )
+    path = m.get("pretrained_model_path")
+    if not path:
+        raise ValueError("model.mmada.pretrained_model_path or tiny/random_init required")
+    return MMadaModel.from_pretrained(
+        path, vocab, dtype=policy.param_dtype, policy=policy
+    )
+
+
+def build_vq_model(cfg: Config):
+    """(params, vq_cfg) for the MAGVIT-v2 tokenizer."""
+    v = cfg.get_path("model.vq_model", Config())
+    if v.get("tiny"):
+        vq_cfg = magvit2.tiny_vqgan()
+        params = magvit2.init_magvit2(jax.random.key(1), vq_cfg)
+        return params, vq_cfg
+    vq_cfg = magvit2.magvit2_default()
+    path = v.get("vq_model_path") or v.get("vq_model_name")
+    if path and v.get("local", True) and __import__("os").path.isdir(str(path)):
+        from mmada_tpu.checkpoints.magvit_import import load_magvit2
+
+        return load_magvit2(str(path), vq_cfg), vq_cfg
+    logger.warning("VQ model %s unavailable locally; random init", path)
+    return magvit2.init_magvit2(jax.random.key(1), vq_cfg), vq_cfg
+
+
+def load_all(cfg: Config):
+    """(model, vq, vq_cfg, tokenizer, prompting, vocab) — one-call setup."""
+    tokenizer = build_text_tokenizer(cfg)
+    vocab = build_vocab(cfg)
+    prompting = build_prompting(cfg, tokenizer, vocab)
+    model = build_model(cfg, vocab)
+    vq_params, vq_cfg = build_vq_model(cfg)
+    return model, vq_params, vq_cfg, tokenizer, prompting, vocab

@@ -1,0 +1,249 @@
+"""Multi-task trainer: the stage-1..4 training loop as one config-driven class.
+
+Equivalent of the reference trainer family (training/train_mmada.py and its
+_stage2/_stage3/_stage4/_cot_sft forks, 985-1333 LoC each — SURVEY.md §2.5).
+Stages differ only in data sources, lm flavor (plain vs chat), and loss
+coefficients, so here they are configs, not forks:
+
+  stage1: ImageNet t2i + captioning mmu + RefinedWeb lm
+  stage2: webdataset t2i image-text pairs
+  stage3: lm → ChatDataset with answer-length normalization
+  stage4: mixed lm/mmu sources by probability coefficients
+
+Loop shape (train_mmada.py:526-735): host assembles clean frames
+(prompting) + VQ-encodes images; the jitted step corrupts on device,
+forwards once over the `[t2i | lm | mmu]` concat, computes the three
+losses, and updates. Cadence hooks: log_every, save_every (Orbax rotation),
+generate_every (validation generations).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import time
+from typing import Any, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmada_tpu.core.config import Config
+from mmada_tpu.core.mesh import make_mesh
+from mmada_tpu.checkpoints.manager import CheckpointManager
+from mmada_tpu.data.combined import CombinedLoader
+from mmada_tpu.models import magvit2
+from mmada_tpu.models.mmada import MMadaModel
+from mmada_tpu.parallel import sharding
+from mmada_tpu.sampling.schedules import get_mask_schedule
+from mmada_tpu.training import losses as L
+from mmada_tpu.training import optimizers
+from mmada_tpu.training.lr_schedules import from_config as lr_from_config
+from mmada_tpu.training.train_step import (
+    StepConfig,
+    TrainState,
+    make_train_step,
+    with_grad_accumulation,
+)
+from mmada_tpu.utils.logging import MetricsLogger
+from mmada_tpu.utils.meters import AverageMeter
+
+logger = logging.getLogger(__name__)
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: Config,
+        model: MMadaModel,
+        prompting,
+        vq_params=None,
+        vq_cfg=None,
+        mesh=None,
+    ):
+        self.cfg = cfg
+        self.model = model
+        self.prompting = prompting
+        self.vq_params = vq_params
+        self.vq_cfg = vq_cfg
+
+        tr = cfg.get_path("training", Config())
+        self.step_cfg = StepConfig(
+            batch_size_t2i=tr.get("batch_size_t2i", 0),
+            batch_size_lm=tr.get("batch_size_lm", 0),
+            batch_size_mmu=tr.get("batch_size_mmu", 0),
+            max_seq_length=self.prompting.max_text_len,
+            t2i_coeff=tr.get("t2i_coeff", 1.0),
+            lm_coeff=tr.get("lm_coeff", 0.1),
+            mmu_coeff=tr.get("mmu_coeff", 1.0),
+            min_masking_rate=tr.get("min_masking_rate", 0.0),
+            noise_type=tr.get("noise_type", "mask"),
+            mask_contiguous_region_prob=tr.get("mask_contiguous_region_prob", 0.0),
+            mask_schedule=get_mask_schedule(
+                cfg.get_path("mask_schedule.schedule", "cosine")
+            ),
+            lm_loss_mode=tr.get("lm_loss_mode", "llada"),
+            use_chat_lm=tr.get("use_chat_lm", False),
+        )
+
+        total_steps = tr.get("max_train_steps", 10000)
+        lr = lr_from_config(
+            cfg.get_path("lr_scheduler", Config()), total_steps=total_steps
+        )
+        opt = optimizers.from_config(
+            cfg.get_path("optimizer", Config()), lr, params=model.params
+        )
+        opt = with_grad_accumulation(
+            opt, tr.get("gradient_accumulation_steps", 1)
+        )
+        self.optimizer = opt
+        self.max_train_steps = total_steps
+
+        # mesh + shardings
+        if mesh is None and jax.device_count() > 1:
+            p = cfg.get_path("parallel", Config())
+            mesh = make_mesh(
+                data=p.get("data", 1), fsdp=p.get("fsdp", -1),
+                tensor=p.get("tensor", 1),
+            )
+        self.mesh = mesh
+        if mesh is not None:
+            self.model = dataclasses.replace(
+                model,
+                params=sharding.shard_params(
+                    model.params, sharding.llada_param_specs(model.cfg), mesh
+                ),
+            )
+
+        self.state = TrainState.create(self.model.params, opt)
+        self.train_step = jax.jit(make_train_step(self.model, opt, self.step_cfg))
+
+        out_dir = cfg.get_path("experiment.output_dir", "output")
+        self.ckpt = CheckpointManager(
+            out_dir, cfg.get_path("experiment.checkpoints_total_limit")
+        )
+        self.metrics = MetricsLogger(os.path.join(out_dir, "metrics.jsonl"))
+        self.log_every = cfg.get_path("experiment.log_every", 50)
+        self.save_every = cfg.get_path("experiment.save_every", 1000)
+        self.global_step = 0
+
+        # config snapshot (train_mmada.py:151-155)
+        os.makedirs(out_dir, exist_ok=True)
+        cfg.save(os.path.join(out_dir, "config.yaml"))
+
+    # -------------------------------------------------------------- data
+    def encode_images(self, images: np.ndarray) -> np.ndarray:
+        """pixels (B, H, W, C) -> fused image token ids."""
+        codes = magvit2.get_code(
+            self.vq_params, self.vq_cfg, jnp.asarray(images)
+        )
+        return np.asarray(codes) + self.model.vocab.image_offset
+
+    def prepare_batch(self, raw: dict) -> dict:
+        """Host-side assembly: VQ encode + prompting frames, no corruption
+        (corruption happens inside the jitted step)."""
+        sc = self.step_cfg
+        batch: dict[str, Any] = {}
+        if sc.batch_size_t2i:
+            flow = raw["t2i_flow"]
+            image_ids = self.encode_images(flow["images"])
+            ids, masks, _ = self.prompting(
+                (flow["input_ids"], image_ids, image_ids), "t2i"
+            )
+            batch["t2i_input_ids"] = jnp.asarray(ids)
+            batch["t2i_masks"] = jnp.asarray(masks)
+        if sc.batch_size_lm:
+            flow = raw["lm_flow"]
+            max_len = batch.get("t2i_input_ids").shape[1] if sc.batch_size_t2i else (
+                self.cfg.get_path("dataset.preprocessing.max_seq_length", 512)
+            )
+            if sc.use_chat_lm:
+                ids, pmask, labels = self.prompting(
+                    (flow["input_ids"], max_len), "lm_chat"
+                )
+                batch["lm_prompt_masks"] = jnp.asarray(pmask)
+            else:
+                ids, _, labels = self.prompting((flow["input_ids"], max_len), "lm")
+            batch["lm_input_ids"] = jnp.asarray(ids)
+            batch["lm_labels"] = jnp.asarray(labels)
+        if sc.batch_size_mmu:
+            flow = raw["mmu_flow"]
+            image_ids = self.encode_images(flow["images"])
+            ids, pmask, labels = self.prompting(
+                (image_ids, flow["input_ids"]), "mmu"
+            )
+            batch["mmu_input_ids"] = jnp.asarray(ids)
+            batch["mmu_prompt_masks"] = jnp.asarray(pmask)
+            batch["mmu_labels"] = jnp.asarray(labels)
+        # pad all flows to one sequence length for the concat forward
+        return _pad_flows_to_common_length(
+            batch, self.model.vocab.eos_token_id
+        )
+
+    # -------------------------------------------------------------- loop
+    def resume(self):
+        restored, step = self.ckpt.restore(self.state)
+        if restored is not None:
+            self.state = restored
+            self.global_step = step
+            logger.info("resumed from step %d", step)
+
+    def fit(self, loader: Iterator[dict], rng_seed: int = 0):
+        batch_meter, data_meter = AverageMeter(), AverageMeter()
+        end = time.time()
+        key = jax.random.key(rng_seed)
+        for raw in loader:
+            if self.global_step >= self.max_train_steps:
+                break
+            batch = self.prepare_batch(raw)
+            data_meter.update(time.time() - end)
+            key, sub = jax.random.split(key)
+            self.state, metrics = self.train_step(self.state, batch, sub)
+            self.global_step += 1
+            batch_meter.update(time.time() - end)
+            end = time.time()
+
+            if self.global_step % self.log_every == 0:
+                vals = {k: float(v) for k, v in metrics.items()}
+                total_batch = (
+                    self.step_cfg.batch_size_t2i
+                    + self.step_cfg.batch_size_lm
+                    + self.step_cfg.batch_size_mmu
+                )
+                vals.update(
+                    step=self.global_step,
+                    samples_per_sec=total_batch / max(batch_meter.avg, 1e-9),
+                    data_time=data_meter.avg,
+                    batch_time=batch_meter.avg,
+                )
+                self.metrics.log(vals)
+                logger.info(
+                    "step %d loss %.4f (t2i %.4f lm %.4f mmu %.4f) %.1f samp/s",
+                    self.global_step, vals["loss"], vals["loss_t2i"],
+                    vals["loss_lm"], vals["loss_mmu"], vals["samples_per_sec"],
+                )
+            if self.save_every and self.global_step % self.save_every == 0:
+                self.ckpt.save(self.global_step, self.state)
+        return self.state
+
+
+def _pad_flows_to_common_length(batch: dict, eos_id: int) -> dict:
+    seq_keys = [k for k in batch if k.endswith(("input_ids", "labels", "masks", "prompt_masks"))]
+    if not seq_keys:
+        return batch
+    max_len = max(batch[k].shape[1] for k in seq_keys)
+    out = dict(batch)
+    for k in seq_keys:
+        arr = batch[k]
+        if arr.shape[1] == max_len:
+            continue
+        pad_width = max_len - arr.shape[1]
+        if k.endswith("labels"):
+            fill = L.IGNORE_ID
+        elif k.endswith(("masks", "prompt_masks")):
+            fill = 1 if "prompt" in k else 0
+        else:
+            fill = eos_id
+        out[k] = jnp.pad(arr, ((0, 0), (0, pad_width)), constant_values=fill)
+    return out

@@ -1,0 +1,70 @@
+"""Pallas fused attention parity vs the XLA reference implementation.
+
+Runs in Pallas interpret mode on CPU; the same kernel compiles natively on
+TPU (exercised by bench/serving paths there).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmada_tpu.ops.attention import xla_attention, NEG_INF
+from mmada_tpu.ops.flash_attention import flash_attention
+
+
+def make_qkv(rng, b, h, kvh, l, d, dtype=jnp.float32):
+    q = jnp.asarray(rng.normal(size=(b, h, l, d)), dtype)
+    k = jnp.asarray(rng.normal(size=(b, kvh, l, d)), dtype)
+    v = jnp.asarray(rng.normal(size=(b, kvh, l, d)), dtype)
+    return q, k, v
+
+
+def test_flash_matches_xla_basic(rng):
+    q, k, v = make_qkv(rng, 2, 4, 4, 256, 64)
+    want = xla_attention(q, k, v)
+    got = flash_attention(q, k, v, block_q=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_flash_matches_xla_gqa(rng):
+    q, k, v = make_qkv(rng, 2, 8, 2, 128, 64)
+    want = xla_attention(q, k, v)
+    got = flash_attention(q, k, v, block_q=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_flash_with_bias(rng):
+    b, h, l, d = 2, 4, 128, 64
+    q, k, v = make_qkv(rng, b, h, h, l, d)
+    mask = np.ones((b, l))
+    mask[0, :17] = 0
+    pair = (mask[:, :, None] * mask[:, None, :]) > 0
+    bias = jnp.asarray(
+        np.where(pair, 0.0, NEG_INF).astype(np.float32)[:, None]
+    )
+    want = xla_attention(q, k, v, bias=bias)
+    got = flash_attention(q, k, v, bias=bias, block_q=64, interpret=True)
+    valid = mask.astype(bool)
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 2, 1, 3)[valid],
+        np.asarray(want).transpose(0, 2, 1, 3)[valid],
+        atol=2e-5,
+    )
+
+
+def test_flash_bfloat16(rng):
+    q, k, v = make_qkv(rng, 1, 2, 2, 128, 64, jnp.bfloat16)
+    want = xla_attention(q, k, v)
+    got = flash_attention(q, k, v, block_q=128, interpret=True)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=3e-2, rtol=3e-2,
+    )
+
+
+def test_flash_rejects_ragged_seq(rng):
+    q, k, v = make_qkv(rng, 1, 2, 2, 100, 64)
+    with pytest.raises(ValueError):
+        flash_attention(q, k, v, block_q=64, interpret=True)

@@ -1,0 +1,84 @@
+"""Serving engine tests: batching, correctness vs direct calls, stats."""
+
+import dataclasses
+import time
+
+import jax
+import numpy as np
+import pytest
+
+from mmada_tpu.core.vocab import tiny_layout
+from mmada_tpu.models import llada
+from mmada_tpu.models.mmada import MMadaModel
+from mmada_tpu.serve.engine import ServingEngine, T2ISettings, TextSettings
+
+VOCAB = tiny_layout(text_vocab_size=256, image_codebook_size=64)
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = llada.tiny_config(
+        vocab_size=VOCAB.total_vocab_size, d_model=32, n_heads=2, n_layers=2,
+        mlp_hidden_size=64,
+    )
+    cfg = dataclasses.replace(cfg, mask_token_id=VOCAB.mask_token_id)
+    params = llada.init_params(jax.random.key(0), cfg)
+    return MMadaModel(cfg=cfg, params=params, vocab=VOCAB)
+
+
+def test_text_batching_matches_direct(model):
+    engine = ServingEngine(model, max_wait_ms=50).start()
+    try:
+        settings = TextSettings(gen_length=8, steps=4, block_length=8)
+        rng = np.random.default_rng(0)
+        prompts = [rng.integers(3, 200, size=(6,)) for _ in range(4)]
+        futures = [engine.submit_text(p, settings) for p in prompts]
+        outs = [f.result(timeout=120) for f in futures]
+        # batching must not change results (deterministic T=0):
+        # independent batches give the same tokens as the batched run
+        import jax.numpy as jnp
+
+        direct = np.asarray(
+            model.generate(
+                jnp.asarray(np.stack(prompts)),
+                gen_length=8, steps=4, block_length=8, temperature=0.0,
+            )
+        )
+        for got, want in zip(outs, direct):
+            np.testing.assert_array_equal(got, want)
+        assert engine.stats["requests"] == 4
+        assert engine.stats["batches"] <= 2  # actually batched
+    finally:
+        engine.stop()
+
+
+def test_t2i_requests(model):
+    engine = ServingEngine(model, max_wait_ms=30).start()
+    try:
+        n_img = 16
+        sp_soi, sp_eoi = 280, 281
+        frame = np.concatenate([
+            np.full(6, 5), [sp_soi], np.full(n_img, VOCAB.mask_token_id), [sp_eoi]
+        ]).astype(np.int64)
+        uncond = frame.copy()
+        uncond[:6] = VOCAB.pad_token_id
+        settings = T2ISettings(timesteps=3, guidance_scale=1.5, num_vq_tokens=n_img)
+        futs = [engine.submit_t2i(frame, uncond, settings, seed=i) for i in range(3)]
+        outs = [f.result(timeout=120) for f in futs]
+        for out in outs:
+            assert out.shape == (n_img,)
+            assert out.min() >= 0 and out.max() < VOCAB.image_codebook_size
+    finally:
+        engine.stop()
+
+
+def test_mixed_kinds_and_lengths(model):
+    engine = ServingEngine(model, max_wait_ms=30).start()
+    try:
+        settings = TextSettings(gen_length=8, steps=4, block_length=8)
+        f1 = engine.submit_text(np.full(6, 9), settings)
+        f2 = engine.submit_text(np.full(10, 9), settings)  # different length
+        r1, r2 = f1.result(120), f2.result(120)
+        assert r1.shape == (14,) and r2.shape == (18,)
+    finally:
+        engine.stop()

@@ -497,10 +497,41 @@ def golden_t2m():
     )
 
 
+def golden_motion_vq():
+    """Tiny motion VQ-VAE encoder/decoder forward goldens
+    (motion_vqvae/models/encdec.py; no package __init__ so modules import
+    via the repo root on sys.path)."""
+    from motion_vqvae.models.encdec import Encoder, Decoder
+
+    torch.manual_seed(0)
+    kw = dict(
+        input_emb_width=8, output_emb_width=16, down_t=2, stride_t=2,
+        width=16, depth=2, dilation_growth_rate=2, activation="relu",
+        norm=None,
+    )
+    enc = Encoder(**kw).eval()
+    dec = Decoder(**kw).eval()
+
+    rng = np.random.default_rng(21)
+    motion = rng.normal(size=(2, 8, 16)).astype(np.float32)  # NCT
+    with torch.no_grad():
+        z = enc(torch.tensor(motion))
+        recon = dec(z)
+    save(
+        "motion_vq",
+        motion=motion,
+        latents=z.numpy(),
+        recon=recon.numpy(),
+        **{f"we::{k}": v.detach().numpy() for k, v in enc.state_dict().items()},
+        **{f"wd::{k}": v.detach().numpy() for k, v in dec.state_dict().items()},
+    )
+
+
 if __name__ == "__main__":
     golden_forward()
     golden_text_generate()
     golden_t2i()
     golden_magvit()
     golden_t2m()
+    golden_motion_vq()
     print("done")
