@@ -527,6 +527,80 @@ def golden_motion_vq():
     )
 
 
+def golden_t2m_evaluator():
+    """Tiny evaluator models (models/modules.py) + metric functions
+    (utils/eval_trans.py) golden outputs."""
+    modules = _ref("modules")
+    TextEncoderBiGRUCo = modules.TextEncoderBiGRUCo
+    MotionEncoderBiGRUCo = modules.MotionEncoderBiGRUCo
+    MovementConvEncoder = modules.MovementConvEncoder
+
+    torch.manual_seed(0)
+    word_size, pos_size, hidden, out = 12, 5, 8, 6
+    text_enc = TextEncoderBiGRUCo(word_size, pos_size, hidden, out, "cpu").eval()
+    motion_enc = MotionEncoderBiGRUCo(10, hidden, out, "cpu").eval()
+    move_enc = MovementConvEncoder(7, 9, 10).eval()
+
+    rng = np.random.default_rng(9)
+    b, t = 3, 12
+    word_embs = rng.normal(size=(b, t, word_size)).astype(np.float32)
+    pos_onehot = rng.normal(size=(b, t, pos_size)).astype(np.float32)
+    cap_lens = np.array([12, 9, 5])
+    motions = rng.normal(size=(b, 16, 11)).astype(np.float32)  # raw: 7 + 4
+    m_lens = np.array([16, 12, 8])
+
+    with torch.no_grad():
+        text_emb = text_enc(
+            torch.tensor(word_embs), torch.tensor(pos_onehot),
+            torch.tensor(cap_lens),
+        )
+        move = move_enc(torch.tensor(motions[..., :-4]))
+        motion_emb = motion_enc(move, torch.tensor(m_lens // 4))
+
+    # metric goldens from the reference formulas. utils/eval_trans.py
+    # imports `clip` (absent here), so execute just the pure-numpy metric
+    # functions from its source.
+    import scipy.linalg as _linalg
+
+    src = open(os.path.join(REFERENCE, "utils", "eval_trans.py")).read()
+    start = src.index("def euclidean_distance_matrix")
+    end = src.index("def calculate_activation_statistics")
+    end = src.index("\n", src.index("return mu, cov", end))
+    ns = {"np": np, "linalg": _linalg}
+    exec(src[start:end], ns)  # noqa: S102 - reference-side golden generation
+
+    class eval_trans:
+        calculate_R_precision = staticmethod(ns["calculate_R_precision"])
+        calculate_activation_statistics = staticmethod(
+            ns["calculate_activation_statistics"]
+        )
+        calculate_frechet_distance = staticmethod(ns["calculate_frechet_distance"])
+
+    e1 = rng.normal(size=(8, 6)).astype(np.float64)
+    e2 = rng.normal(size=(8, 6)).astype(np.float64)
+    top_k_mat, matching = eval_trans.calculate_R_precision(e1, e2, 3)
+    mu1, s1 = eval_trans.calculate_activation_statistics(
+        rng.normal(size=(50, 6))
+    )
+    mu2, s2 = eval_trans.calculate_activation_statistics(
+        rng.normal(size=(50, 6)) + 0.5
+    )
+    fid = eval_trans.calculate_frechet_distance(mu1, s1, mu2, s2)
+
+    save(
+        "t2m_evaluator",
+        word_embs=word_embs, pos_onehot=pos_onehot, cap_lens=cap_lens,
+        motions=motions, m_lens=m_lens,
+        text_emb=text_emb.numpy(), motion_emb=motion_emb.numpy(),
+        move_feats=move.numpy(),
+        rp_e1=e1, rp_e2=e2, rp_topk=top_k_mat, rp_matching=np.array(matching),
+        fid_mu1=mu1, fid_s1=s1, fid_mu2=mu2, fid_s2=s2, fid=np.array(fid),
+        **{f"wt::{k}": v.detach().numpy() for k, v in text_enc.state_dict().items()},
+        **{f"wm::{k}": v.detach().numpy() for k, v in motion_enc.state_dict().items()},
+        **{f"wv::{k}": v.detach().numpy() for k, v in move_enc.state_dict().items()},
+    )
+
+
 if __name__ == "__main__":
     golden_forward()
     golden_text_generate()
@@ -534,4 +608,5 @@ if __name__ == "__main__":
     golden_magvit()
     golden_t2m()
     golden_motion_vq()
+    golden_t2m_evaluator()
     print("done")
