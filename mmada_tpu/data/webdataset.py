@@ -118,6 +118,8 @@ class WebDatasetReader:
         transform: Optional[Callable] = None,
         caption_fn: Optional[Callable] = None,
         max_caption_len: Optional[int] = None,
+        use_native: bool = True,
+        native_threads: int = 4,
     ):
         self.shards = expand_shards(shards)[rank::world_size]
         if not self.shards:
@@ -128,16 +130,13 @@ class WebDatasetReader:
         self.transform = transform
         self.caption_fn = caption_fn
         self.max_caption_len = max_caption_len
+        self.native_threads = native_threads
+        if use_native:
+            from mmada_tpu.data import native as native_mod
 
-    def _iter_shard(self, path: str) -> Iterator[dict]:
-        try:
-            with tarfile.open(path, mode="r|*") as tar:
-                for raw in _group_tar_samples(tar):
-                    sample = decode_sample(raw)
-                    if sample is not None:
-                        yield sample
-        except Exception as e:
-            logger.warning("skipping bad shard %s: %s", path, e)
+            self._native = native_mod if native_mod.available() else None
+        else:
+            self._native = None
 
     def __iter__(self) -> Iterator[dict]:
         rng = random.Random(self.seed)
@@ -150,17 +149,38 @@ class WebDatasetReader:
                 shards = [rng.choice(shards) for _ in shards]
             else:
                 rng.shuffle(shards)
-            for shard in shards:
-                for sample in self._iter_shard(shard):
-                    prepared = self._prepare(sample)
-                    if prepared is None:
-                        continue
-                    out = buf.push(prepared)
-                    if out is not None:
-                        yield out
+            for raw in self._iter_raw(shards):
+                sample = decode_sample(raw)
+                if sample is None:
+                    continue
+                prepared = self._prepare(sample)
+                if prepared is None:
+                    continue
+                out = buf.push(prepared)
+                if out is not None:
+                    yield out
             if not self.resample:
                 yield from buf.drain()
                 return
+
+    def _iter_raw(self, shards: list[str]) -> Iterator[dict]:
+        """Raw grouped samples: native C++ threaded streamer when built
+        (mmada_tpu/data/native.py), Python tarfile otherwise."""
+        if self._native is not None:
+            reader = self._native.NativeTarReader(
+                shards, threads=self.native_threads
+            )
+            try:
+                yield from reader
+            finally:
+                reader.close()
+            return
+        for shard in shards:
+            try:
+                with tarfile.open(shard, mode="r|*") as tar:
+                    yield from _group_tar_samples(tar)
+            except Exception as e:
+                logger.warning("skipping bad shard %s: %s", shard, e)
 
     def _prepare(self, sample: dict) -> Optional[dict]:
         if "image" not in sample:

@@ -38,9 +38,16 @@ def gumbel_argmax(
 
 def confidence_of(logits: jax.Array, token_ids: jax.Array) -> jax.Array:
     """softmax probability of each chosen token (fp32), the 'low_confidence'
-    remasking score (generate.py:94-96)."""
-    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-    return jnp.take_along_axis(probs, token_ids[..., None], axis=-1)[..., 0]
+    remasking score (generate.py:94-96).
+
+    Computed as exp(l_sel − logsumexp(l)) — identical to softmax+gather but
+    without materializing the (B, L, V) probability tensor, which at the
+    134k fused vocab blows the TPU's 16 MB scoped VMEM in the fused softmax
+    (observed XLA 'out of memory in memory space vmem' at compile)."""
+    logits = logits.astype(jnp.float32)
+    lse = jax.scipy.special.logsumexp(logits, axis=-1)
+    sel = jnp.take_along_axis(logits, token_ids[..., None], axis=-1)[..., 0]
+    return jnp.exp(sel - lse)
 
 
 def ranks_desc(values: jax.Array) -> jax.Array:

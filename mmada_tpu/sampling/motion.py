@@ -78,11 +78,12 @@ def t2m_generate(
 
         ratio = (t + 1.0) / cfg.timesteps
         mask_ratio = cfg.noise_schedule(ratio)
-        probs = jax.nn.softmax(logits, axis=-1)
         sampled_vq = jnp.where(
             unknown, sampled, jnp.clip(cur - cfg.motion_offset, 0)
         )
-        selected = jnp.take_along_axis(probs, sampled_vq[..., None], axis=-1)[..., 0]
+        from mmada_tpu.sampling.gumbel import confidence_of
+
+        selected = confidence_of(logits, sampled_vq)
         selected = jnp.where(unknown, selected, jnp.finfo(jnp.float32).max)
 
         mask_len = jnp.floor(n * mask_ratio).astype(jnp.int32)

@@ -107,8 +107,11 @@ def _scan(forward_fn, input_ids, cfg, key, uncond_input_ids,
         ratio = (t + 1.0) / cfg.timesteps
         mask_ratio = cfg.noise_schedule(ratio)
 
-        probs = jax.nn.softmax(logits, axis=-1)
-        selected = jnp.take_along_axis(probs, sampled[..., None], axis=-1)[..., 0]
+        # exp(l_sel − lse) == softmax+gather without materializing the
+        # (B, N, codebook) probability tensor (VMEM-safe, see gumbel.py)
+        from mmada_tpu.sampling.gumbel import confidence_of
+
+        selected = confidence_of(logits, sampled)
         selected = jnp.where(unknown, selected, jnp.finfo(jnp.float32).max)
 
         mask_len = jnp.floor(n * mask_ratio).astype(jnp.int32)
