@@ -79,15 +79,19 @@ def main():
             key=key,
         )
 
-    # compile
-    out = run(model, frame, uncond, jax.random.key(2))
-    out.block_until_ready()
+    def sync(x):
+        # block_until_ready does not actually block on the tunneled axon
+        # platform; a host fetch is the reliable synchronization
+        return int(jax.device_get(x.sum()))
+
+    # compile + warm
+    sync(run(model, frame, uncond, jax.random.key(2)))
 
     runs = 3
     t0 = time.perf_counter()
     for i in range(runs):
         out = run(model, frame, uncond, jax.random.key(3 + i))
-        out.block_until_ready()
+    sync(out)
     dt = time.perf_counter() - t0
 
     images_per_sec = batch * runs / dt
