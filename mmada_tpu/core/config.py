@@ -157,6 +157,27 @@ def _coerce_floats(node: Any) -> Any:
     return node
 
 
+def _load_yaml_with_base(path: str, _depth: int = 0) -> Config:
+    """Load yaml honoring a `_base_: other.yaml` inheritance key (resolved
+    relative to the cwd first, then to the file's directory)."""
+    import os
+
+    if _depth > 8:
+        raise ValueError(f"_base_ chain too deep at {path}")
+    with open(path) as f:
+        loaded = yaml.safe_load(f) or {}
+    loaded = _coerce_floats(loaded)
+    base_path = loaded.pop("_base_", None)
+    cfg = Config()
+    if base_path:
+        if not os.path.exists(base_path):
+            candidate = os.path.join(os.path.dirname(path), base_path)
+            base_path = candidate if os.path.exists(candidate) else base_path
+        cfg.merge(_load_yaml_with_base(base_path, _depth + 1))
+    cfg.merge(loaded)
+    return cfg
+
+
 def _parse_scalar(text: str) -> Any:
     # YAML 1.1 reads bare "1e-4" as a string (needs "1.0e-4"); accept the
     # common scientific-notation spelling as float like OmegaConf does.
@@ -196,9 +217,7 @@ def load_config(
 
     cfg = Config()
     if path:
-        with open(path) as f:
-            loaded = yaml.safe_load(f) or {}
-        cfg.merge(_coerce_floats(loaded))
+        cfg.merge(_load_yaml_with_base(path))
     if overrides:
         cfg.merge(parse_overrides(overrides))
     if kv:
