@@ -41,11 +41,16 @@ def main():
         embedding_size=MMADA_8B.total_vocab_size,
         max_sequence_length=2048, rope_theta=500000.0,
     )
-    # one fused init program: per-leaf init would trigger one (slow) remote
-    # compile per tensor on the tunneled chip
+    # Throughput does not depend on weight values: build zeros with the real
+    # structure via eval_shape (random init at 4.2B params costs minutes of
+    # remote compile on the tunneled chip; zeros compile instantly).
+    shapes = jax.eval_shape(
+        lambda k: llada.init_params(k, cfg, dtype=jnp.bfloat16),
+        jax.random.key(0),
+    )
     params = jax.jit(
-        lambda k: llada.init_params(k, cfg, dtype=jnp.bfloat16)
-    )(jax.random.key(0))
+        lambda: jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    )()
     model = MMadaModel(cfg=cfg, params=params, vocab=MMADA_8B, policy=BF16)
 
     mask_id = MMADA_8B.mask_token_id

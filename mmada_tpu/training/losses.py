@@ -132,3 +132,54 @@ def t2m_loss(logits, labels, masked_indices, p_mask, answer_lengths) -> jax.Arra
     """Motion loss mirrors the mmu normalization
     (modelling_ours.py:323-395 forward_process t2m branch)."""
     return answer_loss(logits, labels, masked_indices, p_mask, answer_lengths)
+
+
+def forward_process_with_r2i(
+    model,
+    input_ids: jax.Array,        # [t2i | lm | mmu | r2i] concat
+    labels: jax.Array,
+    batch_size_t2i: int,
+    batch_size_lm: int,
+    batch_size_mmu: int,
+    batch_size_r2i: int,
+    max_seq_length: int,
+    p_mask_lm=None,
+    p_mask_mmu=None,
+    p_mask_r2i=None,
+    answer_lengths=None,
+    answer_lengths_lm=None,
+    answer_lengths_r2i=None,
+    t2i_masks=None,
+    lm_loss_mode: str = "llada",
+):
+    """Stage-4 variant adding the r2i (reasoning-to-image) segment with the
+    same Σ CE/(p·len)/B normalization as mmu
+    (modeling_mmada.py:278-359 forward_process_with_r2i)."""
+    bt, bl, bm, br = batch_size_t2i, batch_size_lm, batch_size_mmu, batch_size_r2i
+    # run t2i+lm through forward_process (mmu segment disabled there since
+    # its tail-slice convention would swallow the r2i rows)
+    logits, loss_t2i, loss_lm, _ = forward_process(
+        model, input_ids, labels,
+        batch_size_t2i=bt, batch_size_lm=bl, batch_size_mmu=0,
+        max_seq_length=max_seq_length,
+        p_mask_lm=p_mask_lm, t2i_masks=t2i_masks,
+        answer_lengths_lm=answer_lengths_lm, lm_loss_mode=lm_loss_mode,
+    )
+    masked = input_ids == model.vocab.mask_token_id
+    start_r2i = bt + bl + bm
+    zero = jnp.float32(0.0)
+    loss_mmu = (
+        answer_loss(
+            logits[bt + bl:start_r2i], labels[bt + bl:start_r2i],
+            masked[bt + bl:start_r2i], p_mask_mmu, answer_lengths,
+        ) if bm else zero
+    )
+    loss_r2i = (
+        answer_loss(
+            logits[start_r2i:start_r2i + br],
+            labels[start_r2i:start_r2i + br],
+            masked[start_r2i:start_r2i + br],
+            p_mask_r2i, answer_lengths_r2i,
+        ) if br else zero
+    )
+    return logits, loss_t2i, loss_lm, loss_mmu, loss_r2i
