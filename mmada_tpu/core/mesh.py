@@ -50,6 +50,35 @@ def make_mesh(
     return Mesh(dev_array, MESH_AXES)
 
 
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Multi-host initialization (`jax.distributed.initialize`) — the
+    NCCL/static-rendezvous analog of the reference's
+    accelerate_configs/8_node_8_gpus_*.yaml topology. On Cloud TPU slices
+    arguments come from the runtime metadata; returns False when already
+    initialized or single-process."""
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        return True
+    except (RuntimeError, ValueError):
+        return False
+
+
+def process_local_batch_slice(global_batch: int) -> slice:
+    """Each host feeds its shard of the global batch
+    (`jax.make_array_from_process_local_data` pairing)."""
+    per = global_batch // jax.process_count()
+    start = jax.process_index() * per
+    return slice(start, start + per)
+
+
 def single_device_mesh() -> Mesh:
     return make_mesh(data=1, fsdp=1, tensor=1, devices=jax.devices()[:1])
 

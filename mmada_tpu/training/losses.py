@@ -134,6 +134,43 @@ def t2m_loss(logits, labels, masked_indices, p_mask, answer_lengths) -> jax.Arra
     return answer_loss(logits, labels, masked_indices, p_mask, answer_lengths)
 
 
+def soft_target_cross_entropy(
+    logits: jax.Array,        # (B, L, V)
+    targets: jax.Array,       # (B, L) hard ids with IGNORE_ID padding
+    soft_targets: jax.Array,  # (B, L-1, C) distributions over first C classes
+) -> jax.Array:
+    """Soft-label CE skipping the first (class-id) token, averaged over
+    non-padded positions (training/utils.py:53-69)."""
+    logits = logits[:, 1:, : soft_targets.shape[-1]]
+    targets = targets[:, 1:]
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    loss = -jnp.sum(soft_targets * logp, axis=-1)
+    pad = targets == IGNORE_ID
+    loss = jnp.where(pad, 0.0, loss)
+    denom = jnp.maximum((~pad).sum(), 1)
+    return loss.sum() / denom
+
+
+def get_loss_weight(t: jax.Array, mask: jax.Array, min_val: float = 0.3) -> jax.Array:
+    """Per-position loss weights for predict-all-tokens / random-replace
+    training: unmasked positions decay toward `min_val` as noise decreases
+    (training/utils.py:72-73)."""
+    return 1.0 - (1.0 - mask) * ((1.0 - t) * (1.0 - min_val))[:, None]
+
+
+def weighted_t2i_loss(
+    logits, labels, max_seq_length: int, loss_weight: jax.Array
+) -> jax.Array:
+    """predict-all-tokens variant: weighted mean CE over the image span."""
+    span_logits = logits[:, max_seq_length + 1:]
+    span_labels = labels[:, max_seq_length + 1:]
+    ce, valid = masked_cross_entropy(span_logits, span_labels)
+    w = loss_weight.astype(jnp.float32)
+    num = (ce * w * valid).sum()
+    denom = jnp.maximum((w * valid).sum(), 1e-6)
+    return num / denom
+
+
 def forward_process_with_r2i(
     model,
     input_ids: jax.Array,        # [t2i | lm | mmu | r2i] concat
