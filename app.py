@@ -83,6 +83,39 @@ class AppState:
         arr = np.asarray((np.asarray(pixels[0]) + 1.0) * 127.5).clip(0, 255)
         return arr.astype(np.uint8)
 
+    def t2i_stepwise(self, prompt, timesteps=15, guidance_scale=3.5,
+                     temperature=1.0, seed=0):
+        """Per-step decoded frames (the reference demo's stepwise image
+        yield, app.py:168-203 / t2i_generate_decoding_stepwise)."""
+        import jax
+        import jax.numpy as jnp
+
+        from mmada_tpu.models import magvit2
+
+        num_vq = int(self.cfg.get_path("model.mmada.num_vq_tokens", 1024))
+        mask_id = self.vocab.mask_token_id
+        image_ids = np.full((1, num_vq), mask_id, np.int64)
+        input_ids, attn = self.prompting(([prompt], image_ids), "t2i_gen")
+        uncond_ids, uncond_attn = self.prompting.t2i_gen_uncond(1, num_vq, mask_id)
+        with self.lock:
+            trajectory = self.model.t2i_generate(
+                jnp.asarray(input_ids),
+                uncond_input_ids=jnp.asarray(uncond_ids),
+                attention_mask=jnp.asarray(attn),
+                uncond_attention_mask=jnp.asarray(uncond_attn),
+                temperature=temperature, timesteps=timesteps,
+                guidance_scale=guidance_scale, num_vq_tokens=num_vq,
+                key=jax.random.key(seed), stepwise=True,
+            )
+            frames = []
+            for step_codes in np.asarray(trajectory):
+                pixels = magvit2.decode_code(
+                    self.vq_params, self.vq_cfg, jnp.asarray(step_codes)
+                )
+                arr = np.asarray((np.asarray(pixels[0]) + 1.0) * 127.5)
+                frames.append(arr.clip(0, 255).astype(np.uint8))
+        return frames
+
     def mmu(self, image_arr, question, max_new_tokens=128, steps=64,
             block_length=64, seed=0):
         import jax
@@ -163,6 +196,20 @@ def run_http(state: AppState, port: int):
                     self._reply(
                         {"image_png_b64": base64.b64encode(buf.getvalue()).decode()}
                     )
+                elif self.path == "/t2i_stepwise":
+                    frames = state.t2i_stepwise(
+                        req.get("prompt", ""),
+                        timesteps=int(req.get("timesteps", 15)),
+                        guidance_scale=float(req.get("guidance_scale", 3.5)),
+                        temperature=float(req.get("temperature", 1.0)),
+                        seed=int(req.get("seed", 0)),
+                    )
+                    out = []
+                    for arr in frames:
+                        buf = io.BytesIO()
+                        Image.fromarray(arr).save(buf, format="PNG")
+                        out.append(base64.b64encode(buf.getvalue()).decode())
+                    self._reply({"frames_png_b64": out})
                 elif self.path == "/mmu":
                     img = Image.open(
                         io.BytesIO(base64.b64decode(req["image_png_b64"]))
@@ -186,7 +233,7 @@ def run_http(state: AppState, port: int):
                 self._reply({"error": str(e)}, 500)
 
     server = ThreadingHTTPServer(("0.0.0.0", port), Handler)
-    print(f"serving on http://0.0.0.0:{port} (endpoints: /health /generate /t2i /mmu)")
+    print(f"serving on http://0.0.0.0:{port} (endpoints: /health /generate /t2i /t2i_stepwise /mmu)")
     server.serve_forever()
 
 

@@ -283,6 +283,38 @@ def ema_update(
     return codebook, state, perplexity
 
 
+def gradient_quantizer_losses(
+    codebook: jax.Array, z_flat: jax.Array, beta: float = 1.0
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Plain gradient-trained quantizer (`Quantizer`, quantize_cnn.py:127-165):
+    codebook loss ‖z_q − sg(z)‖² + β‖sg(z_q) − z‖², both sides receiving
+    gradients (codebook through the first term, encoder through the second).
+    Returns (z_q_ste, loss, codes). Use instead of `ema_update` when the
+    codebook is an optimizer-trained parameter."""
+    codes = quantize(codebook, jax.lax.stop_gradient(z_flat))
+    z_q = codebook[codes]
+    loss = (
+        jnp.mean(jnp.square(z_q - jax.lax.stop_gradient(z_flat)))
+        + beta * jnp.mean(jnp.square(jax.lax.stop_gradient(z_q) - z_flat))
+    )
+    z_q_ste = z_flat + jax.lax.stop_gradient(z_q - z_flat)
+    return z_q_ste, loss, codes
+
+
+def reset_dead_codes(
+    key: jax.Array,
+    codebook: jax.Array,
+    usage_count: jax.Array,     # (K,) codes used this step
+    x_flat: jax.Array,
+    threshold: float = 1.0,
+) -> jax.Array:
+    """`QuantizeReset` variant (quantize_cnn.py:190-250): re-seed codes whose
+    usage fell below threshold from current batch vectors."""
+    dead = usage_count < threshold
+    rand = _tile_to(key, x_flat, codebook.shape[0])
+    return jnp.where(dead[:, None], rand, codebook)
+
+
 # --------------------------------------------------------------------------
 # top-level API (HumanVQVAE, motion_vqvae/models/vqvae.py:6-117)
 # --------------------------------------------------------------------------
