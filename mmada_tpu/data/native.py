@@ -17,7 +17,7 @@ from typing import Iterator, Optional
 
 logger = logging.getLogger(__name__)
 
-_LIB_PATH = os.path.join(os.path.dirname(__file__), "libtario.so")
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "_native", "libtario.so")
 
 
 class _EntryView(ctypes.Structure):
