@@ -34,6 +34,7 @@ import jax.numpy as jnp
 
 from mmada_tpu.core.precision import FP32, Policy
 from mmada_tpu.ops.attention import bidirectional_attention, NEG_INF
+from mmada_tpu.ops.quantization import QuantizedTensor, maybe_matmul
 from mmada_tpu.ops.norms import layer_norm, rms_norm
 
 Params = dict[str, Any]
@@ -287,13 +288,13 @@ def _block(
 
     h = _norm(cfg, x, lp.get("attn_norm"))
     if cfg.block_type == "llama":
-        q = h @ lp["q_proj"]
-        k = h @ lp["k_proj"]
-        v = h @ lp["v_proj"]
+        q = maybe_matmul(h, lp["q_proj"])
+        k = maybe_matmul(h, lp["k_proj"])
+        v = maybe_matmul(h, lp["v_proj"])
         if "q_bias" in lp:
             q, k, v = q + lp["q_bias"], k + lp["k_bias"], v + lp["v_bias"]
     else:
-        fused = h @ lp["att_proj"]
+        fused = maybe_matmul(h, lp["att_proj"])
         if "att_proj_bias" in lp:
             fused = fused + lp["att_proj_bias"]
         q, k, v = jnp.split(fused, [d, d + kvh * hd], axis=-1)
@@ -312,16 +313,16 @@ def _block(
         q, k, v, bias=bias, softmax_dtype=policy.softmax_dtype, impl=attn_impl
     )
     att = att.transpose(0, 2, 1, 3).reshape(b, l, d)
-    x = x + att @ lp["attn_out"]
+    x = x + maybe_matmul(att, lp["attn_out"])
 
     h = _norm(cfg, x, lp.get("ff_norm"))
     if cfg.block_type == "llama":
         # act(ff_proj(h)) * up_proj(h) — llama-style gated MLP
         # (modeling_llada.py:924-930: ff_proj is the gate input).
-        h = _activation(cfg, h @ lp["ff_proj"]) * (h @ lp["up_proj"])
+        h = _activation(cfg, maybe_matmul(h, lp["ff_proj"])) * maybe_matmul(h, lp["up_proj"])
     else:
-        h = _activation(cfg, h @ lp["ff_proj"])
-    x = x + h @ lp["ff_out"]
+        h = _activation(cfg, maybe_matmul(h, lp["ff_proj"]))
+    x = x + maybe_matmul(h, lp["ff_out"])
     return x
 
 
@@ -394,10 +395,19 @@ def forward(
     x = _norm(cfg, x, params["ln_f"])
 
     head = params["wte"].T if cfg.weight_tying else params["ff_out"]
-    if logit_window is not None:
-        start, stop = logit_window
-        head = head[:, start:stop]
-    logits = (x @ head.astype(x.dtype)).astype(policy.logits_dtype)
+    if isinstance(head, QuantizedTensor):
+        if logit_window is not None:
+            start, stop = logit_window
+            head = QuantizedTensor(
+                values=head.values[..., :, start:stop],
+                scales=head.scales[..., start:stop],
+            )
+        logits = maybe_matmul(x, head).astype(policy.logits_dtype)
+    else:
+        if logit_window is not None:
+            start, stop = logit_window
+            head = head[:, start:stop]
+        logits = (x @ head.astype(x.dtype)).astype(policy.logits_dtype)
     if cfg.scale_logits:
         logits = logits * (1.0 / math.sqrt(cfg.d_model))
 

@@ -1,0 +1,93 @@
+"""int8 weight-only quantization tests."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmada_tpu.models import llada
+from mmada_tpu.ops import quantization as Q
+
+
+def test_roundtrip_error_small():
+    w = jax.random.normal(jax.random.key(0), (64, 128)) * 0.05
+    err = Q.quantization_error(w)
+    assert err < 0.01  # per-channel int8 on gaussian weights
+
+
+def test_qmatmul_close_to_fp():
+    key = jax.random.key(1)
+    w = jax.random.normal(key, (64, 128)) * 0.05
+    x = jax.random.normal(jax.random.key(2), (4, 64))
+    qw = Q.quantize_tensor(w)
+    got = Q.qmatmul(x, qw)
+    want = x @ w
+    rel = float(jnp.linalg.norm(got - want) / jnp.linalg.norm(want))
+    assert rel < 0.02
+
+
+def test_stacked_layer_quantization():
+    w = jax.random.normal(jax.random.key(3), (3, 16, 32)) * 0.1
+    qw = Q.quantize_tensor(w)
+    assert qw.values.shape == (3, 16, 32)
+    assert qw.scales.shape == (3, 32)
+    deq = qw.dequantize(jnp.float32)
+    rel = float(jnp.linalg.norm(deq - w) / jnp.linalg.norm(w))
+    assert rel < 0.01
+
+
+def test_quantized_forward_close_and_memory_halved():
+    cfg = llada.tiny_config(vocab_size=128, d_model=64, n_heads=4,
+                            n_layers=2, mlp_hidden_size=128)
+    params = llada.init_params(jax.random.key(0), cfg)
+    qparams = Q.quantize_llada_params(params)
+
+    ids = jnp.arange(16, dtype=jnp.int32)[None] % 100
+    full = llada.forward(params, cfg, ids)
+    quant = llada.forward(qparams, cfg, ids)
+    # logits track closely; argmax predictions essentially unchanged
+    rel = float(jnp.linalg.norm(quant - full) / jnp.linalg.norm(full))
+    assert rel < 0.05
+    agree = float((jnp.argmax(full, -1) == jnp.argmax(quant, -1)).mean())
+    assert agree > 0.9
+
+    def nbytes(tree):
+        return sum(
+            leaf.size * leaf.dtype.itemsize for leaf in jax.tree.leaves(tree)
+        )
+
+    blocks_fp = nbytes(params["blocks"])
+    blocks_q = nbytes(qparams["blocks"])
+    assert blocks_q < blocks_fp * 0.35  # fp32 -> int8 + small scales
+
+
+def test_quantized_windowed_head():
+    cfg = llada.tiny_config(vocab_size=128, d_model=64, n_heads=4,
+                            n_layers=2, mlp_hidden_size=128)
+    params = llada.init_params(jax.random.key(0), cfg)
+    qparams = Q.quantize_llada_params(params)
+    ids = jnp.arange(16, dtype=jnp.int32)[None] % 100
+    win = llada.forward(qparams, cfg, ids, logit_window=(32, 96))
+    full = llada.forward(qparams, cfg, ids)
+    np.testing.assert_allclose(
+        np.asarray(win), np.asarray(full[..., 32:96]), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_quantized_sampler_runs():
+    from mmada_tpu.core.vocab import tiny_layout
+    from mmada_tpu.models.mmada import MMadaModel
+    from mmada_tpu.sampling.text import SemiARConfig, generate
+
+    vocab = tiny_layout()
+    cfg = llada.tiny_config(vocab_size=vocab.total_vocab_size)
+    cfg = dataclasses.replace(cfg, mask_token_id=vocab.mask_token_id)
+    params = Q.quantize_llada_params(llada.init_params(jax.random.key(0), cfg))
+    model = MMadaModel(cfg=cfg, params=params, vocab=vocab)
+    out = model.generate(
+        jnp.arange(8, dtype=jnp.int32)[None] + 3,
+        gen_length=16, steps=8, block_length=16,
+    )
+    assert out.shape == (1, 24)
+    assert (np.asarray(out) != vocab.mask_token_id).all()
