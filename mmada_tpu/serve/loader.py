@@ -104,9 +104,17 @@ def build_model(cfg: Config, vocab: VocabLayout) -> MMadaModel:
     path = m.get("pretrained_model_path")
     if not path:
         raise ValueError("model.mmada.pretrained_model_path or tiny/random_init required")
-    return MMadaModel.from_pretrained(
+    model = MMadaModel.from_pretrained(
         path, vocab, dtype=policy.param_dtype, policy=policy
     )
+    if m.get("quantize") in ("int8", "w8"):
+        # full-depth 8B on one 16 GB chip (ops/quantization.py)
+        from mmada_tpu.ops.quantization import quantize_llada_params
+
+        model = dataclasses.replace(
+            model, params=quantize_llada_params(model.params)
+        )
+    return model
 
 
 def build_vq_model(cfg: Config):

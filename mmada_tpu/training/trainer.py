@@ -182,6 +182,23 @@ class Trainer:
         )
 
     # -------------------------------------------------------------- loop
+    _preempted = False
+
+    def _install_preemption_handler(self):
+        """Failure/preemption detection: SIGTERM (Cloud TPU maintenance
+        events / spot preemption) triggers a checkpoint before exit — the
+        reference has no recovery beyond resume_from_checkpoint
+        (SURVEY.md §5)."""
+        import signal
+
+        def handler(signum, frame):
+            self._preempted = True
+
+        try:
+            signal.signal(signal.SIGTERM, handler)
+        except ValueError:
+            pass  # non-main thread
+
     def resume(self):
         restored, step = self.ckpt.restore(self.state)
         if restored is not None:
@@ -193,9 +210,25 @@ class Trainer:
         batch_meter, data_meter = AverageMeter(), AverageMeter()
         end = time.time()
         key = jax.random.key(rng_seed)
+        self._install_preemption_handler()
+        profile_at = self.cfg.get_path("experiment.profile_at_step")
+        profile_dir = self.cfg.get_path(
+            "experiment.profile_dir",
+            os.path.join(self.cfg.get_path("experiment.output_dir", "output"),
+                         "profile"),
+        )
         for raw in loader:
             if self.global_step >= self.max_train_steps:
                 break
+            if self._preempted:
+                logger.warning("preemption: saving checkpoint and stopping")
+                self.ckpt.save(self.global_step, self.state)
+                break
+            if profile_at is not None and self.global_step == profile_at:
+                jax.profiler.start_trace(profile_dir)
+            if profile_at is not None and self.global_step == profile_at + 3:
+                jax.profiler.stop_trace()
+                logger.info("profile trace written to %s", profile_dir)
             batch = self.prepare_batch(raw)
             data_meter.update(time.time() - end)
             key, sub = jax.random.split(key)
