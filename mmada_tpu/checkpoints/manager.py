@@ -110,6 +110,51 @@ def load_params_only(path: str, template: Any) -> Any:
     return ckptr.restore(path, template)
 
 
+def export_hf_config(model_dir: str, cfg, vocab=None):
+    """Write a reference-compatible `config.json` next to exported
+    safetensors so `MMadaModelLM.from_pretrained` can consume checkpoints
+    trained here (inverse of hf_import.config_from_hf_json)."""
+    raw = {
+        "architectures": ["MMadaModelLM"],
+        "model_type": "mmada",
+        "d_model": cfg.d_model,
+        "n_heads": cfg.n_heads,
+        "n_kv_heads": cfg.n_kv_heads,
+        "n_layers": cfg.n_layers,
+        "mlp_hidden_size": cfg.mlp_hidden_size,
+        "mlp_ratio": cfg.mlp_ratio,
+        "vocab_size": cfg.vocab_size,
+        "embedding_size": cfg.effective_vocab_size,
+        "max_sequence_length": cfg.max_sequence_length,
+        "rope": True,
+        "rope_theta": cfg.rope_theta,
+        "rope_full_precision": cfg.rope_full_precision,
+        "layer_norm_type": cfg.layer_norm_type,
+        "rms_norm_eps": cfg.rms_norm_eps,
+        "activation_type": cfg.activation_type,
+        "block_type": cfg.block_type,
+        "weight_tying": cfg.weight_tying,
+        "include_bias": cfg.include_bias,
+        "include_qkv_bias": cfg.include_qkv_bias,
+        "attention_layer_norm": cfg.attention_layer_norm,
+        "input_emb_norm": cfg.input_emb_norm,
+        "scale_logits": cfg.scale_logits,
+        "mask_token_id": cfg.mask_token_id,
+        "alibi": False,
+        "use_cache": False,
+        "block_group_size": 1,
+    }
+    if vocab is not None:
+        raw.update(
+            new_vocab_size=vocab.total_vocab_size,
+            llm_vocab_size=vocab.text_vocab_size,
+            codebook_size=vocab.image_codebook_size,
+        )
+    os.makedirs(model_dir, exist_ok=True)
+    with open(os.path.join(model_dir, "config.json"), "w") as f:
+        json.dump(raw, f, indent=2)
+
+
 def export_safetensors(path: str, params: Any, cfg=None):
     """Write params as a torch-convention safetensors file so reference
     tooling can consume checkpoints trained here (name mapping inverse of

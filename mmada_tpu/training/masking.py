@@ -99,6 +99,50 @@ def _contiguous_region_mask(key, num_masked: jax.Array, n: int) -> jax.Array:
     return inside.reshape(b, res * res)
 
 
+def eval_image_corruption(
+    seed: int,
+    image_tokens: jax.Array,
+    mask_id: int,
+    eval_mask_ratios: Optional[list] = None,
+    mask_schedule: Optional[Callable] = None,
+):
+    """Deterministic eval-time corruption: a fixed seed and optionally fixed
+    per-row ratios (the reference saves/restores global RNG state around
+    this, training/utils.py:80-98,168-173 — explicit keys make that free)."""
+    from mmada_tpu.sampling.schedules import cosine_schedule
+
+    b = image_tokens.shape[0]
+    key = jax.random.key(seed)
+    override = None
+    if eval_mask_ratios:
+        idx = jax.random.randint(
+            jax.random.fold_in(key, 1), (b,), 0, len(eval_mask_ratios)
+        )
+        override = jnp.asarray(eval_mask_ratios)[idx]
+    return mask_image_tokens(
+        key, image_tokens, mask_id,
+        mask_schedule=mask_schedule or cosine_schedule,
+        mask_prob_override=override,
+    )
+
+
+def enable_full_determinism(seed: int = 0):
+    """Best-effort determinism gates (models/training_utils.py:27-45
+    analog): deterministic XLA reductions + a fixed numpy global seed for
+    any host-side randomness."""
+    import os
+
+    import numpy as np
+
+    os.environ.setdefault("XLA_FLAGS", "")
+    if "--xla_gpu_deterministic_ops" not in os.environ["XLA_FLAGS"]:
+        os.environ["XLA_FLAGS"] += " --xla_gpu_deterministic_ops=true"
+    np.random.seed(seed)
+    import random as _random
+
+    _random.seed(seed)
+
+
 def mask_text_tokens(
     key: jax.Array,
     input_ids: jax.Array,   # (B, L)
