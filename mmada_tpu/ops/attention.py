@@ -84,14 +84,22 @@ def bidirectional_attention(
     return xla_attention(q, k, v, bias=bias, softmax_dtype=softmax_dtype)
 
 
+def _is_tpu_backend() -> bool:
+    dev = jax.devices()[0]
+    # the tunneled axon plugin reports platform 'axon' but device_kind
+    # 'TPU v5 lite'; both run the Mosaic kernel
+    return dev.platform == "tpu" or "TPU" in getattr(dev, "device_kind", "")
+
+
 def _pallas_eligible(q, k, bias) -> bool:
-    if jax.devices()[0].platform != "tpu":
+    if not _is_tpu_backend():
         return False
     seq_q, seq_k = q.shape[2], k.shape[2]
     head_dim = q.shape[-1]
+    # one-pass kernel keeps a (block_q, L) score tile in VMEM; cap L
     return (
         seq_q % 128 == 0
         and seq_k % 128 == 0
         and head_dim % 128 == 0
-        and seq_q >= 256
+        and 256 <= seq_q <= 4096
     )

@@ -116,6 +116,63 @@ def make_t2m_train_step(
     return train_step
 
 
+def make_t2m_lora_train_step(
+    model_template: MMadaModel,
+    optimizer: optax.GradientTransformation,
+    sc: T2MStepConfig,
+    lora_cfg,
+):
+    """LoRA fine-tuning variant (train_t2m_lora.py analog): the base model
+    is frozen; gradients flow only through the adapter pytree (+embeddings/
+    head when configured). train_step(state, batch, rng) where state.params
+    is the TRAINABLE subset from models/lora.trainable_params."""
+    from mmada_tpu.models import lora as lora_mod
+
+    vocab = model_template.vocab
+    window = (
+        vocab.motion_offset,
+        vocab.motion_offset + vocab.motion_codebook_size + vocab.motion_special,
+    )
+    base_params = model_template.params
+
+    def loss_fn(trainable, batch, rng):
+        eff = lora_mod.apply_trainable(base_params, trainable, lora_cfg)
+        model = dataclasses.replace(model_template, params=eff)
+        ids = batch["input_ids"]
+        span = slice(sc.max_text_len + 1, ids.shape[1] - 1)
+        noisy_span, _, mask_prob = masking.mask_image_tokens(
+            rng, ids[:, span], vocab.mask_token_id,
+            mask_schedule=sc.mask_schedule,
+            min_masking_rate=sc.min_masking_rate,
+        )
+        noisy = ids.at[:, span].set(noisy_span)
+        masked = noisy == vocab.mask_token_id
+        logits = model.forward(
+            noisy, attention_mask=batch.get("attention_mask"),
+            logit_window=window,
+        ).astype(jnp.float32)
+        rel = jnp.where(
+            batch["labels"] == IGNORE_ID, IGNORE_ID,
+            batch["labels"] - vocab.motion_offset,
+        )
+        loss = t2m_loss(logits, rel, masked)
+        return loss, {"loss_t2m": loss, "mask_prob": mask_prob.mean()}
+
+    def train_step(state: TrainState, batch: dict, rng: jax.Array):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(aux, loss=loss, grad_norm=optax.global_norm(grads))
+        return (
+            TrainState(params=params, opt_state=opt_state, step=state.step + 1),
+            metrics,
+        )
+
+    return train_step
+
+
 def token_range_sanity(generated_vq: jax.Array, vocab: VocabLayout) -> dict:
     """In-loop generation checks: range validity, diversity, mode collapse
     (reference train_t2m.py:677-760)."""

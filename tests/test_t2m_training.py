@@ -168,3 +168,49 @@ def test_word_vectorizer_vip_override():
     wv = RandomWordVectorizer(dim=8)
     _, pos = wv["walk/NOUN"]
     assert pos[12] == 1  # Act_VIP wins over the provided POS
+
+
+def test_t2m_lora_train_step():
+    """LoRA t2m fine-tune: base frozen, adapters train, loss decreases."""
+    from mmada_tpu.models import lora as lora_mod
+
+    model = tiny_model()
+    up = make_prompting()
+    lcfg = lora_mod.LoRAConfig(rank=4, alpha=8, train_embeddings=False)
+    adapters = lora_mod.init_lora(jax.random.key(1), model.params, lcfg)
+    trainable = lora_mod.trainable_params(model.params, adapters, lcfg)
+
+    rng = np.random.default_rng(0)
+    n_motion = 8
+    codes = rng.integers(0, 16, size=(4, n_motion))
+    fused = np.asarray(t2m.map_motion_tokens(jnp.asarray(codes), VOCAB))
+    ids, masks, labels = up((["walk", "run", "sit", "hop"], fused, fused),
+                            "t2m", dropout=False)
+    batch = {
+        "input_ids": jnp.asarray(ids),
+        "labels": jnp.asarray(labels),
+        "attention_mask": jnp.asarray(masks),
+    }
+    sc = t2m.T2MStepConfig(batch_size=4, max_text_len=up.max_text_len,
+                           num_motion_tokens=n_motion)
+    import optax
+    opt = optax.adamw(5e-3)
+    from mmada_tpu.training.train_step import TrainState
+    state = TrainState.create(trainable, opt)
+    step = jax.jit(t2m.make_t2m_lora_train_step(model, opt, sc, lcfg))
+    first = None
+    base_before = jax.tree.leaves(model.params)[2]
+    for i in range(30):
+        state, metrics = step(state, batch, jax.random.key(3))
+        if first is None:
+            first = float(metrics["loss"])
+    assert float(metrics["loss"]) < first
+    # base params untouched
+    np.testing.assert_array_equal(
+        np.asarray(base_before), np.asarray(jax.tree.leaves(model.params)[2])
+    )
+    # adapters changed
+    assert not np.allclose(
+        np.asarray(state.params["lora"]["blocks"]["q_proj"]["b"]),
+        np.asarray(adapters["blocks"]["q_proj"]["b"]),
+    )
