@@ -324,7 +324,9 @@ class ByteTokenizer:
 
     def decode(self, ids):
         return bytes(
-            i - self.offset for i in ids if i >= self.offset
+            i - self.offset
+            for i in ids
+            if self.offset <= i < self.offset + 256
         ).decode("utf-8", errors="replace")
 
     def __len__(self):

@@ -48,8 +48,9 @@ def build_text_tokenizer(cfg: Config):
 def build_vocab(cfg: Config) -> VocabLayout:
     m = cfg.get_path("model.mmada", Config())
     if m.get("tiny"):
+        # ByteTokenizer emits ids up to 16+256=272; keep specials/mask above
         return tiny_layout(
-            text_vocab_size=m.get("llm_vocab_size", 256),
+            text_vocab_size=max(m.get("llm_vocab_size", 256), 300),
             image_codebook_size=m.get("codebook_size", 64),
             motion_codebook_size=m.get("motion_vocab_size", 0),
             motion_special=2 if m.get("motion_vocab_size") else 0,
