@@ -95,6 +95,124 @@ def build_dataloader(cfg, trainer):
     )
 
 
+def train_t2m(cfg):
+    """Text-to-motion training loop (reference train_t2m.py / _lora):
+    MotionTokenDataset -> fused mapping -> t2m frames -> motion MLM step;
+    LoRA when `training.lora` is configured."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mmada_tpu.checkpoints.manager import CheckpointManager
+    from mmada_tpu.serve.loader import (
+        build_model, build_prompting, build_text_tokenizer, build_vocab,
+    )
+    from mmada_tpu.training import optimizers, t2m
+    from mmada_tpu.training.lr_schedules import from_config as lr_from_config
+    from mmada_tpu.training.train_step import TrainState
+    from mmada_tpu.utils.logging import MetricsLogger
+
+    tokenizer = build_text_tokenizer(cfg)
+    vocab = build_vocab(cfg)
+    if vocab.motion_codebook_size == 0:
+        vocab = vocab.with_motion(
+            cfg.get_path("model.mmada.motion_vocab_size", 512)
+        )
+    prompting = build_prompting(cfg, tokenizer, vocab)
+    model = build_model(cfg, vocab)
+
+    tr = cfg.training
+    batch_size = tr.get("batch_size_t2m", 32)
+    max_steps = tr.get("max_train_steps", 1000)
+    n_motion = cfg.get_path("dataset.max_motion_length", 55)
+    lr = lr_from_config(cfg.get_path("lr_scheduler", {}), total_steps=max_steps)
+
+    lora_cfg_raw = tr.get("lora")
+    sc = t2m.T2MStepConfig(
+        batch_size=batch_size, max_text_len=prompting.max_text_len,
+        num_motion_tokens=n_motion,
+    )
+    if lora_cfg_raw:
+        from mmada_tpu.models import lora as lora_mod
+
+        lcfg = lora_mod.LoRAConfig(
+            rank=lora_cfg_raw.get("rank", 32),
+            alpha=lora_cfg_raw.get("alpha", 64),
+            targets=tuple(lora_cfg_raw.get(
+                "targets", lora_mod.DEFAULT_TARGETS
+            )),
+            train_embeddings=lora_cfg_raw.get("train_embeddings", True),
+        )
+        adapters = lora_mod.init_lora(jax.random.key(1), model.params, lcfg)
+        trainable = lora_mod.trainable_params(model.params, adapters, lcfg)
+        opt = optimizers.adamw(lr)
+        state = TrainState.create(trainable, opt)
+        step = jax.jit(t2m.make_t2m_lora_train_step(model, opt, sc, lcfg))
+    else:
+        opt = optimizers.adamw(lr, params_for_mask=model.params)
+        state = TrainState.create(model.params, opt)
+        step = jax.jit(t2m.make_t2m_train_step(model, opt, sc))
+
+    if cfg.get_path("dataset.synthetic"):
+        import itertools
+
+        def samples():
+            rng = np.random.default_rng(0)
+            while True:
+                yield ("a person walks",
+                       rng.integers(0, vocab.motion_codebook_size,
+                                    size=(n_motion,)), n_motion)
+        stream = samples()
+    else:
+        from mmada_tpu.data.motion import MotionTokenDataset
+
+        ds = MotionTokenDataset(
+            cfg.get_path("dataset.motion_root"),
+            cfg.get_path("dataset.split_file",
+                         cfg.get_path("dataset.motion_root", "") + "/train.txt"),
+            cfg.get_path("dataset.tokenizer_name", "VQVAE_tokens"),
+            nb_code=vocab.motion_codebook_size,
+            max_motion_length=n_motion,
+        )
+        stream = iter(ds)
+
+    out_dir = cfg.get_path("experiment.output_dir", "t2m-output")
+    metrics = MetricsLogger(f"{out_dir}/metrics.jsonl")
+    ckpt = CheckpointManager(out_dir,
+                             cfg.get_path("experiment.checkpoints_total_limit"))
+    save_every = cfg.get_path("experiment.save_every", 5000)
+    log_every = cfg.get_path("experiment.log_every", 50)
+
+    key = jax.random.key(tr.get("seed", 0))
+    for i in range(max_steps):
+        caps, toks, lens = [], [], []
+        for _ in range(batch_size):
+            c, t_, l = next(stream)
+            caps.append(c), toks.append(t_), lens.append(l)
+        fused = np.asarray(
+            t2m.map_motion_tokens(jnp.asarray(np.stack(toks)), vocab)
+        )
+        ids, masks, labels = prompting((caps, fused, fused), "t2m")
+        batch = {
+            "input_ids": jnp.asarray(ids),
+            "labels": jnp.asarray(labels),
+            "attention_mask": jnp.asarray(masks),
+        }
+        key, sub = jax.random.split(key)
+        state, m = step(state, batch, sub)
+        if i % log_every == 0:
+            vals = {k: float(v) for k, v in m.items()}
+            vals["step"] = i
+            metrics.log(vals)
+            logging.getLogger("train").info(
+                "t2m step %d loss %.4f", i, vals["loss"]
+            )
+        if save_every and i > 0 and i % save_every == 0:
+            ckpt.save(i, state)
+    ckpt.save(max_steps, state)
+    return 0
+
+
 def main(argv):
     logging.basicConfig(level=logging.INFO)
     from mmada_tpu.core.config import load_config
@@ -102,6 +220,8 @@ def main(argv):
     from mmada_tpu.training.trainer import Trainer
 
     cfg = load_config(cli_args=argv)
+    if cfg.get_path("training.task") == "t2m":
+        return train_t2m(cfg)
     model, vq_params, vq_cfg, tokenizer, prompting, vocab = load_all(cfg)
     trainer = Trainer(cfg, model, prompting, vq_params, vq_cfg)
     if cfg.get_path("experiment.resume_from_checkpoint") == "latest":
