@@ -23,7 +23,7 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
-from mmada_tpu.sampling.gumbel import mask_by_random_topk
+from mmada_tpu.sampling.gumbel import confidence_of, mask_by_random_topk
 from mmada_tpu.sampling.schedules import cosine_schedule
 
 WindowForwardFn = Callable[[jax.Array, Optional[jax.Array]], jax.Array]
@@ -81,8 +81,6 @@ def t2m_generate(
         sampled_vq = jnp.where(
             unknown, sampled, jnp.clip(cur - cfg.motion_offset, 0)
         )
-        from mmada_tpu.sampling.gumbel import confidence_of
-
         selected = confidence_of(logits, sampled_vq)
         selected = jnp.where(unknown, selected, jnp.finfo(jnp.float32).max)
 

@@ -33,7 +33,7 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
-from mmada_tpu.sampling.gumbel import mask_by_random_topk
+from mmada_tpu.sampling.gumbel import confidence_of, mask_by_random_topk
 from mmada_tpu.sampling.schedules import cosine_schedule
 
 # (tokens (B, L), attention_mask (B, L) | None) -> (B, num_vq_tokens, codebook)
@@ -109,8 +109,6 @@ def _scan(forward_fn, input_ids, cfg, key, uncond_input_ids,
 
         # exp(l_sel − lse) == softmax+gather without materializing the
         # (B, N, codebook) probability tensor (VMEM-safe, see gumbel.py)
-        from mmada_tpu.sampling.gumbel import confidence_of
-
         selected = confidence_of(logits, sampled)
         selected = jnp.where(unknown, selected, jnp.finfo(jnp.float32).max)
 

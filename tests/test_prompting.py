@@ -125,3 +125,39 @@ def test_r2i_layout(up):
 def test_unknown_task(up):
     with pytest.raises(NotImplementedError):
         up((["x"],), "nope")
+
+
+def test_lm_chat_with_end_header():
+    """Prompt mask covers everything up to the LAST <|end_header_id|>
+    (prompting_utils.py:271-314)."""
+    vocab = tiny_layout(text_vocab_size=300)
+    END_HEADER = 290
+
+    class StubTokenizer:
+        bos_token_id, eos_token_id = 1, 2
+
+        def __call__(self, texts, **kw):
+            # "Q" -> [5, END_HEADER, 6, 7] ; multi-turn has two headers
+            table = {
+                "single": [5, END_HEADER, 6, 7],
+                "multi": [5, END_HEADER, 6, 2, 8, END_HEADER, 9],
+            }
+            return {"input_ids": [table[t] for t in texts]}
+
+    sp = SpecialIds(soi=280, eoi=281, t2i=282, mmu=283, r2i=284, t2m=285,
+                    som=286, eom=287, pad=vocab.pad_token_id, bos=1, eos=2,
+                    end_header=END_HEADER)
+    up = UniversalPrompting(StubTokenizer(), sp, max_text_len=16,
+                            cond_dropout_prob=0.0)
+    ids, pmask, labels = up((["single", "multi"], 12), "lm_chat")
+    # row 0: bos 5 EH 6 7 eos ... -> mask through index of EH (pos 2)
+    assert pmask[0][:3].all() and not pmask[0][3:].any()
+    # row 1: bos 5 EH 6 eos 8 EH 9 eos -> LAST EH at pos 6 -> mask 0..6
+    assert pmask[1][:7].all() and not pmask[1][7:].any()
+
+    # mmu prompt-mask also honors end_header (prompting_utils.py:368-377)
+    img = np.arange(4).reshape(1, 4) + 100
+    mids, mpmask, mlabels = up((img, ["single"]), "mmu")
+    frame_len = 4 + 3  # mmu soi img eoi
+    assert mpmask[0][: frame_len + 3].all()
+    assert not mpmask[0][frame_len + 3:].any()
