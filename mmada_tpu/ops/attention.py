@@ -78,8 +78,15 @@ def bidirectional_attention(
     are tile-aligned, else xla.
     """
     if impl == "pallas" or (impl == "auto" and _pallas_eligible(q, k, bias)):
-        from mmada_tpu.ops.flash_attention import flash_attention
+        from mmada_tpu.ops.flash_attention import (
+            flash_attention,
+            flash_attention_online,
+        )
 
+        if q.shape[2] > 4096 and bias is None:
+            # one-pass kernel's (block_q, L) score tile outgrows VMEM;
+            # switch to the online-softmax variant
+            return flash_attention_online(q, k, v)
         return flash_attention(q, k, v, bias=bias)
     return xla_attention(q, k, v, bias=bias, softmax_dtype=softmax_dtype)
 
@@ -96,10 +103,11 @@ def _pallas_eligible(q, k, bias) -> bool:
         return False
     seq_q, seq_k = q.shape[2], k.shape[2]
     head_dim = q.shape[-1]
-    # one-pass kernel keeps a (block_q, L) score tile in VMEM; cap L
+    if seq_q > 4096 and bias is not None:
+        return False  # online variant has no bias path yet
     return (
         seq_q % 128 == 0
         and seq_k % 128 == 0
         and head_dim % 128 == 0
-        and 256 <= seq_q <= 4096
+        and seq_q >= 256
     )

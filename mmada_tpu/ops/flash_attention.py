@@ -55,6 +55,81 @@ def _attn_bias_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale: float):
     o_ref[0, 0] = o.astype(o_ref.dtype)
 
 
+def _attn_online_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                        block_k: int, seq_len: int):
+    """Online-softmax (flash) variant: K/V walked in blocks with running
+    (max, sum, accumulator) — VMEM use is O(block_q · block_k), so sequence
+    length is unbounded. Used beyond the one-pass kernel's L ≤ 4096 range."""
+    q = q_ref[0, 0].astype(jnp.float32) * scale        # (bq, D)
+    bq, d = q.shape
+    num_kb = seq_len // block_k
+
+    def body(i, carry):
+        acc, m, s = carry
+        k = k_ref[0, 0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, 0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )                                               # (bq, bk)
+        m_new = jnp.maximum(m, jnp.max(scores, axis=-1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(scores - m_new)
+        s_new = s * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jnp.dot(
+            p, v, preferred_element_type=jnp.float32
+        )
+        return acc_new, m_new, s_new
+
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+    m0 = jnp.full((bq, 1), -jnp.inf, jnp.float32)
+    s0 = jnp.zeros((bq, 1), jnp.float32)
+    acc, m, s = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, s0))
+    o_ref[0, 0] = (acc / s).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_k", "interpret")
+)
+def flash_attention_online(
+    q: jax.Array,  # (B, H, L, D)
+    k: jax.Array,  # (B, KVH, L, D)
+    v: jax.Array,
+    block_q: int = 256,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Length-unbounded flash attention (no bias path yet; MDM serving uses
+    none — see models/llada.py attention_bias_enabled)."""
+    b, h, l, d = q.shape
+    kvh = k.shape[1]
+    rep = h // kvh
+    block_q = min(block_q, l)
+    block_k = min(block_k, l)
+    if l % block_q or l % block_k:
+        raise ValueError(f"seq_len {l} not divisible by blocks {block_q}/{block_k}")
+    scale = 1.0 / (d ** 0.5)
+    grid = (b, h, l // block_q)
+    q_spec = pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+                          memory_space=pltpu.VMEM)
+    # K/V stay whole in VMEM (2 MB per (b,h) at L=8k,D=128,bf16); the online
+    # softmax removes the (block_q, L) score tile that capped the one-pass
+    # kernel, extending usable L to ~16k before K/V need HBM streaming.
+    kv_spec = pl.BlockSpec((1, 1, l, d), lambda bi, hi, qi: (bi, hi // rep, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(
+            _attn_online_kernel, scale=scale, block_k=block_k, seq_len=l
+        ),
+        grid=grid,
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+
+
 @functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
 def flash_attention(
     q: jax.Array,  # (B, H, L, D)

@@ -68,3 +68,23 @@ def test_flash_rejects_ragged_seq(rng):
     q, k, v = make_qkv(rng, 1, 2, 2, 100, 64)
     with pytest.raises(ValueError):
         flash_attention(q, k, v, block_q=64, interpret=True)
+
+
+def test_online_flash_matches_xla(rng):
+    from mmada_tpu.ops.flash_attention import flash_attention_online
+
+    q, k, v = make_qkv(rng, 1, 2, 2, 512, 64)
+    want = xla_attention(q, k, v)
+    got = flash_attention_online(q, k, v, block_q=128, block_k=128,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+
+
+def test_online_flash_gqa_long(rng):
+    from mmada_tpu.ops.flash_attention import flash_attention_online
+
+    q, k, v = make_qkv(rng, 1, 4, 2, 1024, 64)
+    want = xla_attention(q, k, v)
+    got = flash_attention_online(q, k, v, block_q=256, block_k=256,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
