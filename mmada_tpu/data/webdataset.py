@@ -54,6 +54,17 @@ def expand_shards(urls) -> list[str]:
     return shards
 
 
+def split_wds_name(name: str) -> tuple[str, str]:
+    """webdataset keying: split at the FIRST dot of the basename, so
+    `dir/000123.caption.txt` → key `dir/000123`, ext `caption.txt`
+    (the reference's wds grouping convention, data.py:64-100)."""
+    slash = name.rfind("/")
+    dot = name.find(".", slash + 1)
+    if dot == -1:
+        return "", ""
+    return name[:dot], name[dot + 1:].lower()
+
+
 def _group_tar_samples(tar: tarfile.TarFile) -> Iterator[dict]:
     """Group tar members by basename-without-extension (webdataset keying);
     nothrow semantics — corrupt members are skipped with a warning
@@ -63,7 +74,7 @@ def _group_tar_samples(tar: tarfile.TarFile) -> Iterator[dict]:
         if not member.isfile():
             continue
         name = member.name
-        key, _, ext = name.rpartition(".")
+        key, ext = split_wds_name(name)
         if not key:
             continue
         if current_key is not None and key != current_key and sample:
@@ -85,6 +96,8 @@ def decode_sample(raw: dict) -> Optional[dict]:
     for ext, data in raw.items():
         if ext == "__key__":
             continue
+        # multi-part extensions ('caption.txt') dispatch on the last part
+        ext = ext.rsplit(".", 1)[-1]
         try:
             if ext in IMAGE_EXTS:
                 out["image"] = Image.open(io.BytesIO(data))

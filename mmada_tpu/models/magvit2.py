@@ -380,7 +380,14 @@ def lfq_losses(z: jax.Array, beta: float = 0.25) -> dict[str, jax.Array]:
     mean_entropy = -jnp.sum(
         mean_prob * jnp.log(jnp.clip(mean_prob, 1e-20)), axis=-1
     ).mean()
-    commit = jnp.mean(jnp.square(zq - zf)) + beta * jnp.mean(jnp.square(zq - zf))
+    # two-sided commit with reference gradient structure
+    # (modeling_magvitv2.py:259-263): encoder pulled by the first term,
+    # straight-through side scaled by beta
+    zq_ste = zf + jax.lax.stop_gradient(zq - zf)
+    commit = (
+        jnp.mean(jnp.square(jax.lax.stop_gradient(zq) - zf))
+        + beta * jnp.mean(jnp.square(zq_ste - jax.lax.stop_gradient(zf)))
+    )
     return {
         "entropy_loss": entropy - mean_entropy,
         "commit_loss": commit,

@@ -86,8 +86,7 @@ class MMadaModel:
             return self.forward(tokens)
         return fn
 
-    def _window_forward_fn(self, num_tokens: int, window: tuple[int, int],
-                           mask_ignored: bool = True):
+    def _window_forward_fn(self, num_tokens: int, window: tuple[int, int]):
         def fn(tokens, attention_mask):
             logits = self.forward(
                 tokens, attention_mask=attention_mask, logit_window=window

@@ -55,6 +55,16 @@ def _attn_bias_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale: float):
     o_ref[0, 0] = o.astype(o_ref.dtype)
 
 
+def _fit_block(preferred: int, l: int) -> int:
+    """Largest power-of-two block ≤ preferred that divides l (min 128)."""
+    blk = min(preferred, l)
+    while blk > 128 and l % blk:
+        blk //= 2
+    if l % blk:
+        raise ValueError(f"seq_len {l} not divisible by any block ≥128")
+    return blk
+
+
 def _attn_online_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
                         block_k: int, seq_len: int):
     """Online-softmax (flash) variant: K/V walked in blocks with running
@@ -103,10 +113,8 @@ def flash_attention_online(
     b, h, l, d = q.shape
     kvh = k.shape[1]
     rep = h // kvh
-    block_q = min(block_q, l)
-    block_k = min(block_k, l)
-    if l % block_q or l % block_k:
-        raise ValueError(f"seq_len {l} not divisible by blocks {block_q}/{block_k}")
+    block_q = _fit_block(block_q, l)
+    block_k = _fit_block(block_k, l)
     scale = 1.0 / (d ** 0.5)
     grid = (b, h, l // block_q)
     q_spec = pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
@@ -142,9 +150,7 @@ def flash_attention(
     b, h, l, d = q.shape
     kvh = k.shape[1]
     rep = h // kvh
-    block_q = min(block_q, l)
-    if l % block_q:
-        raise ValueError(f"seq_len {l} not divisible by block_q {block_q}")
+    block_q = _fit_block(block_q, l)
     scale = 1.0 / (d ** 0.5)
     grid = (b, h, l // block_q)
 
@@ -179,6 +185,10 @@ def flash_attention(
             interpret=interpret,
         )(q, k, v)
 
+    if bias.dtype == jnp.bool_:
+        # boolean bias marks ALLOWED pairs (ops/attention.py contract);
+        # astype would turn it into a +0/+1 additive bias
+        bias = jnp.where(bias, 0.0, float(jnp.finfo(jnp.float32).min))
     bias = bias.astype(jnp.float32)
     bias_b = 0 if bias.shape[0] == 1 else None
     bias_h = 0 if bias.shape[1] == 1 else None

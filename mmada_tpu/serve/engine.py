@@ -171,15 +171,23 @@ class ServingEngine:
             self._flush(pending)
 
     def _flush(self, requests: list[_Request]):
-        # group by (kind, settings, payload length)
+        # group by (kind, settings, payload length); stochastic requests
+        # additionally group by seed — the jitted samplers draw one PRNG
+        # stream per batch, so mixing seeds in one group would silently use
+        # only the first (per-request reproducibility beats batching there)
         groups: dict[tuple, list[_Request]] = {}
         for r in requests:
             if r.kind == "t2i":
                 length = r.payload[0].shape[-1]
+                stochastic = r.settings.temperature > 0
             else:
                 length = r.payload.shape[-1]
-            groups.setdefault((r.kind, r.settings, length), []).append(r)
-        for (kind, settings, _), grp in groups.items():
+                stochastic = r.settings.temperature > 0
+            seed_key = r.seed if stochastic else None
+            groups.setdefault(
+                (r.kind, r.settings, length, seed_key), []
+            ).append(r)
+        for (kind, settings, _, _), grp in groups.items():
             try:
                 self._run_group(kind, settings, grp)
             except Exception as e:  # pragma: no cover

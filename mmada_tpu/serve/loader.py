@@ -78,6 +78,16 @@ def build_prompting(cfg: Config, tokenizer, vocab: VocabLayout) -> UniversalProm
             sp = dataclasses.replace(
                 sp, bos=tokenizer.bos_token_id, eos=tokenizer.eos_token_id
             )
+        # chat prompt masks key off <|end_header_id|>
+        # (prompting_utils.py:271-314); without it lm_chat masks nothing
+        if hasattr(tokenizer, "convert_tokens_to_ids"):
+            try:
+                eh = tokenizer.convert_tokens_to_ids("<|end_header_id|>")
+                unk = getattr(tokenizer, "unk_token_id", None)
+                if eh is not None and eh >= 0 and eh != unk:
+                    sp = dataclasses.replace(sp, end_header=eh)
+            except Exception:
+                pass
     return UniversalPrompting(
         tokenizer, sp,
         max_text_len=cfg.get_path("dataset.preprocessing.max_seq_length", 512),

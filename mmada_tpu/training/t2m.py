@@ -76,6 +76,8 @@ def make_t2m_train_step(
         vocab.motion_offset + vocab.motion_codebook_size + vocab.motion_special,
     )
 
+    model_template = dataclasses.replace(model_template, params=None)
+
     def loss_fn(params, batch, rng):
         model = dataclasses.replace(model_template, params=params)
         ids = batch["input_ids"]
@@ -125,7 +127,13 @@ def make_t2m_lora_train_step(
     """LoRA fine-tuning variant (train_t2m_lora.py analog): the base model
     is frozen; gradients flow only through the adapter pytree (+embeddings/
     head when configured). train_step(state, batch, rng) where state.params
-    is the TRAINABLE subset from models/lora.trainable_params."""
+    is the TRAINABLE subset from models/lora.trainable_params.
+
+    The step signature is train_step(state, batch, rng, base_params): the
+    frozen base weights are a RUNTIME argument — closure capture would pin
+    them and break remote compilation (see models/mmada.py docstring).
+    Falls back to the template's own params when base_params is None (small
+    models/tests)."""
     from mmada_tpu.models import lora as lora_mod
 
     vocab = model_template.vocab
@@ -133,9 +141,10 @@ def make_t2m_lora_train_step(
         vocab.motion_offset,
         vocab.motion_offset + vocab.motion_codebook_size + vocab.motion_special,
     )
-    base_params = model_template.params
+    fallback_base = model_template.params
+    model_template = dataclasses.replace(model_template, params=None)
 
-    def loss_fn(trainable, batch, rng):
+    def loss_fn(trainable, base_params, batch, rng):
         eff = lora_mod.apply_trainable(base_params, trainable, lora_cfg)
         model = dataclasses.replace(model_template, params=eff)
         ids = batch["input_ids"]
@@ -158,9 +167,12 @@ def make_t2m_lora_train_step(
         loss = t2m_loss(logits, rel, masked)
         return loss, {"loss_t2m": loss, "mask_prob": mask_prob.mean()}
 
-    def train_step(state: TrainState, batch: dict, rng: jax.Array):
+    def train_step(state: TrainState, batch: dict, rng: jax.Array,
+                   base_params=None):
+        if base_params is None:
+            base_params = fallback_base
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, rng
+            state.params, base_params, batch, rng
         )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

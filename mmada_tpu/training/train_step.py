@@ -129,6 +129,11 @@ def make_train_step(
     """Returns `train_step(state, batch, rng) -> (state, metrics)`,
     ready for jax.jit with sharded state/batch."""
 
+    # strip params from the closure: the template otherwise pins the
+    # step-0 parameter arrays for the whole run (and closure weights are
+    # catastrophic with this environment's remote compiler)
+    model_template = dataclasses.replace(model_template, params=None)
+
     def loss_fn(params, batch, rng):
         model = dataclasses.replace(model_template, params=params)
         prepared = corrupt_batch(model, sc, batch, rng)

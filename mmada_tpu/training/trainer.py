@@ -117,7 +117,13 @@ class Trainer:
             )
 
         self.state = TrainState.create(self.model.params, opt)
-        self.train_step = jax.jit(make_train_step(self.model, opt, self.step_cfg))
+        self.train_step = jax.jit(
+            make_train_step(self.model, opt, self.step_cfg),
+            donate_argnums=(0,),  # old state freed as the new one lands
+        )
+        # the live weights now belong to TrainState; keep the model as a
+        # paramless template so step-0 arrays don't stay resident
+        self.model = dataclasses.replace(self.model, params=None)
 
         out_dir = cfg.get_path("experiment.output_dir", "output")
         self.ckpt = CheckpointManager(

@@ -181,10 +181,11 @@ void ReadShard(Context* ctx, const std::string& path) {
       continue;
     }
 
-    auto dot = name.rfind('.');
-    auto slashsafe = name.rfind('/');
-    if (dot == std::string::npos ||
-        (slashsafe != std::string::npos && dot < slashsafe)) {
+    // webdataset keying: FIRST dot of the basename
+    // (`dir/000123.caption.txt` -> key `dir/000123`, ext `caption.txt`)
+    auto slash = name.rfind('/');
+    auto dot = name.find('.', slash == std::string::npos ? 0 : slash + 1);
+    if (dot == std::string::npos) {
       ctx->bad_members.fetch_add(1);
       if (std::fseek(f, static_cast<long>(padded), SEEK_CUR) != 0) break;
       continue;

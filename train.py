@@ -147,7 +147,11 @@ def train_t2m(cfg):
         trainable = lora_mod.trainable_params(model.params, adapters, lcfg)
         opt = optimizers.adamw(lr)
         state = TrainState.create(trainable, opt)
-        step = jax.jit(t2m.make_t2m_lora_train_step(model, opt, sc, lcfg))
+        base_params = model.params
+        lora_step = jax.jit(t2m.make_t2m_lora_train_step(model, opt, sc, lcfg))
+
+        def step(state, batch, rng):
+            return lora_step(state, batch, rng, base_params)
     else:
         opt = optimizers.adamw(lr, params_for_mask=model.params)
         state = TrainState.create(model.params, opt)
