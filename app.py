@@ -118,6 +118,8 @@ class AppState:
 
     def mmu(self, image_arr, question, max_new_tokens=128, steps=64,
             block_length=64, seed=0):
+        if image_arr is None:
+            return "(no image provided)"
         import jax
         import jax.numpy as jnp
 
@@ -225,6 +227,7 @@ def run_http(state: AppState, port: int):
                         max_new_tokens=int(req.get("max_new_tokens", 128)),
                         steps=int(req.get("steps", 64)),
                         block_length=int(req.get("block_length", 64)),
+                        seed=int(req.get("seed", 0)),
                     )
                     self._reply({"text": text})
                 else:
@@ -257,12 +260,20 @@ def run_gradio(state: AppState, port: int):  # pragma: no cover - optional dep
             img_in = gr.Image(label="Image", type="numpy")
             q = gr.Textbox(label="Question")
             a = gr.Textbox(label="Answer")
-            gr.Button("Ask").click(
-                lambda i, qq: state.mmu(
-                    (i.astype(np.float32) / 127.5 - 1.0), qq
-                ),
-                [img_in, q], a,
-            )
+            def _mmu_ui(i, qq):
+                if i is None:
+                    return "(no image provided)"
+                from PIL import Image as _Image
+
+                from mmada_tpu.data.transforms import image_transform
+
+                res = int(
+                    state.cfg.get_path("dataset.preprocessing.resolution", 512)
+                )
+                pixels = image_transform(_Image.fromarray(i), res)
+                return state.mmu(pixels, qq)
+
+            gr.Button("Ask").click(_mmu_ui, [img_in, q], a)
     demo.launch(server_port=port)
 
 

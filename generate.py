@@ -55,7 +55,10 @@ def main(argv):
         cfg_scale=cfg_scale,
         key=jax.random.key(seed) if temperature > 0 else None,
     )
-    answer = out[0, prompt.shape[1]:].tolist()
+    answer = out[0, prompt.shape[1]:]
+    # filter to the text vocab: sampled ids can land in the image/motion
+    # windows, which HF tokenizers cannot decode
+    answer = answer[answer < vocab.text_vocab_size].tolist()
     print(tokenizer.decode(answer))
     return 0
 

@@ -136,25 +136,38 @@ struct Context {
   std::atomic<uint64_t> bad_shards{0};
   std::atomic<uint64_t> samples_emitted{0};
   std::atomic<int> active_readers{0};
-  bool loop = false;
+  std::atomic<bool> loop{false};
+  std::atomic<bool> stopping{false};
   BoundedQueue* queue = nullptr;
   std::vector<std::thread> threads;
 };
 
-void ReadShard(Context* ctx, const std::string& path) {
+// members larger than this are treated as corrupt headers (a flipped size
+// field in a damaged shard would otherwise trigger a multi-GB allocation)
+constexpr uint64_t kMaxMemberBytes = 1ull << 29;  // 512 MB
+
+void ReadShardImpl(Context* ctx, const std::string& path) {
   FILE* f = std::fopen(path.c_str(), "rb");
   if (!f) {
     ctx->bad_shards.fetch_add(1);
     return;
   }
   Sample current;
+  bool sample_damaged = false;
   char header_buf[kBlock];
   std::string pending_longname;
-  while (std::fread(header_buf, 1, kBlock, f) == kBlock) {
+  while (!ctx->stopping.load(std::memory_order_relaxed) &&
+         std::fread(header_buf, 1, kBlock, f) == kBlock) {
     if (IsZeroBlock(header_buf)) break;
     const TarHeader* h = reinterpret_cast<const TarHeader*>(header_buf);
     uint64_t size = ParseOctal(h->size, sizeof(h->size));
     uint64_t padded = (size + kBlock - 1) / kBlock * kBlock;
+    if (size > kMaxMemberBytes) {  // corrupt size field
+      ctx->bad_members.fetch_add(1);
+      ctx->bad_shards.fetch_add(1);
+      sample_damaged = true;
+      break;
+    }
 
     std::string name;
     if (!pending_longname.empty()) {
@@ -196,7 +209,9 @@ void ReadShard(Context* ctx, const std::string& path) {
 
     std::vector<uint8_t> data(padded);
     if (std::fread(data.data(), 1, padded, f) != padded) {
+      // truncated shard: the in-flight sample is incomplete — discard it
       ctx->bad_members.fetch_add(1);
+      sample_damaged = true;
       break;
     }
     data.resize(size);
@@ -209,27 +224,38 @@ void ReadShard(Context* ctx, const std::string& path) {
     current.key = key;
     current.entries.push_back(Entry{std::move(ext), std::move(data)});
   }
-  if (!current.key.empty()) {
+  if (!current.key.empty() && !sample_damaged) {
     ctx->samples_emitted.fetch_add(1);
     ctx->queue->Push(std::move(current));
   }
   std::fclose(f);
 }
 
+void ReadShard(Context* ctx, const std::string& path) {
+  // nothrow contract: allocation or parse failures count as a bad shard
+  // instead of escaping the reader thread (std::terminate)
+  try {
+    ReadShardImpl(ctx, path);
+  } catch (const std::exception&) {
+    ctx->bad_shards.fetch_add(1);
+  }
+}
+
 void ReaderLoop(Context* ctx) {
   do {
     size_t idx;
-    while ((idx = ctx->next_shard.fetch_add(1)) < ctx->shards.size()) {
+    while (!ctx->stopping.load(std::memory_order_relaxed) &&
+           (idx = ctx->next_shard.fetch_add(1)) < ctx->shards.size()) {
       ReadShard(ctx, ctx->shards[idx]);
     }
-    if (ctx->loop) {
+    if (ctx->loop.load()) {
       // one thread resets the shard cursor for the next epoch
       size_t expected = ctx->next_shard.load();
       if (expected >= ctx->shards.size()) {
         ctx->next_shard.compare_exchange_strong(expected, 0);
       }
     }
-  } while (ctx->loop);
+  } while (ctx->loop.load() && !ctx->stopping.load());
   if (ctx->active_readers.fetch_sub(1) == 1) {
     ctx->queue->MarkDone();
   }
@@ -259,7 +285,7 @@ void* tario_open(const char** paths, int64_t n, int32_t threads,
   if (n <= 0 || threads <= 0) return nullptr;
   auto* ctx = new Context();
   ctx->shards.assign(paths, paths + n);
-  ctx->loop = loop != 0;
+  ctx->loop.store(loop != 0);
   ctx->queue = new BoundedQueue(static_cast<size_t>(capacity > 0 ? capacity : 256));
   ctx->active_readers.store(threads);
   for (int32_t i = 0; i < threads; ++i) {
@@ -309,7 +335,8 @@ void tario_stats(void* handle, uint64_t* samples, uint64_t* bad_members,
 void tario_close(void* handle) {
   auto* ctx = static_cast<Context*>(handle);
   if (!ctx) return;
-  ctx->loop = false;
+  ctx->stopping.store(true);
+  ctx->loop.store(false);
   ctx->queue->Close();
   for (auto& t : ctx->threads) t.join();
   delete ctx->queue;

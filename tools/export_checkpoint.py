@@ -32,6 +32,9 @@ def main(argv):
 
     cfg = load_config(cli_args=argv)
     ckpt_dir = cfg.get("checkpoint_dir") or cfg.get_path("experiment.output_dir")
+    if not ckpt_dir:
+        logger.error("set checkpoint_dir=... or experiment.output_dir in the config")
+        return 1
     out_dir = cfg.get("out_dir", os.path.join(ckpt_dir, "export"))
     step = cfg.get("step")
 

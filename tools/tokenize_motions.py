@@ -33,7 +33,6 @@ def main(argv):
     root = cfg.get_path("dataset.motion_root")
     split_file = cfg.get_path("dataset.split_file")
     out_name = cfg.get("out_name", "VQVAE_tokens")
-    unit = cfg.get_path("model.motion_vq_model.down_t", 2)
 
     mcfg_raw = cfg.get_path("model.motion_vq_model", {})
     mcfg = motion_vq.MotionVQConfig(

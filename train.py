@@ -10,7 +10,7 @@ import logging
 import sys
 
 
-def build_dataloader(cfg, trainer):
+def build_dataloader(cfg):
     """Construct the combined multi-flow loader from config. Synthetic flows
     are available for smoke tests (`dataset.synthetic: true`)."""
     import numpy as np
@@ -46,7 +46,9 @@ def build_dataloader(cfg, trainer):
             flows["lm_flow"] = synth_text(tr.batch_size_lm)
         if tr.get("batch_size_mmu"):
             flows["mmu_flow"] = synth_images(tr.batch_size_mmu)
-        return CombinedLoader(flows)
+        return CombinedLoader(
+            flows, cfg.get_path("dataset.combined_loader_mode", "max_size_cycle")
+        )
 
     params = cfg.get_path("dataset.params", {})
     gen_type = cfg.get_path("dataset.gen_type", "imagenet1k")
@@ -230,7 +232,7 @@ def main(argv):
     trainer = Trainer(cfg, model, prompting, vq_params, vq_cfg)
     if cfg.get_path("experiment.resume_from_checkpoint") == "latest":
         trainer.resume()
-    loader = build_dataloader(cfg, trainer)
+    loader = build_dataloader(cfg)
     trainer.fit(loader, rng_seed=cfg.get_path("training.seed", 0))
     return 0
 
