@@ -1,0 +1,107 @@
+"""HTTP demo app: all endpoints exercised against a live server."""
+
+import base64
+import io
+import json
+import threading
+import time
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+PORT = 7893
+
+
+@pytest.fixture(scope="module")
+def server():
+    import app as app_mod
+    from mmada_tpu.core.config import load_config
+
+    cfg = load_config(
+        "configs/tiny_test.yaml",
+        overrides=[
+            "model.mmada.num_vq_tokens=64",
+            "dataset.preprocessing.resolution=16",
+        ],
+    )
+    state = app_mod.AppState(cfg)
+    thread = threading.Thread(
+        target=app_mod.run_http, args=(state, PORT), daemon=True
+    )
+    thread.start()
+    time.sleep(1.0)
+    return state
+
+
+def post(path, payload, timeout=300):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{PORT}{path}",
+        json.dumps(payload).encode(),
+        {"Content-Type": "application/json"},
+    )
+    return json.loads(urllib.request.urlopen(req, timeout=timeout).read())
+
+
+def test_health(server):
+    out = json.loads(
+        urllib.request.urlopen(f"http://127.0.0.1:{PORT}/health").read()
+    )
+    assert out == {"status": "ok"}
+
+
+def test_generate(server):
+    out = post("/generate", {
+        "prompt": "hello", "gen_length": 16, "steps": 8,
+        "block_length": 8, "temperature": 0.0,
+    })
+    assert isinstance(out["text"], str)
+
+
+def test_t2i_and_stepwise(server):
+    out = post("/t2i", {"prompt": "a cat", "timesteps": 2,
+                        "guidance_scale": 1.5})
+    png = base64.b64decode(out["image_png_b64"])
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(png))
+    assert img.size == (16, 16)
+
+    out = post("/t2i_stepwise", {"prompt": "a cat", "timesteps": 2,
+                                 "guidance_scale": 1.5})
+    assert len(out["frames_png_b64"]) == 2
+
+
+def test_mmu_with_seed(server):
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(
+        (np.random.default_rng(0).random((32, 32, 3)) * 255).astype(np.uint8)
+    ).save(buf, format="PNG")
+    payload = {
+        "image_png_b64": base64.b64encode(buf.getvalue()).decode(),
+        "question": "what?", "max_new_tokens": 16, "steps": 8,
+        "block_length": 16, "seed": 3,
+    }
+    out = post("/mmu", payload)
+    assert isinstance(out["text"], str)
+
+
+def test_unknown_endpoint_404(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        post("/nope", {})
+    assert e.value.code == 404
+
+
+def test_malformed_body_is_500_not_crash(server):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{PORT}/generate", b"{not json",
+        {"Content-Type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=60)
+    assert e.value.code == 500
+    # server still alive
+    test_health(server)
