@@ -229,3 +229,13 @@ def load_config(
 def get_config() -> Config:
     """Drop-in for the reference's `training.utils.get_config`."""
     return load_config(cli_args=sys.argv[1:])
+
+
+def parse_structured(cls, cfg: Mapping[str, Any]):
+    """Config section → dataclass instance, ignoring unknown keys
+    (the reference's `models/misc.py:parse_structured` contract)."""
+    import dataclasses
+
+    names = {f.name for f in dataclasses.fields(cls)}
+    kwargs = {k: v for k, v in dict(cfg).items() if k in names}
+    return cls(**kwargs)

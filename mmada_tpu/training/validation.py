@@ -161,6 +161,31 @@ def understanding_images(
     return answers
 
 
+def quantative_images(
+    model: MMadaModel,
+    vq_params, vq_cfg,
+    prompting,
+    prompts,
+    scorer,
+    output_dir: str,
+    step: int,
+    **gen_kwargs,
+) -> dict:
+    """Stage-4 quality eval (train_mmada_stage4.py:1008-1115): generate from
+    the quantative prompt file and score with CLIP/ImageReward via
+    eval/image_quality.ImageQualityScorer; degrades to generation-only when
+    scoring models are unavailable."""
+    pixels = generate_images(
+        model, vq_params, vq_cfg, prompting, prompts, output_dir, step,
+        **gen_kwargs,
+    )
+    results = scorer.quantitative_images(pixels, prompts) if scorer else {}
+    out = _out_dir(output_dir, step)
+    with open(os.path.join(out, "quantative.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    return results
+
+
 def generate_chat_text(
     model: MMadaModel,
     tokenizer,
