@@ -64,6 +64,8 @@ class StepConfig:
     mask_schedule: Callable = cosine_schedule
     lm_loss_mode: str = "llada"
     use_chat_lm: bool = False    # stage-3: lm rows carry prompt masks
+    log_param_grad_norms: bool = False  # per-weight-kind grad norms
+                                        # (train_mmada.py:976-981 analog)
 
 
 def corrupt_batch(model: MMadaModel, sc: StepConfig, batch: dict, rng: jax.Array):
@@ -176,12 +178,27 @@ def make_train_step(
         )
         params = optax.apply_updates(state.params, updates)
         metrics = dict(aux, loss=loss, grad_norm=optax.global_norm(grads))
+        if sc.log_param_grad_norms:
+            metrics.update(per_kind_grad_norms(grads))
         return (
             TrainState(params=params, opt_state=opt_state, step=state.step + 1),
             metrics,
         )
 
     return train_step
+
+
+def per_kind_grad_norms(grads: Any) -> dict[str, jax.Array]:
+    """`grad_norm/<name>` per weight kind (the layer-stacked pytree gives one
+    entry per kind instead of the reference's per-layer flood,
+    train_mmada.py:976-981)."""
+    out = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(grads)[0]:
+        name = "/".join(
+            str(getattr(k, "key", getattr(k, "idx", k))) for k in path
+        )
+        out[f"grad_norm/{name}"] = jnp.sqrt(jnp.sum(jnp.square(leaf)))
+    return out
 
 
 def with_grad_accumulation(

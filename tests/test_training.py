@@ -238,3 +238,27 @@ def test_lr_schedules_shapes():
         np.testing.assert_allclose(mid, 1e-4, rtol=1e-5)
         end = float(fn(100))
         assert end <= 1e-4
+
+
+def test_per_param_grad_norms():
+    import dataclasses as _dc
+
+    from mmada_tpu.training.train_step import make_train_step
+
+    model = tiny_model()
+    sc = StepConfig(
+        batch_size_t2i=2, batch_size_lm=0, batch_size_mmu=0, max_seq_length=8,
+        log_param_grad_norms=True,
+    )
+    opt = optimizers.adamw(1e-3, params_for_mask=model.params)
+    state = TrainState.create(model.params, opt)
+    step = jax.jit(make_train_step(model, opt, sc))
+    rng = np.random.default_rng(0)
+    batch = {k: v for k, v in _toy_batch(rng, model, sc).items()
+             if k.startswith("t2i")}
+    state, metrics = step(state, batch, jax.random.key(0))
+    kinds = [k for k in metrics if k.startswith("grad_norm/")]
+    assert any("q_proj" in k for k in kinds)
+    assert any(k.endswith("wte") for k in kinds)
+    for k in kinds:
+        assert np.isfinite(float(metrics[k]))
