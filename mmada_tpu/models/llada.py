@@ -34,7 +34,7 @@ import jax.numpy as jnp
 
 from mmada_tpu.core.precision import FP32, Policy
 from mmada_tpu.ops.attention import bidirectional_attention, NEG_INF
-from mmada_tpu.ops.quantization import QuantizedTensor, maybe_matmul
+from mmada_tpu.ops.quantization import QuantizedTensor, W8A8Tensor, maybe_matmul
 from mmada_tpu.ops.norms import layer_norm, rms_norm
 
 Params = dict[str, Any]
@@ -395,10 +395,10 @@ def forward(
     x = _norm(cfg, x, params["ln_f"])
 
     head = params["wte"].T if cfg.weight_tying else params["ff_out"]
-    if isinstance(head, QuantizedTensor):
+    if isinstance(head, (QuantizedTensor, W8A8Tensor)):
         if logit_window is not None:
             start, stop = logit_window
-            head = QuantizedTensor(
+            head = type(head)(
                 values=head.values[..., :, start:stop],
                 scales=head.scales[..., start:stop],
             )

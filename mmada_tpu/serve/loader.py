@@ -118,12 +118,15 @@ def build_model(cfg: Config, vocab: VocabLayout) -> MMadaModel:
     model = MMadaModel.from_pretrained(
         path, vocab, dtype=policy.param_dtype, policy=policy
     )
-    if m.get("quantize") in ("int8", "w8"):
+    if m.get("quantize") in ("int8", "w8", "w8a8"):
         # full-depth 8B on one 16 GB chip (ops/quantization.py)
         from mmada_tpu.ops.quantization import quantize_llada_params
 
         model = dataclasses.replace(
-            model, params=quantize_llada_params(model.params)
+            model,
+            params=quantize_llada_params(
+                model.params, activations=m.get("quantize") == "w8a8"
+            ),
         )
     return model
 

@@ -91,3 +91,34 @@ def test_quantized_sampler_runs():
     )
     assert out.shape == (1, 24)
     assert (np.asarray(out) != vocab.mask_token_id).all()
+
+
+def test_w8a8_matmul_close():
+    from mmada_tpu.ops.quantization import W8A8Tensor, quantize_tensor, w8a8_matmul
+
+    key = jax.random.key(5)
+    w = jax.random.normal(key, (64, 128)) * 0.05
+    x = jax.random.normal(jax.random.key(6), (4, 64))
+    q = quantize_tensor(w)
+    got = w8a8_matmul(x, W8A8Tensor(values=q.values, scales=q.scales))
+    want = x @ w
+    rel = float(jnp.linalg.norm(got - want) / jnp.linalg.norm(want))
+    assert rel < 0.03, rel
+
+
+def test_w8a8_forward_and_sampler():
+    cfg = llada.tiny_config(vocab_size=128, d_model=64, n_heads=4,
+                            n_layers=2, mlp_hidden_size=128)
+    params = llada.init_params(jax.random.key(0), cfg)
+    qparams = Q.quantize_llada_params(params, activations=True)
+    ids = jnp.arange(16, dtype=jnp.int32)[None] % 100
+    full = llada.forward(params, cfg, ids)
+    quant = llada.forward(qparams, cfg, ids)
+    agree = float((jnp.argmax(full, -1) == jnp.argmax(quant, -1)).mean())
+    assert agree > 0.85, agree
+    # windowed head consistent with full
+    win = llada.forward(qparams, cfg, ids, logit_window=(32, 96))
+    np.testing.assert_allclose(
+        np.asarray(win), np.asarray(llada.forward(qparams, cfg, ids)[..., 32:96]),
+        rtol=1e-4, atol=1e-4,
+    )
