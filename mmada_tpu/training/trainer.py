@@ -121,6 +121,24 @@ class Trainer:
             make_train_step(self.model, opt, self.step_cfg),
             donate_argnums=(0,),  # old state freed as the new one lands
         )
+
+        # optional weight EMA (the reference ships an EMA class but never
+        # wires it, models/training_utils.py:61-297; here training.ema.*
+        # enables it)
+        ema_cfg = cfg.get_path("training.ema", Config())
+        self.ema_state = None
+        if ema_cfg.get("enabled"):
+            from mmada_tpu.training import ema as ema_mod
+
+            self.ema_state = ema_mod.EMAState.create(self.model.params)
+            self._ema_update = jax.jit(
+                lambda s, p: ema_mod.ema_update(
+                    s, p,
+                    max_decay=ema_cfg.get("max_decay", 0.9999),
+                    inv_gamma=ema_cfg.get("inv_gamma", 1.0),
+                    power=ema_cfg.get("power", 2.0 / 3.0),
+                )
+            )
         # the live weights now belong to TrainState; keep the model as a
         # paramless template so step-0 arrays don't stay resident
         self.model = dataclasses.replace(self.model, params=None)
@@ -240,6 +258,10 @@ class Trainer:
             data_meter.update(time.time() - end)
             key, sub = jax.random.split(key)
             self.state, metrics = self.train_step(self.state, batch, sub)
+            if self.ema_state is not None:
+                self.ema_state = self._ema_update(
+                    self.ema_state, self.state.params
+                )
             self.global_step += 1
             batch_meter.update(time.time() - end)
             end = time.time()
