@@ -130,7 +130,10 @@ class Trainer:
         if ema_cfg.get("enabled"):
             from mmada_tpu.training import ema as ema_mod
 
-            self.ema_state = ema_mod.EMAState.create(self.model.params)
+            # deep copy: the originals are donated by the first train step
+            self.ema_state = ema_mod.EMAState.create(
+                jax.tree.map(jnp.copy, self.model.params)
+            )
             self._ema_update = jax.jit(
                 lambda s, p: ema_mod.ema_update(
                     s, p,
