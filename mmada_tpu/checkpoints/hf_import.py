@@ -142,8 +142,24 @@ def load_pretrained(
     dtype: jnp.dtype = jnp.bfloat16,
     block_group_size: int = 1,
 ) -> Params:
-    """Load LLaDA/MMaDA weights from a local HF checkpoint directory."""
-    state = dict(iter_safetensors(model_dir))
+    """Load LLaDA/MMaDA weights from a local HF checkpoint directory:
+    safetensors (single or sharded) or `pytorch_model.bin` — the same two
+    formats the reference resume path handles (train_mmada.py:404-434)."""
+    has_st = os.path.exists(
+        os.path.join(model_dir, "model.safetensors.index.json")
+    ) or any(f.endswith(".safetensors") for f in os.listdir(model_dir))
+    if has_st:
+        state = dict(iter_safetensors(model_dir))
+    else:
+        bin_path = os.path.join(model_dir, "pytorch_model.bin")
+        if not os.path.exists(bin_path):
+            raise FileNotFoundError(
+                f"no safetensors or pytorch_model.bin under {model_dir}"
+            )
+        import torch
+
+        raw = torch.load(bin_path, map_location="cpu", weights_only=True)
+        state = {k: v.float().numpy() for k, v in raw.items()}
     return params_from_torch_state_dict(
         state, cfg, dtype=dtype, block_group_size=block_group_size
     )

@@ -74,23 +74,69 @@ def build_dataloader(cfg):
                 for b in batched(iter(reader), tr.batch_size_t2i)
             )
     if tr.get("batch_size_lm"):
-        ds = RefinedWebDataset(
-            params.get("train_lm_shards_path_or_url"),
-            shuffle_buffer=params.get("shuffle_buffer_size", 1000),
-        )
+        # stage-4 mixes base + instruct lm sources by probability
+        # coefficients (train_mmada_stage4.py:636)
+        base_coeff = params.get("base_in_lm_coeff")
+        if base_coeff is not None and params.get("train_instruct_lm_shards_path_or_url"):
+            from mmada_tpu.data.vqa import MixedStream
+
+            streams = {
+                "base": iter(RefinedWebDataset(
+                    params.get("train_lm_shards_path_or_url"),
+                    shuffle_buffer=params.get("shuffle_buffer_size", 1000),
+                )),
+                "instruct": iter(RefinedWebDataset(
+                    params.get("train_instruct_lm_shards_path_or_url"),
+                    shuffle_buffer=params.get("shuffle_buffer_size", 1000),
+                )),
+            }
+            weights = {
+                "base": base_coeff,
+                "instruct": params.get("instruct_in_lm_coeff", 1 - base_coeff),
+            }
+            lm_iter = iter(MixedStream(streams, weights))
+        else:
+            lm_iter = iter(RefinedWebDataset(
+                params.get("train_lm_shards_path_or_url"),
+                shuffle_buffer=params.get("shuffle_buffer_size", 1000),
+            ))
         flows["lm_flow"] = (
             {"input_ids": [s["input_ids"] for s in b]}
-            for b in batched(iter(ds), tr.batch_size_lm)
+            for b in batched(lm_iter, tr.batch_size_lm)
         )
     if tr.get("batch_size_mmu"):
-        reader = WebDatasetReader(
-            params.get("train_mmu_shards_path_or_url"),
-            transform=lambda img: image_transform(img, res),
-            shuffle_buffer=params.get("shuffle_buffer_size", 1000),
-        )
+        # stage-4 mixes mmu sources ({cot,vqa,clevr2,geo170k}_in_mmu_coeff,
+        # train_mmada_stage4.py:694): any `<name>_in_mmu_coeff` with a
+        # matching `train_<name>_mmu_shards_path_or_url` joins the mixture
+        mmu_sources = {}
+        for key, coeff in list(params.items()):
+            if key.endswith("_in_mmu_coeff"):
+                name = key[: -len("_in_mmu_coeff")]
+                shards = params.get(f"train_{name}_mmu_shards_path_or_url")
+                if shards:
+                    mmu_sources[name] = (shards, coeff)
+        if mmu_sources:
+            from mmada_tpu.data.vqa import MixedStream
+
+            streams = {
+                name: iter(WebDatasetReader(
+                    shards,
+                    transform=lambda img: image_transform(img, res),
+                    shuffle_buffer=params.get("shuffle_buffer_size", 1000),
+                ))
+                for name, (shards, _) in mmu_sources.items()
+            }
+            weights = {n: c for n, (_, c) in mmu_sources.items()}
+            mmu_iter = iter(MixedStream(streams, weights))
+        else:
+            mmu_iter = iter(WebDatasetReader(
+                params.get("train_mmu_shards_path_or_url"),
+                transform=lambda img: image_transform(img, res),
+                shuffle_buffer=params.get("shuffle_buffer_size", 1000),
+            ))
         flows["mmu_flow"] = (
             collate_image_text(b)
-            for b in batched(iter(reader), tr.batch_size_mmu)
+            for b in batched(mmu_iter, tr.batch_size_mmu)
         )
     return CombinedLoader(
         flows, cfg.get_path("dataset.combined_loader_mode", "max_size_cycle")
