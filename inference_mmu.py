@@ -66,13 +66,25 @@ def main(argv):
             [sp.mmu, sp.soi], fused[0], [sp.eoi], [sp.bos], text_ids,
         ]).astype(np.int32)[None]
 
-        out = model.mmu_generate(
-            jnp.asarray(frame),
-            max_new_tokens=max_new_tokens,
-            steps=steps,
-            block_length=block_length,
-            key=jax.random.key(seed),
-        )
+        if cfg.get("fast", False):
+            # mmu_generate_fast: stop early when a block ends in EOT
+            # (modeling_mmada.py:484-556)
+            out = model.mmu_generate_fast(
+                jnp.asarray(frame),
+                eot_token=prompting.sp.eos,
+                max_new_tokens=max_new_tokens,
+                steps=steps,
+                block_length=block_length,
+                key=jax.random.key(seed),
+            )
+        else:
+            out = model.mmu_generate(
+                jnp.asarray(frame),
+                max_new_tokens=max_new_tokens,
+                steps=steps,
+                block_length=block_length,
+                key=jax.random.key(seed),
+            )
         answer_ids = np.asarray(out[0, frame.shape[1]:])
         answer_ids = answer_ids[answer_ids < vocab.text_vocab_size]
         print(f"=== {fname}\n{tokenizer.decode(answer_ids.tolist())}\n")
