@@ -73,13 +73,31 @@ def llada_param_specs(cfg: LLaDAConfig) -> Any:
 
 def shard_params(params: Any, specs: Any, mesh: Mesh) -> Any:
     """Place a param pytree on the mesh with the given specs. Dims not
-    divisible by their axis size fall back to replication on that dim."""
+    divisible by their axis size fall back to replication on that dim.
+    Quantized leaves (ops/quantization) shard their int8 values with the
+    weight's spec; the tiny scale vectors replicate."""
+    from mmada_tpu.ops.quantization import QuantizedTensor, W8A8Tensor
 
     def place(param, spec):
+        if isinstance(param, (QuantizedTensor, W8A8Tensor)):
+            vspec = _divisibility_fallback(param.values.shape, spec, mesh)
+            return type(param)(
+                values=jax.device_put(param.values, NamedSharding(mesh, vspec)),
+                scales=jax.device_put(param.scales, NamedSharding(mesh, P())),
+            )
         fixed = _divisibility_fallback(param.shape, spec, mesh)
         return jax.device_put(param, NamedSharding(mesh, fixed))
 
-    return jax.tree.map(place, params, specs)
+    return jax.tree.map(
+        place, params, specs,
+        is_leaf=lambda x: _is_quantized_leaf(x),
+    )
+
+
+def _is_quantized_leaf(x) -> bool:
+    from mmada_tpu.ops.quantization import QuantizedTensor, W8A8Tensor
+
+    return isinstance(x, (QuantizedTensor, W8A8Tensor))
 
 
 def _axis_size(mesh: Mesh, axis) -> int:

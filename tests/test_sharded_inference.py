@@ -89,26 +89,9 @@ def test_quantized_params_shardable():
     cfg, params = build()
     qparams = Q.quantize_llada_params(params)
     mesh = make_mesh(data=1, fsdp=2, tensor=4)
-    specs = sharding.llada_param_specs(cfg)
-
-    # QuantizedTensor is a pytree: values get the weight spec, scales get
-    # the output-dim part. Shard values only (scales tiny -> replicate).
-    def place(leaf, spec):
-        import jax
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        if isinstance(leaf, Q.QuantizedTensor):
-            vspec = sharding._divisibility_fallback(leaf.values.shape, spec, mesh)
-            return Q.QuantizedTensor(
-                values=jax.device_put(leaf.values, NamedSharding(mesh, vspec)),
-                scales=jax.device_put(leaf.scales, NamedSharding(mesh, P())),
-            )
-        fixed = sharding._divisibility_fallback(leaf.shape, spec, mesh)
-        return jax.device_put(leaf, NamedSharding(mesh, fixed))
-
-    qsharded = jax.tree.map(
-        place, qparams, specs,
-        is_leaf=lambda x: isinstance(x, Q.QuantizedTensor),
+    # shard_params handles quantized leaves (values sharded, scales replicated)
+    qsharded = sharding.shard_params(
+        qparams, sharding.llada_param_specs(cfg), mesh
     )
     model = MMadaModel(cfg=cfg, params=qparams, vocab=VOCAB)
     model_sh = MMadaModel(cfg=cfg, params=qsharded, vocab=VOCAB)
