@@ -83,10 +83,10 @@ def bidirectional_attention(
             flash_attention_online,
         )
 
-        if q.shape[2] > 4096 and bias is None:
+        if q.shape[2] > 4096:
             # one-pass kernel's (block_q, L) score tile outgrows VMEM;
             # switch to the online-softmax variant
-            return flash_attention_online(q, k, v)
+            return flash_attention_online(q, k, v, bias=bias)
         return flash_attention(q, k, v, bias=bias)
     return xla_attention(q, k, v, bias=bias, softmax_dtype=softmax_dtype)
 
@@ -103,8 +103,6 @@ def _pallas_eligible(q, k, bias) -> bool:
         return False
     seq_q, seq_k = q.shape[2], k.shape[2]
     head_dim = q.shape[-1]
-    if seq_q > 4096 and bias is not None:
-        return False  # online variant has no bias path yet
     return (
         seq_q % 128 == 0
         and seq_k % 128 == 0

@@ -97,6 +97,38 @@ def _attn_online_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
     o_ref[0, 0] = (acc / s).astype(o_ref.dtype)
 
 
+def _attn_online_bias_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *,
+                             scale: float, block_k: int, seq_len: int):
+    """Online-softmax with an additive fp32 bias row block (bq, L) walked in
+    (bq, block_k) tiles alongside K/V."""
+    q = q_ref[0, 0].astype(jnp.float32) * scale
+    bq, d = q.shape
+    num_kb = seq_len // block_k
+
+    def body(i, carry):
+        acc, m, s = carry
+        k = k_ref[0, 0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, 0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        bias = b_ref[0, 0, :, pl.ds(i * block_k, block_k)].astype(jnp.float32)
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) + bias
+        m_new = jnp.maximum(m, jnp.max(scores, axis=-1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(scores - m_new)
+        s_new = s * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jnp.dot(
+            p, v, preferred_element_type=jnp.float32
+        )
+        return acc_new, m_new, s_new
+
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+    m0 = jnp.full((bq, 1), -jnp.inf, jnp.float32)
+    s0 = jnp.zeros((bq, 1), jnp.float32)
+    acc, m, s = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, s0))
+    o_ref[0, 0] = (acc / jnp.maximum(s, 1e-30)).astype(o_ref.dtype)
+
+
 @functools.partial(
     jax.jit, static_argnames=("block_q", "block_k", "interpret")
 )
@@ -104,12 +136,13 @@ def flash_attention_online(
     q: jax.Array,  # (B, H, L, D)
     k: jax.Array,  # (B, KVH, L, D)
     v: jax.Array,
+    bias: Optional[jax.Array] = None,  # (B|1, 1|H, L, L) bool or float
     block_q: int = 256,
     block_k: int = 512,
     interpret: bool = False,
 ) -> jax.Array:
-    """Length-unbounded flash attention (no bias path yet; MDM serving uses
-    none — see models/llada.py attention_bias_enabled)."""
+    """Length-unbounded flash attention (online softmax over K blocks),
+    with optional additive/boolean bias."""
     b, h, l, d = q.shape
     kvh = k.shape[1]
     rep = h // kvh
@@ -126,16 +159,45 @@ def flash_attention_online(
                            memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct(q.shape, q.dtype)
+
+    if bias is None:
+        return pl.pallas_call(
+            functools.partial(
+                _attn_online_kernel, scale=scale, block_k=block_k, seq_len=l
+            ),
+            grid=grid,
+            in_specs=[q_spec, kv_spec, kv_spec],
+            out_specs=out_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(q, k, v)
+
+    if bias.dtype == jnp.bool_:
+        bias = jnp.where(bias, 0.0, float(jnp.finfo(jnp.float32).min))
+    bias = bias.astype(jnp.float32)
+    bias_b = 0 if bias.shape[0] == 1 else None
+    bias_h = 0 if bias.shape[1] == 1 else None
+    b_spec = pl.BlockSpec(
+        (1, 1, block_q, l),
+        lambda bi, hi, qi: (
+            bias_b if bias_b is not None else bi,
+            bias_h if bias_h is not None else hi,
+            qi,
+            0,
+        ),
+        memory_space=pltpu.VMEM,
+    )
     return pl.pallas_call(
         functools.partial(
-            _attn_online_kernel, scale=scale, block_k=block_k, seq_len=l
+            _attn_online_bias_kernel, scale=scale, block_k=block_k, seq_len=l
         ),
         grid=grid,
-        in_specs=[q_spec, kv_spec, kv_spec],
+        in_specs=[q_spec, kv_spec, kv_spec, b_spec],
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_shape=out_shape,
         interpret=interpret,
-    )(q, k, v)
+    )(q, k, v, bias)
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "interpret"))

@@ -88,3 +88,24 @@ def test_online_flash_gqa_long(rng):
     got = flash_attention_online(q, k, v, block_q=256, block_k=256,
                                  interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+
+
+def test_online_flash_with_bias(rng):
+    from mmada_tpu.ops.flash_attention import flash_attention_online
+
+    b, h, l, d = 1, 2, 256, 64
+    q, k, v = make_qkv(rng, b, h, h, l, d)
+    mask = np.ones((b, l))
+    mask[0, :33] = 0
+    pair = (mask[:, :, None] * mask[:, None, :]) > 0
+    bias = jnp.asarray(pair[:, None])  # boolean allowed-pairs
+    want = xla_attention(q, k, v, bias=jnp.where(
+        bias, 0.0, NEG_INF).astype(jnp.float32))
+    got = flash_attention_online(q, k, v, bias=bias, block_q=128,
+                                 block_k=128, interpret=True)
+    valid = mask.astype(bool)
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 2, 1, 3)[valid],
+        np.asarray(want).transpose(0, 2, 1, 3)[valid],
+        atol=3e-5,
+    )
