@@ -166,6 +166,15 @@ def run_http(state: AppState, port: int):
         def do_GET(self):
             if self.path == "/health":
                 self._reply({"status": "ok"})
+            elif self.path == "/stats":
+                import jax
+
+                self._reply({
+                    "devices": [str(d) for d in jax.devices()],
+                    "vocab_size": state.vocab.total_vocab_size,
+                    "model_layers": state.model.cfg.n_layers,
+                    "d_model": state.model.cfg.d_model,
+                })
             else:
                 self._reply({"error": "not found"}, 404)
 

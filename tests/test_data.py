@@ -160,3 +160,24 @@ def test_combined_loader_max_size_cycle():
 def test_combined_loader_min_size():
     steps = list(CombinedLoader({"a": [1, 2, 3], "b": ["x", "y"]}, mode="min_size"))
     assert len(steps) == 2
+
+
+def test_stage4_mmu_mixing_via_train_loader(tmp_path, tar_shards):
+    """train.py builds a MixedStream when *_in_mmu_coeff sources exist."""
+    import train as train_mod
+    from mmada_tpu.core.config import load_config
+
+    # second source: reuse the same shards under a different name
+    cfg = load_config("configs/tiny_test.yaml", overrides=[
+        f"dataset.params.train_cot_mmu_shards_path_or_url={tar_shards}",
+        f"dataset.params.train_vqa_mmu_shards_path_or_url={tar_shards}",
+        "dataset.params.cot_in_mmu_coeff=0.5",
+        "dataset.params.vqa_in_mmu_coeff=0.5",
+        "dataset.preprocessing.resolution=8",
+        "training.batch_size_t2i=0", "training.batch_size_lm=0",
+        "training.batch_size_mmu=2",
+    ])
+    loader = train_mod.build_dataloader(cfg)
+    batch = next(iter(loader))
+    assert batch["mmu_flow"]["images"].shape == (2, 8, 8, 3)
+    assert len(batch["mmu_flow"]["input_ids"]) == 2

@@ -120,3 +120,55 @@ def test_param_count_tiny():
     params = params_from_torch_state_dict(state, cfg)
     torch_total = sum(v.size for v in state.values())
     assert llada.param_count(params) == torch_total
+
+
+def test_rope_half_precision_variant():
+    """rope_full_precision=False applies rotary math in the compute dtype;
+    results track the fp32 path closely at fp32 inputs."""
+    import dataclasses
+
+    state, rest = load_golden("forward_mha")
+    cfg = make_cfg()
+    params = params_from_torch_state_dict(state, cfg)
+    cfg_half = dataclasses.replace(cfg, rope_full_precision=False)
+    a = llada.forward(params, cfg, jnp.asarray(rest["input_ids"]))
+    b = llada.forward(params, cfg_half, jnp.asarray(rest["input_ids"]))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_gemma_rms_variant():
+    """gemma_rms computes x*(1+w): with w=1 it doubles the rms-normed
+    activations vs layer weight semantics."""
+    import dataclasses
+
+    from mmada_tpu.ops.norms import rms_norm
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 8)).astype(np.float32))
+    w = jnp.full((8,), 0.5)
+    plain = rms_norm(x, w)
+    gemma = rms_norm(x, w, gemma_style=True)
+    base = rms_norm(x, None)
+    np.testing.assert_allclose(np.asarray(plain), np.asarray(base) * 0.5, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gemma), np.asarray(base) * 1.5, rtol=1e-6)
+
+
+def test_scale_logits_and_input_emb_norm():
+    import dataclasses
+    import math
+
+    state, rest = load_golden("forward_mha")
+    cfg = make_cfg()
+    params = params_from_torch_state_dict(state, cfg)
+    ids = jnp.asarray(rest["input_ids"])
+    base = llada.forward(params, cfg, ids)
+    scaled = llada.forward(
+        params, dataclasses.replace(cfg, scale_logits=True), ids
+    )
+    np.testing.assert_allclose(
+        np.asarray(scaled), np.asarray(base) / math.sqrt(cfg.d_model),
+        rtol=1e-5,
+    )
+    embn = llada.forward(
+        params, dataclasses.replace(cfg, input_emb_norm=True), ids
+    )
+    assert not np.allclose(np.asarray(embn), np.asarray(base))
