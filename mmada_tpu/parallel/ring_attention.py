@@ -50,10 +50,15 @@ def _ring_attention_local(q, k, v, axis_name: str, scale: float):
         return (acc_new, m_new, s_new, k_next, v_next), None
 
     b, h, lq, d = q.shape
+    # pvary: constants enter the scan carry as device-varying values so the
+    # carry type matches the per-device outputs (jax>=0.9 shard_map typing)
+    def varying(x):
+        return jax.lax.pvary(x, axis_name)
+
     init = (
-        jnp.zeros((b, h, lq, d), jnp.float32),
-        jnp.full((b, h, lq, 1), -jnp.inf, jnp.float32),
-        jnp.zeros((b, h, lq, 1), jnp.float32),
+        varying(jnp.zeros((b, h, lq, d), jnp.float32)),
+        varying(jnp.full((b, h, lq, 1), -jnp.inf, jnp.float32)),
+        varying(jnp.zeros((b, h, lq, 1), jnp.float32)),
         k,  # rotate in the input dtype (halves ring traffic vs f32)
         v,
     )
