@@ -103,12 +103,15 @@ class ServingEngine:
         prompting=None,
         max_batch: int = 8,
         max_wait_ms: float = 10.0,
+        max_queue: int = 256,
     ):
         self.model = model
         self.prompting = prompting
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
-        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        # bounded queue: submit raises queue.Full under overload instead of
+        # accumulating unbounded request memory
+        self._queue: "queue.Queue[_Request]" = queue.Queue(maxsize=max_queue)
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self.stats = {"requests": 0, "batches": 0, "batched_requests": 0}
@@ -138,9 +141,15 @@ class ServingEngine:
 
     def _submit(self, kind, payload, settings, seed) -> Future:
         fut: Future = Future()
-        self._queue.put(
-            _Request(kind, payload, settings, fut, seed, time.time())
-        )
+        try:
+            self._queue.put_nowait(
+                _Request(kind, payload, settings, fut, seed, time.time())
+            )
+        except queue.Full:
+            fut.set_exception(
+                RuntimeError("serving queue full — backpressure")
+            )
+            return fut
         self.stats["requests"] += 1
         return fut
 
