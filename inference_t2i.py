@@ -44,6 +44,15 @@ def main(argv):
     else:
         prompts = [cfg.get("prompt", "a photo of a cat")]
 
+    scorer = None
+    if cfg.get("quantative", False):
+        # stage-4 quality instruments (CLIP score / ImageReward) when a
+        # local CLIP checkpoint is configured (eval/image_quality.py)
+        from mmada_tpu.eval.image_quality import load_scorer
+
+        scorer = load_scorer(cfg.get_path("eval.clip_dir"))
+    all_pixels, all_prompts = [], []
+
     os.makedirs(output_dir, exist_ok=True)
     key = jax.random.key(seed)
     for start in range(0, len(prompts), batch_size):
@@ -71,6 +80,19 @@ def main(argv):
             path = os.path.join(output_dir, f"{start + i:04d}.png")
             Image.fromarray(pixels[i]).save(path)
             print(f"{path}: {prompt}")
+        if scorer is not None:
+            all_pixels.append(pixels.astype(np.float32) / 127.5 - 1.0)
+            all_prompts.extend(chunk)
+
+    if scorer is not None and all_pixels:
+        import json
+
+        results = scorer.quantitative_images(
+            np.concatenate(all_pixels), all_prompts
+        )
+        with open(os.path.join(output_dir, "quantative.json"), "w") as f:
+            json.dump(results, f, indent=2)
+        print("quantative:", results or "(scoring models unavailable)")
     return 0
 
 
