@@ -108,20 +108,27 @@ def main(argv):
         if mv_ckpt and os.path.exists(mv_ckpt) else template
     )
 
-    ds = MotionEvalDataset(root, split, wv)
+    max_frames = int(cfg.get_path("eval.max_motion_frames", 196))
+    unit = 2 ** mv_cfg.down_t
+    ds = MotionEvalDataset(root, split, wv, max_motion_length=max_frames)
     items = [ds[i] for i in range(len(ds))]
     eval_batches = (
         collate_eval_items(b) for b in batched(iter(items), batch_size)
     )
-    denorm = (lambda m: ds.std * m + ds.mean) if ds.mean is not None else None
 
     results = evaluate_mmada_t2m(
         model, mv_params, mv_cfg, evaluator, prompting, eval_batches,
         T2MEvalConfig(
-            num_motion_tokens=cfg.get_path("dataset.max_motion_length", 49),
+            # VQ TOKENS, not frames: unit_length frames per token
+            num_motion_tokens=int(
+                cfg.get_path("eval.num_motion_tokens", max_frames // unit // 4 * 4 or 49)
+            ),
             timesteps=int(cfg.get_path("eval.timesteps", 18)),
+            unit_length=unit,
         ),
-        denormalize=denorm,
+        # evaluator consumes NORMALIZED motion space, same as the dataset's
+        # ground truth (reference eval_trans.py:775-776 — inv_transform is
+        # only for visualization); no denormalize here
         max_batches=max_batches,
     )
     print(json.dumps({k: float(v) for k, v in results.items()}, indent=2))

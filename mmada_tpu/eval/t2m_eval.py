@@ -79,11 +79,10 @@ def evaluate_mmada_t2m(
         if denormalize is not None:
             gen_motion = denormalize(gen_motion)
 
-        gen_lens = np.full(
-            (len(captions),), gen_motion.shape[1], np.int32
-        )
-        # pad/trim generated motion to the evaluator's max length
+        # pad/trim generated motion to the evaluator's max length; lengths
+        # must reflect the POST-trim frame count
         T = batch["motion"].shape[1]
+        gen_frames = min(gen_motion.shape[1], T)
         if gen_motion.shape[1] < T:
             gen_motion = np.pad(
                 gen_motion,
@@ -91,6 +90,7 @@ def evaluate_mmada_t2m(
             )
         else:
             gen_motion = gen_motion[:, :T]
+        gen_lens = np.full((len(captions),), gen_frames, np.int32)
 
         text_emb, gt_emb = evaluator.get_co_embeddings(
             jnp.asarray(batch["word_embs"]), jnp.asarray(batch["pos_onehot"]),

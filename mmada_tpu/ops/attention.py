@@ -103,6 +103,11 @@ def _pallas_eligible(q, k, bias) -> bool:
         return False
     seq_q, seq_k = q.shape[2], k.shape[2]
     head_dim = q.shape[-1]
+    if seq_q > 4096 and bias is not None:
+        # the online kernel's bias BlockSpec stages a (block_q, L) fp32
+        # tile in VMEM — fine to ~4k, the one-pass blow-up beyond; biased
+        # long sequences use the XLA path until the bias is k-block staged
+        return False
     return (
         seq_q % 128 == 0
         and seq_k % 128 == 0

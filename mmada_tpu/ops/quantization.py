@@ -119,7 +119,7 @@ def _to_w8a8(q: QuantizedTensor) -> W8A8Tensor:
 
 
 def is_quantized(leaf) -> bool:
-    return isinstance(leaf, QuantizedTensor)
+    return isinstance(leaf, (QuantizedTensor, W8A8Tensor))
 
 
 def maybe_matmul(x: jax.Array, w) -> jax.Array:

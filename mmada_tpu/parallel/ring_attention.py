@@ -31,9 +31,9 @@ def _ring_attention_local(q, k, v, axis_name: str, scale: float):
     """Per-device body: q (B, H, Lq, D) local block; k/v local blocks that
     rotate around the ring."""
     axis_size = jax.lax.psum(1, axis_name)
+    perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
 
-    def step(carry, _):
-        acc, m, s, k_cur, v_cur = carry
+    def accumulate(acc, m, s, k_cur, v_cur):
         scores = jnp.einsum(
             "bhqd,bhkd->bhqk", q, k_cur, preferred_element_type=jnp.float32
         ) * scale
@@ -44,10 +44,16 @@ def _ring_attention_local(q, k, v, axis_name: str, scale: float):
         acc_new = acc * alpha + jnp.einsum(
             "bhqk,bhkd->bhqd", p, v_cur, preferred_element_type=jnp.float32
         ).astype(jnp.float32)
-        perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
-        k_next = jax.lax.ppermute(k_cur, axis_name, perm)
-        v_next = jax.lax.ppermute(v_cur, axis_name, perm)
-        return (acc_new, m_new, s_new, k_next, v_next), None
+        return acc_new, m_new, s_new
+
+    def step(carry, _):
+        acc, m, s, k_cur, v_cur = carry
+        # permute FIRST: the local block is consumed before the scan, so
+        # exactly axis_size-1 transfers happen (no wasted final permute)
+        k_cur = jax.lax.ppermute(k_cur, axis_name, perm)
+        v_cur = jax.lax.ppermute(v_cur, axis_name, perm)
+        acc, m, s = accumulate(acc, m, s, k_cur, v_cur)
+        return (acc, m, s, k_cur, v_cur), None
 
     b, h, lq, d = q.shape
     # pvary: constants enter the scan carry as device-varying values so the
@@ -55,14 +61,15 @@ def _ring_attention_local(q, k, v, axis_name: str, scale: float):
     def varying(x):
         return jax.lax.pvary(x, axis_name)
 
-    init = (
+    acc0, m0, s0 = accumulate(
         varying(jnp.zeros((b, h, lq, d), jnp.float32)),
         varying(jnp.full((b, h, lq, 1), -jnp.inf, jnp.float32)),
         varying(jnp.zeros((b, h, lq, 1), jnp.float32)),
-        k,  # rotate in the input dtype (halves ring traffic vs f32)
-        v,
+        k, v,
     )
-    (acc, m, s, _, _), _ = jax.lax.scan(step, init, None, length=axis_size)
+    (acc, m, s, _, _), _ = jax.lax.scan(
+        step, (acc0, m0, s0, k, v), None, length=axis_size - 1
+    )
     return (acc / s).astype(q.dtype)
 
 

@@ -33,7 +33,13 @@ import jax.numpy as jnp
 
 logger = logging.getLogger(__name__)
 
-BATCH_BUCKETS = (1, 2, 4, 8)
+def _buckets_up_to(max_batch: int) -> tuple:
+    out, b = [], 1
+    while b < max_batch:
+        out.append(b)
+        b *= 2
+    out.append(max_batch)
+    return tuple(out)
 
 
 @functools.partial(jax.jit, static_argnames=("settings",))
@@ -89,11 +95,7 @@ class _Request:
     enqueue_time: float
 
 
-def _bucket(n: int) -> int:
-    for b in BATCH_BUCKETS:
-        if n <= b:
-            return b
-    return BATCH_BUCKETS[-1]
+
 
 
 class ServingEngine:
@@ -109,6 +111,7 @@ class ServingEngine:
         self.prompting = prompting
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
+        self.buckets = _buckets_up_to(max_batch)
         # bounded queue: submit raises queue.Full under overload instead of
         # accumulating unbounded request memory
         self._queue: "queue.Queue[_Request]" = queue.Queue(maxsize=max_queue)
@@ -126,6 +129,14 @@ class ServingEngine:
         self._stop.set()
         if self._thread:
             self._thread.join(timeout=5)
+        # resolve anything still queued so no caller hangs on result()
+        while True:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if not req.future.done():
+                req.future.set_exception(RuntimeError("engine stopped"))
 
     def submit_text(self, prompt_ids: np.ndarray, settings: TextSettings,
                     seed: int = 0) -> Future:
@@ -187,7 +198,8 @@ class ServingEngine:
         groups: dict[tuple, list[_Request]] = {}
         for r in requests:
             if r.kind == "t2i":
-                length = r.payload[0].shape[-1]
+                # both frame AND uncond lengths shape the program
+                length = (r.payload[0].shape[-1], r.payload[1].shape[-1])
                 stochastic = r.settings.temperature > 0
             else:
                 length = r.payload.shape[-1]
@@ -207,7 +219,7 @@ class ServingEngine:
 
     def _run_group(self, kind: str, settings, grp: list[_Request]):
         n = len(grp)
-        bucket = _bucket(n)
+        bucket = next(b for b in self.buckets if n <= b)
         self.stats["batches"] += 1
         self.stats["batched_requests"] += n
         key = jax.random.key(grp[0].seed)

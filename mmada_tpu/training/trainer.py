@@ -227,10 +227,27 @@ class Trainer:
         except ValueError:
             pass  # non-main thread
 
+    def _save_checkpoint(self):
+        """Persist TrainState and, when enabled, the EMA shadow (which would
+        otherwise silently reset to fresh weights on resume)."""
+        payload = (
+            {"train": self.state, "ema": self.ema_state}
+            if self.ema_state is not None else self.state
+        )
+        self.ckpt.save(self.global_step, payload)
+
     def resume(self):
-        restored, step = self.ckpt.restore(self.state)
+        template = (
+            {"train": self.state, "ema": self.ema_state}
+            if self.ema_state is not None else self.state
+        )
+        restored, step = self.ckpt.restore(template)
         if restored is not None:
-            self.state = restored
+            if self.ema_state is not None:
+                self.state = restored["train"]
+                self.ema_state = restored["ema"]
+            else:
+                self.state = restored
             self.global_step = step
             logger.info("resumed from step %d", step)
 
@@ -250,7 +267,7 @@ class Trainer:
                 break
             if self._preempted:
                 logger.warning("preemption: saving checkpoint and stopping")
-                self.ckpt.save(self.global_step, self.state)
+                self._save_checkpoint()
                 break
             if profile_at is not None and self.global_step == profile_at:
                 jax.profiler.start_trace(profile_dir)
@@ -289,12 +306,19 @@ class Trainer:
                     vals["loss_lm"], vals["loss_mmu"], vals["samples_per_sec"],
                 )
             if self.save_every and self.global_step % self.save_every == 0:
-                self.ckpt.save(self.global_step, self.state)
+                self._save_checkpoint()
             if (
                 self.generate_every
                 and self.global_step % self.generate_every == 0
             ):
                 self._run_validation_hooks()
+        if (
+            profile_at is not None
+            and profile_at <= self.global_step < profile_at + 3
+        ):
+            # loop exited inside the profiling window — flush the trace
+            jax.profiler.stop_trace()
+            logger.info("profile trace written to %s", profile_dir)
         return self.state
 
     def _run_validation_hooks(self):
