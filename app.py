@@ -34,6 +34,23 @@ class AppState:
          self.prompting, self.vocab) = load_all(cfg)
         self.cfg = cfg
         self.lock = threading.Lock()
+        self.engine = None  # set by start_engine() in HTTP mode
+
+    def start_engine(self):
+        """Route text/mmu requests through the batched ServingEngine:
+        concurrent deterministic requests of the same shape micro-batch
+        (measured 2.2x aggregate text throughput at batch 8, BASELINE.md).
+        t2i stays on the direct path (compute-bound from batch 1 — batching
+        buys nothing — and the engine API carries no attention masks)."""
+        from mmada_tpu.serve.engine import ServingEngine
+
+        self.engine = ServingEngine(self.model, prompting=self.prompting).start()
+        return self
+
+    def stop_engine(self):
+        if self.engine is not None:
+            self.engine.stop()
+            self.engine = None
 
     # ------------------------------------------------------------- tasks
     def generate_text(self, prompt, gen_length=128, steps=64,
@@ -45,14 +62,27 @@ class AppState:
         if thinking:
             prompt = THINK_PREFIX + "\n" + prompt
         ids = self.tokenizer([prompt])["input_ids"]
-        with self.lock:
-            out = self.model.generate(
-                jnp.asarray(ids, jnp.int32),
+        if self.engine is not None:
+            from mmada_tpu.serve.engine import TextSettings
+
+            settings = TextSettings(
                 gen_length=gen_length, steps=steps,
                 block_length=block_length, temperature=temperature,
                 cfg_scale=cfg_scale,
-                key=jax.random.key(seed) if temperature > 0 else None,
             )
+            fut = self.engine.submit_text(
+                np.asarray(ids[0], np.int32), settings, seed=seed
+            )
+            out = fut.result()[None]
+        else:
+            with self.lock:
+                out = self.model.generate(
+                    jnp.asarray(ids, jnp.int32),
+                    gen_length=gen_length, steps=steps,
+                    block_length=block_length, temperature=temperature,
+                    cfg_scale=cfg_scale,
+                    key=jax.random.key(seed) if temperature > 0 else None,
+                )
         answer = np.asarray(out[0, len(ids[0]):])
         answer = answer[answer < self.vocab.text_vocab_size]
         return self.tokenizer.decode(answer.tolist())
@@ -135,12 +165,22 @@ class AppState:
         frame = np.concatenate(
             [[sp.mmu, sp.soi], fused, [sp.eoi, sp.bos], text_ids]
         ).astype(np.int32)[None]
-        with self.lock:
-            out = self.model.mmu_generate(
-                jnp.asarray(frame), max_new_tokens=max_new_tokens,
-                steps=steps, block_length=block_length,
-                key=jax.random.key(seed),
+        if self.engine is not None:
+            from mmada_tpu.serve.engine import TextSettings
+
+            settings = TextSettings(
+                gen_length=max_new_tokens, steps=steps,
+                block_length=block_length, temperature=0.0,
             )
+            fut = self.engine.submit_mmu(frame[0], settings, seed=seed)
+            out = fut.result()[None]
+        else:
+            with self.lock:
+                out = self.model.mmu_generate(
+                    jnp.asarray(frame), max_new_tokens=max_new_tokens,
+                    steps=steps, block_length=block_length,
+                    key=jax.random.key(seed),
+                )
         answer = np.asarray(out[0, frame.shape[1]:])
         answer = answer[answer < self.vocab.text_vocab_size]
         return self.tokenizer.decode(answer.tolist())
@@ -169,12 +209,15 @@ def run_http(state: AppState, port: int):
             elif self.path == "/stats":
                 import jax
 
-                self._reply({
+                payload = {
                     "devices": [str(d) for d in jax.devices()],
                     "vocab_size": state.vocab.total_vocab_size,
                     "model_layers": state.model.cfg.n_layers,
                     "d_model": state.model.cfg.d_model,
-                })
+                }
+                if state.engine is not None:
+                    payload["engine"] = dict(state.engine.stats)
+                self._reply(payload)
             else:
                 self._reply({"error": "not found"}, 404)
 
@@ -244,9 +287,13 @@ def run_http(state: AppState, port: int):
             except Exception as e:
                 self._reply({"error": str(e)}, 500)
 
+    state.start_engine()
     server = ThreadingHTTPServer(("0.0.0.0", port), Handler)
     print(f"serving on http://0.0.0.0:{port} (endpoints: /health /generate /t2i /t2i_stepwise /mmu)")
-    server.serve_forever()
+    try:
+        server.serve_forever()
+    finally:
+        state.stop_engine()
 
 
 def run_gradio(state: AppState, port: int):  # pragma: no cover - optional dep

@@ -191,22 +191,25 @@ class ServingEngine:
             self._flush(pending)
 
     def _flush(self, requests: list[_Request]):
-        # group by (kind, settings, payload length); stochastic requests
-        # additionally group by seed — the jitted samplers draw one PRNG
-        # stream per batch, so mixing seeds in one group would silently use
-        # only the first (per-request reproducibility beats batching there)
+        # group by (kind, settings, payload length); stochastic requests run
+        # UNBATCHED (one group each) — the jitted samplers draw one PRNG
+        # stream per batch, so a request's noise would depend on its row
+        # position, breaking the seed→result reproducibility contract (even
+        # two same-seed requests in one batch would differ: rows draw
+        # different slices of the batch noise). Cheap in practice: denoising
+        # is compute-bound from batch 1 (BASELINE.md — t2i img/s is flat
+        # across batch sizes), so batching stochastic requests buys little.
         groups: dict[tuple, list[_Request]] = {}
         for r in requests:
             if r.kind == "t2i":
                 # both frame AND uncond lengths shape the program
                 length = (r.payload[0].shape[-1], r.payload[1].shape[-1])
-                stochastic = r.settings.temperature > 0
             else:
                 length = r.payload.shape[-1]
-                stochastic = r.settings.temperature > 0
-            seed_key = r.seed if stochastic else None
+            stochastic = r.settings.temperature > 0
+            solo = id(r) if stochastic else None
             groups.setdefault(
-                (r.kind, r.settings, length, seed_key), []
+                (r.kind, r.settings, length, solo), []
             ).append(r)
         for (kind, settings, _, _), grp in groups.items():
             try:

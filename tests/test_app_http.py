@@ -89,6 +89,36 @@ def test_mmu_with_seed(server):
     assert isinstance(out["text"], str)
 
 
+def test_concurrent_generate_micro_batches(server):
+    """HTTP mode routes /generate through the ServingEngine: concurrent
+    deterministic same-shape requests share a device batch, and results
+    match the sequential ones."""
+    payload = {"prompt": "hello", "gen_length": 16, "steps": 8,
+               "block_length": 8, "temperature": 0.0}
+    want = post("/generate", payload)["text"]
+    stats0 = json.loads(
+        urllib.request.urlopen(f"http://127.0.0.1:{PORT}/stats").read()
+    )["engine"]
+
+    results = [None] * 4
+    def worker(i):
+        results[i] = post("/generate", payload)["text"]
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(r == want for r in results)
+
+    stats1 = json.loads(
+        urllib.request.urlopen(f"http://127.0.0.1:{PORT}/stats").read()
+    )["engine"]
+    new_requests = stats1["requests"] - stats0["requests"]
+    new_batches = stats1["batches"] - stats0["batches"]
+    assert new_requests == 4
+    assert new_batches < 4  # actually micro-batched, not serialized
+
+
 def test_unknown_endpoint_404(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         post("/nope", {})

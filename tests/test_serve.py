@@ -72,6 +72,53 @@ def test_t2i_requests(model):
         engine.stop()
 
 
+def test_stochastic_seed_reproducibility(model):
+    """Stochastic requests never share a batch (the jitted samplers draw one
+    PRNG stream per batch, so a request's noise would depend on its row
+    position): each request must exactly reproduce a direct single-request
+    run with its seed, regardless of what was in flight alongside it."""
+    import jax.numpy as jnp
+
+    engine = ServingEngine(model, max_wait_ms=50).start()
+    try:
+        settings = TextSettings(
+            gen_length=8, steps=4, block_length=8, temperature=1.0
+        )
+        prompt = np.arange(3, 9)
+        futs = [engine.submit_text(prompt, settings, seed=s) for s in (0, 1, 2)]
+        outs = [f.result(timeout=120) for f in futs]
+        for seed, got in zip((0, 1, 2), outs):
+            want = np.asarray(
+                model.generate(
+                    jnp.asarray(prompt)[None],
+                    gen_length=8, steps=4, block_length=8, temperature=1.0,
+                    key=jax.random.key(seed),
+                )
+            )[0]
+            np.testing.assert_array_equal(got, want)
+        # distinct seeds → distinct batches, never silently merged
+        assert engine.stats["batches"] == 3
+        # same seed + same prompt → identical result (reproducibility), even
+        # when both requests are in flight together
+        f1 = engine.submit_text(prompt, settings, seed=7)
+        f2 = engine.submit_text(prompt, settings, seed=7)
+        np.testing.assert_array_equal(f1.result(120), f2.result(120))
+    finally:
+        engine.stop()
+
+
+def test_stop_drains_queued_futures(model):
+    """stop() must resolve still-queued requests with an exception rather
+    than leaving callers hanging on result()."""
+    engine = ServingEngine(model, max_wait_ms=10)
+    # never started: submissions sit in the queue forever
+    settings = TextSettings(gen_length=8, steps=4, block_length=8)
+    fut = engine.submit_text(np.full(6, 9), settings)
+    engine.stop()
+    with pytest.raises(RuntimeError, match="engine stopped"):
+        fut.result(timeout=5)
+
+
 def test_mixed_kinds_and_lengths(model):
     engine = ServingEngine(model, max_wait_ms=30).start()
     try:
