@@ -87,6 +87,43 @@ class AppState:
         answer = answer[answer < self.vocab.text_vocab_size]
         return self.tokenizer.decode(answer.tolist())
 
+    def generate_text_stepwise(self, prompt, gen_length=128, steps=64,
+                               block_length=32, temperature=1.0,
+                               cfg_scale=0.0, thinking=False, seed=0):
+        """Per-step token states for streaming visualization (reference
+        app.py:116-165 HighlightedText MASK/GEN panel): one entry per
+        denoise step with the answer region's tokens and their state."""
+        import jax
+        import jax.numpy as jnp
+
+        if thinking:
+            prompt = THINK_PREFIX + "\n" + prompt
+        ids = self.tokenizer([prompt])["input_ids"]
+        with self.lock:
+            traj = self.model.generate_stepwise(
+                jnp.asarray(ids, jnp.int32),
+                gen_length=gen_length, steps=steps,
+                block_length=block_length, temperature=temperature,
+                cfg_scale=cfg_scale,
+                key=jax.random.key(seed) if temperature > 0 else None,
+            )
+        traj = np.asarray(traj)[:, 0, len(ids[0]):]  # (steps, gen_length)
+        mask_id = self.vocab.mask_token_id
+        out = []
+        for state in traj:
+            toks = []
+            for t in state.tolist():
+                if t == mask_id:
+                    toks.append({"token": "[MASK]", "state": "MASK"})
+                elif t < self.vocab.text_vocab_size:
+                    toks.append(
+                        {"token": self.tokenizer.decode([t]), "state": "GEN"}
+                    )
+                else:
+                    toks.append({"token": f"<{t}>", "state": "GEN"})
+            out.append(toks)
+        return out
+
     def t2i(self, prompt, timesteps=15, guidance_scale=3.5,
             temperature=1.0, seed=0):
         import jax
@@ -237,6 +274,18 @@ def run_http(state: AppState, port: int):
                         seed=int(req.get("seed", 0)),
                     )
                     self._reply({"text": text})
+                elif self.path == "/generate_stepwise":
+                    steps = state.generate_text_stepwise(
+                        req.get("prompt", ""),
+                        gen_length=int(req.get("gen_length", 128)),
+                        steps=int(req.get("steps", 64)),
+                        block_length=int(req.get("block_length", 32)),
+                        temperature=float(req.get("temperature", 1.0)),
+                        cfg_scale=float(req.get("cfg_scale", 0.0)),
+                        thinking=bool(req.get("thinking", False)),
+                        seed=int(req.get("seed", 0)),
+                    )
+                    self._reply({"steps": steps})
                 elif self.path == "/t2i":
                     arr = state.t2i(
                         req.get("prompt", ""),
@@ -289,7 +338,7 @@ def run_http(state: AppState, port: int):
 
     state.start_engine()
     server = ThreadingHTTPServer(("0.0.0.0", port), Handler)
-    print(f"serving on http://0.0.0.0:{port} (endpoints: /health /generate /t2i /t2i_stepwise /mmu)")
+    print(f"serving on http://0.0.0.0:{port} (endpoints: /health /stats /generate /generate_stepwise /t2i /t2i_stepwise /mmu)")
     try:
         server.serve_forever()
     finally:
@@ -303,11 +352,24 @@ def run_gradio(state: AppState, port: int):  # pragma: no cover - optional dep
         with gr.Tab("Text Generation"):
             inp = gr.Textbox(label="Prompt")
             think = gr.Checkbox(label="Thinking mode")
-            out = gr.Textbox(label="Output")
-            gr.Button("Generate").click(
-                lambda p, t: state.generate_text(p, thinking=t),
-                [inp, think], out,
+            viz = gr.HighlightedText(
+                label="Denoising (per step)",
+                color_map={"MASK": "gray", "GEN": "green"},
             )
+            out = gr.Textbox(label="Output")
+
+            def _stream_text(p, t):
+                # per-step MASK/GEN states (reference app.py:116-165)
+                steps = state.generate_text_stepwise(p, thinking=t)
+                for s in steps:
+                    yield [(tok["token"], tok["state"]) for tok in s], ""
+                final = "".join(
+                    tok["token"] for tok in steps[-1]
+                    if tok["state"] == "GEN" and not tok["token"].startswith("<")
+                )
+                yield [(tok["token"], tok["state"]) for tok in steps[-1]], final
+
+            gr.Button("Generate").click(_stream_text, [inp, think], [viz, out])
         with gr.Tab("Text To Image"):
             p2 = gr.Textbox(label="Prompt")
             img = gr.Image(label="Image")

@@ -105,6 +105,20 @@ class MMadaModel:
         )
         return text_sampling.generate(self._text_forward_fn(), prompt, scfg, key=key)
 
+    def generate_stepwise(self, prompt, gen_length=128, steps=128,
+                          block_length=128, temperature=0.0, cfg_scale=0.0,
+                          remasking="low_confidence", key=None):
+        """Full denoising trajectory (steps, B, P+gen_length) for per-step
+        streaming visualization (reference app.py:116-165)."""
+        scfg = text_sampling.SemiARConfig(
+            gen_length=gen_length, steps=steps, block_length=block_length,
+            temperature=temperature, cfg_scale=cfg_scale, remasking=remasking,
+            mask_id=self.vocab.mask_token_id,
+        )
+        return text_sampling.generate_stepwise(
+            self._text_forward_fn(), prompt, scfg, key=key
+        )
+
     def mmu_generate(self, input_ids, max_new_tokens=128, steps=128,
                      block_length=128, temperature=0.0, cfg_scale=0.0,
                      remasking="low_confidence", key=None):

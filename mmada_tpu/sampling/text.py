@@ -176,6 +176,66 @@ def generate(
     return x
 
 
+def generate_stepwise(
+    forward_fn: ForwardFn,
+    prompt: jax.Array,  # (B, P)
+    cfg: SemiARConfig,
+    key: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Like `generate`, but returns the full denoising trajectory
+    `(steps, B, P + gen_length)` — the token state after every step. Powers
+    per-step streaming visualization (the reference demo's HighlightedText
+    MASK/GEN token states, app.py:116-165). The trajectory comes out of the
+    scan's stacked outputs, so it is still one XLA program per block; the
+    final row equals `generate`'s output exactly."""
+    b, p = prompt.shape
+    x = jnp.concatenate(
+        [
+            prompt.astype(jnp.int32),
+            jnp.full((b, cfg.gen_length), cfg.mask_id, jnp.int32),
+        ],
+        axis=1,
+    )
+    prompt_index = x != cfg.mask_id
+    spb = cfg.steps_per_block
+
+    needs_key = cfg.temperature > 0 or cfg.remasking == "random"
+    if needs_key and key is None:
+        raise ValueError("stochastic sampling requires a PRNG key")
+
+    states = []
+    for block in range(cfg.num_blocks):
+        block_start = p + block * cfg.block_length
+        block_end = p + (block + 1) * cfg.block_length
+        block_mask = (
+            x[:, block_start:block_end] == cfg.mask_id
+        ).sum(axis=1)
+        transfers = num_transfer_schedule(block_mask, spb)
+
+        if needs_key:
+            key, sub = jax.random.split(key)
+            step_keys = jax.random.split(sub, spb)
+        else:
+            step_keys = jnp.zeros((spb, 2), jnp.uint32)
+
+        def step(carry, inp):
+            step_key, n_transfer = inp
+            x_next = _denoise_step(
+                carry,
+                step_key if needs_key else None,
+                n_transfer,
+                forward_fn,
+                prompt_index,
+                block_end,
+                cfg,
+            )
+            return x_next, x_next
+
+        x, block_states = jax.lax.scan(step, x, (step_keys, transfers.T))
+        states.append(block_states)
+    return jnp.concatenate(states, axis=0)
+
+
 def generate_with_early_stop(
     forward_fn: ForwardFn,
     prompt: jax.Array,

@@ -59,6 +59,21 @@ def test_generate(server):
     assert isinstance(out["text"], str)
 
 
+def test_generate_stepwise(server):
+    out = post("/generate_stepwise", {
+        "prompt": "hello", "gen_length": 16, "steps": 8,
+        "block_length": 8, "temperature": 0.0,
+    })
+    steps = out["steps"]
+    assert len(steps) == 8
+    assert all(len(s) == 16 for s in steps)
+    assert all(t["state"] in ("MASK", "GEN") for s in steps for t in s)
+    # NOTE: with random tiny weights the argmax can legitimately be the mask
+    # token, so full resolution isn't asserted here — the mask-monotonicity
+    # and termination semantics are covered token-exactly against the torch
+    # golden in test_sampler_parity.py::test_text_generate_stepwise_trajectory
+
+
 def test_t2i_and_stepwise(server):
     out = post("/t2i", {"prompt": "a cat", "timesteps": 2,
                         "guidance_scale": 1.5})

@@ -59,6 +59,38 @@ def test_text_generate_parity(cfg_scale):
     np.testing.assert_array_equal(np.asarray(out), want)
 
 
+def test_text_generate_stepwise_trajectory():
+    """Stepwise trajectory: final state equals generate()'s output exactly;
+    masked count is non-increasing step to step; committed tokens never
+    change once placed (semi-AR blocks freeze beyond the active block)."""
+    state, rest = load_golden("text_generate")
+    cfg = tiny_cfg()
+    params = params_from_torch_state_dict(state, cfg)
+
+    def forward_fn(tokens):
+        return llada.forward(params, cfg, tokens)
+
+    scfg = text_sampling.SemiARConfig(
+        gen_length=16, steps=8, block_length=8,
+        temperature=0.0, cfg_scale=0.0, mask_id=MASK_ID,
+    )
+    prompt = jnp.asarray(rest["prompt"])
+    traj = np.asarray(text_sampling.generate_stepwise(forward_fn, prompt, scfg))
+    assert traj.shape[0] == 8
+    final = np.asarray(text_sampling.generate(forward_fn, prompt, scfg))
+    np.testing.assert_array_equal(traj[-1], final)
+
+    mask_counts = (traj == MASK_ID).sum(axis=(1, 2))
+    assert (np.diff(mask_counts) <= 0).all()
+    assert mask_counts[-1] == 0
+    # once committed, a token never flips
+    for s in range(1, traj.shape[0]):
+        prev_committed = traj[s - 1] != MASK_ID
+        np.testing.assert_array_equal(
+            traj[s][prev_committed], traj[s - 1][prev_committed]
+        )
+
+
 def test_text_generate_jits_end_to_end():
     state, rest = load_golden("text_generate")
     cfg = tiny_cfg()
