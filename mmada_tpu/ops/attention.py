@@ -101,6 +101,22 @@ def _is_tpu_backend() -> bool:
 def _pallas_eligible(q, k, bias) -> bool:
     if not _is_tpu_backend():
         return False
+    if jax.device_count() > 1:
+        # under pjit/GSPMD a pallas_call has no partitioning rule: the SPMD
+        # partitioner replicates its operands (all-gathering sharded
+        # activations) and every device computes FULL attention — silently
+        # destroying tensor/sequence parallelism and risking VMEM blow-up.
+        # Multi-chip 'auto' therefore uses the XLA einsum path, which GSPMD
+        # partitions head-parallel with no collectives. Per-device Pallas is
+        # still available inside shard_map (where shapes are already the
+        # local shard): parallel/tp_attention and parallel/ring_attention.
+        return False
+    return _pallas_shape_eligible(q, k, bias)
+
+
+def _pallas_shape_eligible(q, k, bias) -> bool:
+    """Tile-alignment checks only (no backend/topology gating) — for
+    callers that have already established a per-device context."""
     seq_q, seq_k = q.shape[2], k.shape[2]
     head_dim = q.shape[-1]
     if seq_q > 4096 and bias is not None:

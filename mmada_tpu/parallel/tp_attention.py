@@ -1,0 +1,95 @@
+"""Tensor-parallel attention: heads sharded over the mesh, Pallas per shard.
+
+Bidirectional MDM attention is head-local — no cross-head reduction — so
+tensor parallelism needs ZERO collectives inside the op: shard Q/K/V on the
+head axis, run the single-device kernel on each device's local heads, and
+the output inherits the head sharding (the surrounding projections'
+collectives are inserted by GSPMD as usual).
+
+This wrapper exists because a bare `pallas_call` has no GSPMD partitioning
+rule (ops/attention.py:_pallas_eligible): under plain pjit the partitioner
+would replicate the operands. `shard_map` sidesteps that by handing each
+device its local (B, H/axis, L, D) block, inside which the Pallas kernel
+(or the XLA fallback off-TPU) runs unmodified.
+
+The reference has no tensor parallelism at all (SURVEY.md §2.6); this is
+the TPU-native path for serving the 8B model bf16 on a v5e-4/8 slice.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+try:  # moved out of experimental in newer JAX
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from mmada_tpu.ops.attention import (
+    _is_tpu_backend,
+    _pallas_shape_eligible,
+    bidirectional_attention,
+)
+
+
+def tp_attention(
+    q: jax.Array,  # (B, H, L, D)
+    k: jax.Array,  # (B, KVH, L, D)
+    v: jax.Array,  # (B, KVH, L, D)
+    mesh: Mesh,
+    axis_name: str = "tensor",
+    bias: Optional[jax.Array] = None,  # (B|1, 1|H, L, L), replicated
+    softmax_dtype: jnp.dtype = jnp.float32,
+    impl: str = "auto",
+) -> jax.Array:
+    """Head-sharded attention over `axis_name`. H and KVH must divide the
+    axis size (GQA groups stay intact on one device so the kernel's
+    head-repeat indexing is purely local). A (B|1, 1, L, L) bias is
+    broadcast to every shard; a per-head bias shards with the heads."""
+    axis_size = mesh.shape[axis_name]
+    n_heads, n_kv = q.shape[1], k.shape[1]
+    if n_heads % axis_size or n_kv % axis_size:
+        raise ValueError(
+            f"heads ({n_heads}, kv {n_kv}) must divide mesh axis "
+            f"'{axis_name}' of size {axis_size}"
+        )
+
+    head_spec = P(None, axis_name, None, None)
+    if bias is None:
+        bias_spec = None
+    elif bias.shape[1] == 1:
+        bias_spec = P(None, None, None, None)  # replicated per-pair mask
+    else:
+        bias_spec = P(None, axis_name, None, None)
+
+    def local(q_blk, k_blk, v_blk, *maybe_bias):
+        b = maybe_bias[0] if maybe_bias else None
+        # resolve 'auto' on the LOCAL shard shapes: inside shard_map the
+        # partitioning is manual, so the multi-chip gate in
+        # ops.attention._pallas_eligible must not apply
+        local_impl = impl
+        if impl == "auto":
+            local_impl = (
+                "pallas"
+                if _is_tpu_backend() and _pallas_shape_eligible(q_blk, k_blk, b)
+                else "xla"
+            )
+        return bidirectional_attention(
+            q_blk, k_blk, v_blk, bias=b,
+            softmax_dtype=softmax_dtype, impl=local_impl,
+        )
+
+    in_specs = (head_spec, head_spec, head_spec)
+    args = (q, k, v)
+    if bias is not None:
+        in_specs = in_specs + (bias_spec,)
+        args = args + (bias,)
+    fn = shard_map(
+        local, mesh=mesh, in_specs=in_specs, out_specs=head_spec
+    )
+    return fn(*args)
