@@ -358,11 +358,14 @@ def forward(
     input_embeddings: Optional[jax.Array] = None,
     policy: Policy = FP32,
     logit_window: Optional[tuple[int, int]] = None,
+    logit_positions: Optional[tuple[int, int]] = None,
     remat: bool = False,
     attn_impl: str = "auto",
     output_hidden_states: bool = False,
 ):
-    """Compute logits `(B, L, V)` (or `(B, L, window)` with `logit_window`).
+    """Compute logits `(B, L, V)` (or `(B, L, window)` with `logit_window`;
+    `logit_positions=(start, stop)` additionally restricts the head to that
+    position span, returning `(B, stop-start, ...)`).
 
     Equivalent to `LLaDAModel.forward` (modeling_llada.py:1161-1366) minus
     the KV-cache/causal paths that MDM forbids.
@@ -391,6 +394,14 @@ def forward(
         body = jax.checkpoint(body, prevent_cse=False)
 
     x, hidden = jax.lax.scan(body, x, params["blocks"])
+
+    if logit_positions is not None:
+        # denoise loops only consume a contiguous span's logits (the image /
+        # motion window): slice the hidden states BEFORE the final norm and
+        # vocab-head matmul, skipping their FLOPs and HBM traffic for the
+        # prompt positions (~L_prompt/L of the head cost)
+        p_start, p_stop = logit_positions
+        x = x[:, p_start:p_stop]
 
     x = _norm(cfg, x, params["ln_f"])
 

@@ -73,11 +73,12 @@ class MMadaModel:
 
     # ------------------------------------------------------------- forward
     def forward(self, input_ids, attention_mask=None, attention_bias=None,
-                logit_window=None):
+                logit_window=None, logit_positions=None):
         return llada.forward(
             self.params, self.cfg, input_ids,
             attention_mask=attention_mask, attention_bias=attention_bias,
             policy=self.policy, logit_window=logit_window,
+            logit_positions=logit_positions,
             remat=self.remat, attn_impl=self.attn_impl,
         )
 
@@ -88,10 +89,13 @@ class MMadaModel:
 
     def _window_forward_fn(self, num_tokens: int, window: tuple[int, int]):
         def fn(tokens, attention_mask):
-            logits = self.forward(
-                tokens, attention_mask=attention_mask, logit_window=window
+            # vocab AND position windows: the head matmul runs only over the
+            # image/motion span's hidden states and the task's vocab slice
+            seq_len = tokens.shape[1]
+            return self.forward(
+                tokens, attention_mask=attention_mask, logit_window=window,
+                logit_positions=(seq_len - (num_tokens + 1), seq_len - 1),
             )
-            return logits[:, -(num_tokens + 1):-1, :]
         return fn
 
     # ---------------------------------------------------------------- text

@@ -75,6 +75,26 @@ def test_quantized_windowed_head():
     )
 
 
+def test_position_windowed_head():
+    """logit_positions slices hidden states before norm+head: logits for the
+    span are bit-identical to the corresponding slice of the full forward,
+    for both plain and quantized heads."""
+    cfg = llada.tiny_config(vocab_size=128, d_model=64, n_heads=4,
+                            n_layers=2, mlp_hidden_size=128)
+    params = llada.init_params(jax.random.key(0), cfg)
+    ids = jnp.arange(16, dtype=jnp.int32)[None] % 100
+    full = llada.forward(params, cfg, ids)
+    span = llada.forward(params, cfg, ids, logit_positions=(4, 12))
+    np.testing.assert_array_equal(np.asarray(span), np.asarray(full[:, 4:12]))
+
+    qparams = Q.quantize_llada_params(params)
+    qfull = llada.forward(qparams, cfg, ids, logit_window=(32, 96))
+    qspan = llada.forward(
+        qparams, cfg, ids, logit_window=(32, 96), logit_positions=(4, 12)
+    )
+    np.testing.assert_array_equal(np.asarray(qspan), np.asarray(qfull[:, 4:12]))
+
+
 def test_quantized_sampler_runs():
     from mmada_tpu.core.vocab import tiny_layout
     from mmada_tpu.models.mmada import MMadaModel
