@@ -56,6 +56,29 @@ def _jit_text(model, prompts, settings, key):
 
 
 @functools.partial(jax.jit, static_argnames=("settings",))
+def _jit_text_per_row_keys(model, prompts, settings, keys):
+    """Batched stochastic generation with one PRNG key PER ROW: each row's
+    noise draws have the same shapes as a solo batch-1 run, so every
+    request's result is bit-identical to running it alone with its seed —
+    batching composition cannot perturb outputs. This is what makes
+    stochastic text requests batchable at all (a single batch key would tie
+    a row's sample to its row position)."""
+
+    def row(p, k):
+        return model.generate(
+            p[None],
+            gen_length=settings.gen_length,
+            steps=settings.steps,
+            block_length=settings.block_length,
+            temperature=settings.temperature,
+            cfg_scale=settings.cfg_scale,
+            key=k,
+        )[0]
+
+    return jax.vmap(row, in_axes=(0, 0))(prompts, keys)
+
+
+@functools.partial(jax.jit, static_argnames=("settings",))
 def _jit_t2i(model, frames, unconds, settings, key):
     return model.t2i_generate(
         frames,
@@ -191,23 +214,23 @@ class ServingEngine:
             self._flush(pending)
 
     def _flush(self, requests: list[_Request]):
-        # group by (kind, settings, payload length); stochastic requests run
-        # UNBATCHED (one group each) — the jitted samplers draw one PRNG
-        # stream per batch, so a request's noise would depend on its row
-        # position, breaking the seed→result reproducibility contract (even
-        # two same-seed requests in one batch would differ: rows draw
-        # different slices of the batch noise). Cheap in practice: denoising
-        # is compute-bound from batch 1 (BASELINE.md — t2i img/s is flat
-        # across batch sizes), so batching stochastic requests buys little.
+        # group by (kind, settings, payload length). Stochastic text/mmu
+        # batches use one PRNG key PER ROW (_jit_text_per_row_keys), so each
+        # request reproduces its solo run bit-exactly regardless of batch
+        # composition — text batching is the big serving win (2.2x aggregate
+        # at batch 8, BASELINE.md). Stochastic t2i stays UNBATCHED: its
+        # sampler takes one batch key, and t2i throughput is flat across
+        # batch sizes anyway (compute-bound from batch 1), so batching would
+        # only break seed reproducibility for zero gain.
         groups: dict[tuple, list[_Request]] = {}
         for r in requests:
             if r.kind == "t2i":
                 # both frame AND uncond lengths shape the program
                 length = (r.payload[0].shape[-1], r.payload[1].shape[-1])
+                solo = id(r) if r.settings.temperature > 0 else None
             else:
                 length = r.payload.shape[-1]
-            stochastic = r.settings.temperature > 0
-            solo = id(r) if stochastic else None
+                solo = None
             groups.setdefault(
                 (r.kind, r.settings, length, solo), []
             ).append(r)
@@ -229,13 +252,23 @@ class ServingEngine:
 
         if kind in ("text", "mmu"):
             prompts = np.stack([np.asarray(r.payload).reshape(-1) for r in grp])
+            seeds = [r.seed for r in grp]
             if bucket > n:  # pad batch to the bucket with copies
                 prompts = np.concatenate(
                     [prompts, np.repeat(prompts[-1:], bucket - n, 0)]
                 )
-            out = np.asarray(
-                _jit_text(self.model, jnp.asarray(prompts), settings, key)
-            )
+                seeds += [seeds[-1]] * (bucket - n)
+            if settings.temperature > 0:
+                keys = jax.vmap(jax.random.key)(jnp.asarray(seeds, jnp.uint32))
+                out = np.asarray(
+                    _jit_text_per_row_keys(
+                        self.model, jnp.asarray(prompts), settings, keys
+                    )
+                )
+            else:
+                out = np.asarray(
+                    _jit_text(self.model, jnp.asarray(prompts), settings, key)
+                )
             for i, r in enumerate(grp):
                 r.future.set_result(out[i])
         elif kind == "t2i":

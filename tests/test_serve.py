@@ -73,10 +73,10 @@ def test_t2i_requests(model):
 
 
 def test_stochastic_seed_reproducibility(model):
-    """Stochastic requests never share a batch (the jitted samplers draw one
-    PRNG stream per batch, so a request's noise would depend on its row
-    position): each request must exactly reproduce a direct single-request
-    run with its seed, regardless of what was in flight alongside it."""
+    """Stochastic text batches use one PRNG key per row, so every request
+    reproduces a direct single-request run with its seed BIT-EXACTLY, no
+    matter what was batched alongside it — and the requests still share a
+    device batch (the 2.2x text-serving win)."""
     import jax.numpy as jnp
 
     engine = ServingEngine(model, max_wait_ms=50).start()
@@ -96,10 +96,9 @@ def test_stochastic_seed_reproducibility(model):
                 )
             )[0]
             np.testing.assert_array_equal(got, want)
-        # distinct seeds → distinct batches, never silently merged
-        assert engine.stats["batches"] == 3
-        # same seed + same prompt → identical result (reproducibility), even
-        # when both requests are in flight together
+        # distinct seeds DO batch (per-row keys make it safe)
+        assert engine.stats["batches"] < 3
+        # same seed + same prompt → identical result, in-flight together
         f1 = engine.submit_text(prompt, settings, seed=7)
         f2 = engine.submit_text(prompt, settings, seed=7)
         np.testing.assert_array_equal(f1.result(120), f2.result(120))
