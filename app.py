@@ -55,7 +55,7 @@ class AppState:
     # ------------------------------------------------------------- tasks
     def generate_text(self, prompt, gen_length=128, steps=64,
                       block_length=32, temperature=1.0, cfg_scale=0.0,
-                      thinking=False, seed=0):
+                      remasking="low_confidence", thinking=False, seed=0):
         import jax
         import jax.numpy as jnp
 
@@ -68,7 +68,7 @@ class AppState:
             settings = TextSettings(
                 gen_length=gen_length, steps=steps,
                 block_length=block_length, temperature=temperature,
-                cfg_scale=cfg_scale,
+                cfg_scale=cfg_scale, remasking=remasking,
             )
             fut = self.engine.submit_text(
                 np.asarray(ids[0], np.int32), settings, seed=seed
@@ -80,8 +80,9 @@ class AppState:
                     jnp.asarray(ids, jnp.int32),
                     gen_length=gen_length, steps=steps,
                     block_length=block_length, temperature=temperature,
-                    cfg_scale=cfg_scale,
-                    key=jax.random.key(seed) if temperature > 0 else None,
+                    cfg_scale=cfg_scale, remasking=remasking,
+                    key=jax.random.key(seed)
+                    if (temperature > 0 or remasking == "random") else None,
                 )
         answer = np.asarray(out[0, len(ids[0]):])
         answer = answer[answer < self.vocab.text_vocab_size]
@@ -270,6 +271,7 @@ def run_http(state: AppState, port: int):
                         block_length=int(req.get("block_length", 32)),
                         temperature=float(req.get("temperature", 1.0)),
                         cfg_scale=float(req.get("cfg_scale", 0.0)),
+                        remasking=req.get("remasking", "low_confidence"),
                         thinking=bool(req.get("thinking", False)),
                         seed=int(req.get("seed", 0)),
                     )

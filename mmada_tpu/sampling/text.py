@@ -108,7 +108,10 @@ def _denoise_step(
     elif cfg.remasking == "random":
         x0_p = jax.random.uniform(key_conf, x.shape, jnp.float32)
     else:
-        raise ValueError(cfg.remasking)
+        raise ValueError(
+            f"unknown remasking {cfg.remasking!r}; "
+            "expected 'low_confidence' or 'random'"
+        )
 
     # Freeze everything beyond the current block.
     pos = jnp.arange(x.shape[1])

@@ -51,7 +51,8 @@ def _jit_text(model, prompts, settings, key):
         block_length=settings.block_length,
         temperature=settings.temperature,
         cfg_scale=settings.cfg_scale,
-        key=key if settings.temperature > 0 else None,
+        remasking=settings.remasking,
+        key=key if settings.stochastic else None,
     )
 
 
@@ -72,6 +73,7 @@ def _jit_text_per_row_keys(model, prompts, settings, keys):
             block_length=settings.block_length,
             temperature=settings.temperature,
             cfg_scale=settings.cfg_scale,
+            remasking=settings.remasking,
             key=k,
         )[0]
 
@@ -98,6 +100,12 @@ class TextSettings:
     block_length: int = 128
     temperature: float = 0.0
     cfg_scale: float = 0.0
+    remasking: str = "low_confidence"  # or 'random'
+
+    @property
+    def stochastic(self) -> bool:
+        # 'random' remasking draws confidence noise even at temperature 0
+        return self.temperature > 0 or self.remasking == "random"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -258,7 +266,7 @@ class ServingEngine:
                     [prompts, np.repeat(prompts[-1:], bucket - n, 0)]
                 )
                 seeds += [seeds[-1]] * (bucket - n)
-            if settings.temperature > 0:
+            if settings.stochastic:
                 keys = jax.vmap(jax.random.key)(jnp.asarray(seeds, jnp.uint32))
                 out = np.asarray(
                     _jit_text_per_row_keys(

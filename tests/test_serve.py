@@ -106,6 +106,27 @@ def test_stochastic_seed_reproducibility(model):
         engine.stop()
 
 
+def test_random_remasking_needs_key_and_reproduces(model):
+    """remasking='random' is stochastic even at temperature 0: the engine
+    must route it through the per-row-key path (a keyless run would raise),
+    and the same seed must reproduce."""
+    engine = ServingEngine(model, max_wait_ms=30).start()
+    try:
+        settings = TextSettings(
+            gen_length=8, steps=4, block_length=8,
+            temperature=0.0, remasking="random",
+        )
+        assert settings.stochastic
+        prompt = np.arange(3, 9)
+        f1 = engine.submit_text(prompt, settings, seed=11)
+        f2 = engine.submit_text(prompt, settings, seed=11)
+        r1, r2 = f1.result(120), f2.result(120)
+        np.testing.assert_array_equal(r1, r2)
+        assert r1.shape == (14,)
+    finally:
+        engine.stop()
+
+
 def test_stop_drains_queued_futures(model):
     """stop() must resolve still-queued requests with an exception rather
     than leaving callers hanging on result()."""
