@@ -81,11 +81,16 @@ def bidirectional_attention(
         from mmada_tpu.ops.flash_attention import (
             flash_attention,
             flash_attention_online,
+            flash_attention_staged,
         )
 
         if q.shape[2] > 4096:
-            # one-pass kernel's (block_q, L) score tile outgrows VMEM;
-            # switch to the online-softmax variant
+            # one-pass kernel's (block_q, L) score tile outgrows VMEM.
+            # Online variant keeps K/V whole in VMEM (fine to ~16k); the
+            # staged variant streams K/V AND bias per (block_q, block_k)
+            # tile, so biased or very long sequences are unbounded.
+            if bias is not None or q.shape[2] > 16384:
+                return flash_attention_staged(q, k, v, bias=bias)
             return flash_attention_online(q, k, v, bias=bias)
         return flash_attention(q, k, v, bias=bias)
     return xla_attention(q, k, v, bias=bias, softmax_dtype=softmax_dtype)
@@ -119,11 +124,6 @@ def _pallas_shape_eligible(q, k, bias) -> bool:
     callers that have already established a per-device context."""
     seq_q, seq_k = q.shape[2], k.shape[2]
     head_dim = q.shape[-1]
-    if seq_q > 4096 and bias is not None:
-        # the online kernel's bias BlockSpec stages a (block_q, L) fp32
-        # tile in VMEM — fine to ~4k, the one-pass blow-up beyond; biased
-        # long sequences use the XLA path until the bias is k-block staged
-        return False
     return (
         seq_q % 128 == 0
         and seq_k % 128 == 0

@@ -4,11 +4,17 @@ Replaces the reference's CUDA flash-attn / SDPA calls
 (models/modeling_llada.py:574-581, 624-660) with a TPU kernel. MMaDA
 sequences are short (≤ ~2.1k fused tokens: 512 text + 1026 image frame, see
 SURVEY.md §5 long-context notes), so the whole K/V row for one (batch, head)
-fits comfortably in VMEM (2k × 128 × bf16 = 512 KB). The kernel therefore
-runs one-pass per q-block — scores in fp32 on the MXU, softmax on the VPU,
-weighted sum back on the MXU — with no online-softmax carry, which beats a
-flash-style two-pass for these shapes. Longer sequences fall back to the XLA
-implementation (ops/attention.py) until a ring/blockwise variant lands.
+fits comfortably in VMEM (2k × 128 × bf16 = 512 KB). Three variants, picked
+by ops/attention.bidirectional_attention:
+
+  * one-pass (`flash_attention`, L ≤ 4096): scores in fp32 on the MXU,
+    softmax on the VPU, weighted sum back on the MXU — no online-softmax
+    carry, which beats a flash-style two-pass at MMaDA's shapes;
+  * online (`flash_attention_online`, L ≤ ~16k unbiased): K/V whole in VMEM,
+    fori_loop over K blocks with a running (max, sum, acc);
+  * staged (`flash_attention_staged`, unbounded L, biased or not): K is a
+    sequential grid axis; K/V and the bias stream through VMEM per
+    (block_q, block_k) tile with the carry in VMEM scratch.
 
 GQA is expressed through BlockSpec index maps (q head h reads kv head
 h // rep) so grouped K/V are never materialized, unlike the reference's
@@ -127,6 +133,144 @@ def _attn_online_bias_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *,
     s0 = jnp.zeros((bq, 1), jnp.float32)
     acc, m, s = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, s0))
     o_ref[0, 0] = (acc / jnp.maximum(s, 1e-30)).astype(o_ref.dtype)
+
+
+def _attn_staged_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, s_ref,
+                        *, scale: float, num_kb: int, bias_ref=None):
+    """Fully staged flash kernel: the K axis is a sequential grid dimension,
+    so K/V AND the optional bias are staged per (block_q, block_k) tile —
+    VMEM is O(block_q·(block_k + D)) regardless of L. Running (max, sum,
+    accumulator) live in VMEM scratch across the sequential ki steps (m/s
+    broadcast over 128 lanes — Mosaic-friendly store shape)."""
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        s_ref[...] = jnp.zeros_like(s_ref)
+
+    q = q_ref[0, 0].astype(jnp.float32) * scale        # (bq, D)
+    k = k_ref[0, 0].astype(jnp.float32)                # (bk, D)
+    v = v_ref[0, 0].astype(jnp.float32)                # (bk, D)
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )                                                  # (bq, bk)
+    if bias_ref is not None:
+        scores = scores + bias_ref[0, 0].astype(jnp.float32)
+
+    m_prev = m_ref[:, :1]                              # (bq, 1)
+    m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(scores - m_new)
+    s_new = s_ref[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[...] = acc_ref[...] * alpha + jnp.dot(
+        p, v, preferred_element_type=jnp.float32
+    )
+    m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+    s_ref[...] = jnp.broadcast_to(s_new, s_ref.shape)
+
+    @pl.when(ki == num_kb - 1)
+    def _final():
+        o_ref[0, 0] = (
+            acc_ref[...] / jnp.maximum(s_ref[:, :1], 1e-30)
+        ).astype(o_ref.dtype)
+
+
+def _attn_staged_bias_kernel(q_ref, k_ref, v_ref, b_ref, o_ref,
+                             acc_ref, m_ref, s_ref, *, scale, num_kb):
+    _attn_staged_kernel(
+        q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, s_ref,
+        scale=scale, num_kb=num_kb, bias_ref=b_ref,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_k", "interpret")
+)
+def flash_attention_staged(
+    q: jax.Array,  # (B, H, L, D)
+    k: jax.Array,  # (B, KVH, L, D)
+    v: jax.Array,
+    bias: Optional[jax.Array] = None,  # (B|1, 1|H, L, L) bool or float
+    block_q: int = 256,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Flash attention with K as a sequential grid axis: K/V and bias tiles
+    stream through VMEM block-by-block, so both sequence length and biased
+    sequence length are unbounded (the variant `flash_attention_online`'s
+    (block_q, L) bias tile could not reach past ~4k)."""
+    b, h, l, d = q.shape
+    kvh = k.shape[1]
+    rep = h // kvh
+    block_q = _fit_block(block_q, l)
+    block_k = _fit_block(block_k, l)
+    scale = 1.0 / (d ** 0.5)
+    num_kb = l // block_k
+    grid = (b, h, l // block_q, num_kb)
+
+    q_spec = pl.BlockSpec(
+        (1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+        memory_space=pltpu.VMEM,
+    )
+    kv_spec = pl.BlockSpec(
+        (1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi // rep, ki, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct(q.shape, q.dtype)
+    scratch = [
+        pltpu.VMEM((block_q, d), jnp.float32),    # acc
+        pltpu.VMEM((block_q, 128), jnp.float32),  # running max
+        pltpu.VMEM((block_q, 128), jnp.float32),  # running sum
+    ]
+    params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+    )
+
+    if bias is None:
+        return pl.pallas_call(
+            functools.partial(_attn_staged_kernel, scale=scale, num_kb=num_kb),
+            grid=grid,
+            in_specs=[q_spec, kv_spec, kv_spec],
+            out_specs=out_spec,
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            compiler_params=params,
+            interpret=interpret,
+        )(q, k, v)
+
+    if bias.dtype == jnp.bool_:
+        bias = jnp.where(bias, 0.0, float(jnp.finfo(jnp.float32).min))
+    bias = bias.astype(jnp.float32)
+    bias_b = 0 if bias.shape[0] == 1 else None
+    bias_h = 0 if bias.shape[1] == 1 else None
+    b_spec = pl.BlockSpec(
+        (1, 1, block_q, block_k),
+        lambda bi, hi, qi, ki: (
+            bias_b if bias_b is not None else bi,
+            bias_h if bias_h is not None else hi,
+            qi,
+            ki,
+        ),
+        memory_space=pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _attn_staged_bias_kernel, scale=scale, num_kb=num_kb
+        ),
+        grid=grid,
+        in_specs=[q_spec, kv_spec, kv_spec, b_spec],
+        out_specs=out_spec,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=params,
+        interpret=interpret,
+    )(q, k, v, bias)
 
 
 @functools.partial(

@@ -109,3 +109,73 @@ def test_online_flash_with_bias(rng):
         np.asarray(want).transpose(0, 2, 1, 3)[valid],
         atol=3e-5,
     )
+
+
+# ------------------------------------------------------- staged (4-D grid)
+def test_staged_flash_matches_xla(rng):
+    from mmada_tpu.ops.flash_attention import flash_attention_staged
+
+    q, k, v = make_qkv(rng, 2, 4, 4, 512, 64)
+    want = xla_attention(q, k, v)
+    got = flash_attention_staged(q, k, v, block_q=128, block_k=128,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+
+
+def test_staged_flash_gqa(rng):
+    from mmada_tpu.ops.flash_attention import flash_attention_staged
+
+    q, k, v = make_qkv(rng, 1, 8, 2, 512, 64)
+    want = xla_attention(q, k, v)
+    got = flash_attention_staged(q, k, v, block_q=128, block_k=256,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+
+
+def test_staged_flash_with_bias_tiles(rng):
+    """The bias is staged per (block_q, block_k) tile — multiple ki steps
+    must reassemble exactly the XLA biased result (this is the kernel that
+    unlocks biased L>4k on Pallas)."""
+    from mmada_tpu.ops.flash_attention import flash_attention_staged
+
+    b, h, l, d = 1, 2, 512, 64
+    q, k, v = make_qkv(rng, b, h, h, l, d)
+    mask = np.ones((b, l))
+    mask[0, :50] = 0
+    pair = (mask[:, :, None] * mask[:, None, :]) > 0
+    bias = jnp.asarray(pair[:, None])  # boolean allowed-pairs, (B,1,L,L)
+    want = xla_attention(q, k, v, bias=jnp.where(
+        bias, 0.0, NEG_INF).astype(jnp.float32))
+    got = flash_attention_staged(q, k, v, bias=bias, block_q=128,
+                                 block_k=128, interpret=True)
+    valid = mask.astype(bool)
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 2, 1, 3)[valid],
+        np.asarray(want).transpose(0, 2, 1, 3)[valid],
+        atol=3e-5,
+    )
+
+
+def test_staged_flash_per_head_float_bias(rng):
+    from mmada_tpu.ops.flash_attention import flash_attention_staged
+
+    b, h, l, d = 1, 4, 256, 64
+    q, k, v = make_qkv(rng, b, h, h, l, d)
+    bias = jnp.asarray(rng.normal(size=(b, h, l, l)), jnp.float32)
+    want = xla_attention(q, k, v, bias=bias)
+    got = flash_attention_staged(q, k, v, bias=bias, block_q=128,
+                                 block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+
+
+def test_staged_flash_bf16(rng):
+    from mmada_tpu.ops.flash_attention import flash_attention_staged
+
+    q, k, v = make_qkv(rng, 1, 2, 2, 512, 64, jnp.bfloat16)
+    want = xla_attention(q, k, v)
+    got = flash_attention_staged(q, k, v, block_q=128, block_k=128,
+                                 interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=3e-2, rtol=3e-2,
+    )

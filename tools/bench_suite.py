@@ -111,10 +111,43 @@ def bench_mmu(model):
          float(np.median(lat)), "seconds")
 
 
+def bench_stochastic_serving(model):
+    """Per-row-key stochastic text batching (serve/engine.py): aggregate
+    tok/s at batch 8 vs solo — each row bit-identical to its solo run."""
+    from mmada_tpu.serve.engine import TextSettings, _jit_text_per_row_keys
+
+    settings = TextSettings(gen_length=128, steps=64, block_length=32,
+                            temperature=1.0)
+    prompt = jnp.zeros((64,), jnp.int32) + 5
+
+    def keys(n):
+        return jax.vmap(jax.random.key)(jnp.arange(n, dtype=jnp.uint32))
+
+    p1, p8 = prompt[None], jnp.repeat(prompt[None], 8, 0)
+    sync(_jit_text_per_row_keys(model, p1, settings, keys(1)))  # compile
+    t0 = time.perf_counter()
+    for _ in range(4):
+        out = _jit_text_per_row_keys(model, p1, settings, keys(1))
+    sync(out)
+    solo = (time.perf_counter() - t0) / 4
+
+    sync(_jit_text_per_row_keys(model, p8, settings, keys(8)))  # compile
+    t0 = time.perf_counter()
+    for _ in range(4):
+        out = _jit_text_per_row_keys(model, p8, settings, keys(8))
+    sync(out)
+    b8 = (time.perf_counter() - t0) / 4
+    emit("stochastic serving text tok/s aggregate (per-row keys, batch 8, 16L proxy)",
+         8 * 128 / b8, "tokens/sec")
+    print(f"# stochastic batch-8 {8*128/b8:.1f} tok/s vs solo {128/solo:.1f} "
+          f"({solo*8/b8:.2f}x)", file=sys.stderr)
+
+
 def main():
     model = build_model()
     bench_text(model)
     bench_mmu(model)
+    bench_stochastic_serving(model)
     return 0
 
 
