@@ -185,7 +185,8 @@ class AppState:
         return frames
 
     def mmu(self, image_arr, question, max_new_tokens=128, steps=64,
-            block_length=64, seed=0):
+            block_length=64, temperature=0.0, cfg_scale=0.0,
+            remasking="low_confidence", seed=0):
         if image_arr is None:
             return "(no image provided)"
         import jax
@@ -208,7 +209,8 @@ class AppState:
 
             settings = TextSettings(
                 gen_length=max_new_tokens, steps=steps,
-                block_length=block_length, temperature=0.0,
+                block_length=block_length, temperature=temperature,
+                cfg_scale=cfg_scale, remasking=remasking,
             )
             fut = self.engine.submit_mmu(frame[0], settings, seed=seed)
             out = fut.result()[None]
@@ -217,7 +219,8 @@ class AppState:
                 out = self.model.mmu_generate(
                     jnp.asarray(frame), max_new_tokens=max_new_tokens,
                     steps=steps, block_length=block_length,
-                    key=jax.random.key(seed),
+                    temperature=temperature, cfg_scale=cfg_scale,
+                    remasking=remasking, key=jax.random.key(seed),
                 )
         answer = np.asarray(out[0, frame.shape[1]:])
         answer = answer[answer < self.vocab.text_vocab_size]
@@ -330,6 +333,9 @@ def run_http(state: AppState, port: int):
                         max_new_tokens=int(req.get("max_new_tokens", 128)),
                         steps=int(req.get("steps", 64)),
                         block_length=int(req.get("block_length", 64)),
+                        temperature=float(req.get("temperature", 0.0)),
+                        cfg_scale=float(req.get("cfg_scale", 0.0)),
+                        remasking=req.get("remasking", "low_confidence"),
                         seed=int(req.get("seed", 0)),
                     )
                     self._reply({"text": text})
