@@ -36,8 +36,6 @@ def main(argv):
         collate_eval_items,
         evaluate_mmada_t2m,
     )
-    from mmada_tpu.eval.t2m_evaluator import EvaluatorWrapper
-    from mmada_tpu.eval.word_vectorizer import RandomWordVectorizer, WordVectorizer
     from mmada_tpu.models import motion_vq
     from mmada_tpu.serve.loader import (
         build_model, build_prompting, build_text_tokenizer, build_vocab,
@@ -46,8 +44,6 @@ def main(argv):
     cfg = load_config(cli_args=argv)
     root = cfg.get_path("dataset.motion_root")
     split = cfg.get_path("dataset.split_file")
-    evaluator_dir = cfg.get_path("eval.evaluator_dir")
-    glove_dir = cfg.get_path("eval.glove_dir")
     batch_size = int(cfg.get_path("eval.batch_size", 32))
     max_batches = cfg.get_path("eval.max_batches")
 
@@ -58,30 +54,14 @@ def main(argv):
         )
         return 1
 
-    # word vectorizer (GloVe metas) with explicit fallback
-    if glove_dir and os.path.isdir(glove_dir):
-        wv = WordVectorizer(glove_dir, cfg.get_path("eval.glove_prefix", "our_vab"))
-    else:
-        logger.warning("no GloVe metas (eval.glove_dir); using hash stand-in "
-                       "— metrics are NOT comparable to published numbers")
-        wv = RandomWordVectorizer()
+    # word vectorizer + evaluators (shared with train_motion_vq's vq eval)
+    from mmada_tpu.eval.components import build_evaluator, build_word_vectorizer
 
-    # evaluators
-    if not (evaluator_dir and os.path.isdir(evaluator_dir)):
+    wv = build_word_vectorizer(cfg)
+    evaluator = build_evaluator(cfg)
+    if evaluator is None:
         logger.error("eval.evaluator_dir with T2M evaluator checkpoints required")
         return 1
-    import torch
-
-    def load_state(name):
-        path = os.path.join(evaluator_dir, name)
-        return torch.load(path, map_location="cpu", weights_only=True)
-
-    ckpt = load_state(cfg.get_path("eval.evaluator_file", "finest.tar"))
-    evaluator = EvaluatorWrapper.from_torch_checkpoint(
-        ckpt.get("text_encoder", ckpt),
-        ckpt.get("motion_encoder", ckpt),
-        ckpt.get("movement_encoder", ckpt),
-    )
 
     # models
     tokenizer = build_text_tokenizer(cfg)

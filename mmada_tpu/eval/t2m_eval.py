@@ -116,6 +116,79 @@ def evaluate_mmada_t2m(
     return results
 
 
+def evaluate_motion_vq(
+    vq_params,
+    vq_cfg: motion_vq.MotionVQConfig,
+    evaluator: EvaluatorWrapper,
+    eval_batches: Iterable[dict],
+    denormalize=None,
+    joints_num: Optional[int] = 22,
+    top_k: int = 3,
+    diversity_times: int = 300,
+    max_batches: Optional[int] = None,
+) -> dict:
+    """Motion-VQ reconstruction quality — `evaluation_vqvae` analog
+    (utils/eval_trans.py:437+): encode→decode every eval motion through the
+    VQ, embed ground truth and reconstruction with the T2M evaluators, and
+    report FID / diversity / R-precision / matching on the RECONSTRUCTIONS,
+    plus MPJPE over recovered joints. Embeddings consume the evaluator's
+    normalized feature space; MPJPE uses `denormalize`d features when a
+    denormalizer is given (joint recovery is scale-sensitive). Pass
+    `joints_num=None` to skip MPJPE (non-HumanML3D feature widths)."""
+    from mmada_tpu.eval.motion_math import recover_from_ric
+
+    text_embs, gt_embs, rec_embs = [], [], []
+    mpjpe_sum, mpjpe_n = 0.0, 0
+
+    for i, batch in enumerate(eval_batches):
+        if max_batches is not None and i >= max_batches:
+            break
+        motion = jnp.asarray(batch["motion"], jnp.float32)
+        codes = motion_vq.encode(vq_params, vq_cfg, motion)
+        recon = motion_vq.decode(vq_params, vq_cfg, codes)
+        # decode upsamples by the VQ stride; clip back to the source length
+        recon = recon[:, : motion.shape[1]]
+
+        text_emb, gt_emb = evaluator.get_co_embeddings(
+            jnp.asarray(batch["word_embs"]), jnp.asarray(batch["pos_onehot"]),
+            jnp.asarray(batch["cap_lens"]), motion,
+            jnp.asarray(batch["m_lens"]),
+        )
+        rec_emb = evaluator.get_motion_embeddings(
+            recon, jnp.asarray(batch["m_lens"])
+        )
+        text_embs.append(np.asarray(text_emb))
+        gt_embs.append(np.asarray(gt_emb))
+        rec_embs.append(np.asarray(rec_emb))
+
+        if joints_num is None:
+            continue
+        gt_np, rec_np = np.asarray(motion), np.asarray(recon)
+        if denormalize is not None:
+            gt_np, rec_np = denormalize(gt_np), denormalize(rec_np)
+        for row, (g, r) in enumerate(zip(gt_np, rec_np)):
+            t = int(batch["m_lens"][row])
+            jg = np.asarray(recover_from_ric(g[:t], joints_num))
+            jr = np.asarray(recover_from_ric(r[:t], joints_num))
+            mpjpe_sum += float(
+                np.linalg.norm(jg - jr, axis=-1).mean()
+            )
+            mpjpe_n += 1
+
+    text_embs = np.concatenate(text_embs)
+    gt_embs = np.concatenate(gt_embs)
+    rec_embs = np.concatenate(rec_embs)
+    results = M.evaluate_embeddings(
+        text_embs, gt_embs, rec_embs,
+        top_k=top_k,
+        diversity_times=min(diversity_times, len(rec_embs) - 1),
+    )
+    if joints_num is not None:
+        results["mpjpe"] = mpjpe_sum / max(mpjpe_n, 1)
+    logger.info("motion-VQ eval: %s", results)
+    return results
+
+
 def collate_eval_items(items: list[dict]) -> dict:
     return {
         "word_embs": np.stack([i["word_embs"] for i in items]),

@@ -116,6 +116,36 @@ def main(argv):
     full = dict(conv_params, codebook=codebook)
     ckpt.save(max_steps, full)
     logger.info("saved motion VQ-VAE to %s", out_dir)
+
+    # optional reconstruction eval (evaluation_vqvae analog,
+    # utils/eval_trans.py:437+): needs the T2M evaluator checkpoint + eval
+    # split wired in the config (eval.evaluator_dir, dataset.motion_root,
+    # dataset.split_file)
+    if cfg.get_path("eval.run_vq_eval", False):
+        from mmada_tpu.eval.components import (
+            build_eval_batches,
+            build_evaluator,
+            build_word_vectorizer,
+        )
+        from mmada_tpu.eval.t2m_eval import evaluate_motion_vq
+
+        evaluator = build_evaluator(cfg)
+        batches_iter = (
+            build_eval_batches(cfg, build_word_vectorizer(cfg))
+            if evaluator is not None else None
+        )
+        if evaluator is None or batches_iter is None:
+            logger.error(
+                "eval.run_vq_eval needs eval.evaluator_dir + "
+                "dataset.motion_root + dataset.split_file"
+            )
+            return 1
+        results = evaluate_motion_vq(
+            full, mcfg, evaluator, batches_iter,
+            max_batches=cfg.get_path("eval.max_batches", None),
+        )
+        metrics.log({"step": max_steps, **{f"vq_eval/{k}": float(v)
+                                           for k, v in results.items()}})
     return 0
 
 
