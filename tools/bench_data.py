@@ -1,0 +1,156 @@
+"""Data-pipeline throughput benchmark: native C++ tar streamer vs python.
+
+The reference's input pipeline is python webdataset (tarfile under the
+GIL). This measures both backends of `data/webdataset.WebDatasetReader`
+on synthetic shards shaped like a t2i corpus (real JPEGs + captions).
+
+Measured finding (warm local NVMe): python tarfile already streams at
+~2.3 GB/s (page-cache bandwidth), so the native streamer shows NO raw
+advantage here — its value is overlap on high-latency storage (GCS/NFS)
+and crash-tolerance, not warm-cache speed. End-to-end the pipeline is
+JPEG-decode-bound (~240 samples/s/process), which still exceeds per-host
+training consumption (~37 samples/s at 8 chips x 4.6/s) by ~7x.
+
+    python tools/bench_data.py [n_shards] [samples_per_shard]
+
+Writes JSON lines like the other bench tools.
+"""
+
+import io
+import json
+import os
+import sys
+import tarfile
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def make_shards(tmp, n_shards=8, per_shard=256, resolution=512):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    # a handful of REAL JPEGs (noise compresses poorly -> realistic ~100KB
+    # blobs); decode cost is part of the pipeline being measured
+    blobs = []
+    for _ in range(8):
+        img = Image.fromarray(
+            rng.integers(0, 256, size=(resolution, resolution, 3), dtype=np.uint8)
+        )
+        buf = io.BytesIO()
+        img.save(buf, format="JPEG", quality=90)
+        blobs.append(buf.getvalue())
+    paths = []
+    for s in range(n_shards):
+        path = os.path.join(tmp, f"shard-{s:04d}.tar")
+        with tarfile.open(path, "w") as tf:
+            for i in range(per_shard):
+                key = f"{s:04d}{i:05d}"
+                for ext, data in (
+                    ("jpg", blobs[(s * per_shard + i) % len(blobs)]),
+                    ("txt", f"caption for {key}".encode()),
+                ):
+                    info = tarfile.TarInfo(f"{key}.{ext}")
+                    info.size = len(data)
+                    tf.addfile(info, io.BytesIO(data))
+        paths.append(path)
+    return paths
+
+
+def run(reader_kwargs, shards, n_samples):
+    from mmada_tpu.data.webdataset import WebDatasetReader
+
+    reader = WebDatasetReader(
+        shards, shuffle_buffer=0, resample=False, **reader_kwargs
+    )
+    it = iter(reader)
+    next(it)  # warm up (library load / thread spin-up)
+    t0 = time.perf_counter()
+    n = 0
+    for sample in it:
+        assert sample["image"].size[0] > 0  # decoded PIL image
+        n += 1
+        if n >= n_samples:
+            break
+    dt = time.perf_counter() - t0
+    return n / dt
+
+
+def main():
+    try:
+        n_shards = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+        per_shard = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    except ValueError:
+        print(f"usage: {sys.argv[0]} [n_shards] [samples_per_shard]",
+              file=sys.stderr)
+        return 2
+    from mmada_tpu.data import native
+
+    with tempfile.TemporaryDirectory() as tmp:
+        shards = make_shards(tmp, n_shards, per_shard)
+        n_samples = n_shards * per_shard - 8
+
+        # ---- raw streaming (IO + untar + sample grouping, no decode):
+        # this is the stage the C++ streamer accelerates
+        def raw_python():
+            n, nbytes = 0, 0
+            t0 = time.perf_counter()
+            for path in shards:
+                with tarfile.open(path) as tf:
+                    for m in tf:
+                        data = tf.extractfile(m).read()
+                        nbytes += len(data)
+                        n += 1
+            dt = time.perf_counter() - t0
+            return (n / 2) / dt, nbytes / dt / 1e6  # 2 files per sample
+
+        raw_py_sps, raw_py_mbs = raw_python()
+        print(json.dumps({
+            "metric": "data RAW python tarfile samples/sec",
+            "value": round(raw_py_sps, 1), "unit": "samples/sec",
+            "vs_baseline": 1.0,
+        }))
+        print(f"# raw python: {raw_py_mbs:.0f} MB/s", file=sys.stderr)
+        if native.available():
+            for threads in (2, 4, 8):
+                reader = native.NativeTarReader(shards, threads=threads)
+                n, nbytes = 0, 0
+                t0 = time.perf_counter()
+                for sample in reader:
+                    nbytes += sum(len(v) for v in sample.values()
+                                  if isinstance(v, (bytes, bytearray)))
+                    n += 1
+                dt = time.perf_counter() - t0
+                reader.close()
+                print(json.dumps({
+                    "metric": f"data RAW native tario samples/sec ({threads} threads)",
+                    "value": round(n / dt, 1), "unit": "samples/sec",
+                    "vs_baseline": round((n / dt) / raw_py_sps, 2),
+                }))
+                print(f"# raw native {threads}t: {nbytes/dt/1e6:.0f} MB/s",
+                      file=sys.stderr)
+
+        # ---- end-to-end with PIL JPEG decode (decode-bound: both backends
+        # converge on the decoder's speed; reported for honesty)
+        py_sps = run({"use_native": False}, shards, n_samples)
+        print(json.dumps({
+            "metric": "data decoded python samples/sec",
+            "value": round(py_sps, 1), "unit": "samples/sec",
+            "vs_baseline": 1.0,
+        }))
+        if native.available():
+            sps = run({"use_native": True, "native_threads": 4},
+                      shards, n_samples)
+            print(json.dumps({
+                "metric": "data decoded native samples/sec (4 threads)",
+                "value": round(sps, 1), "unit": "samples/sec",
+                "vs_baseline": round(sps / py_sps, 2),
+            }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
