@@ -149,6 +149,7 @@ def main():
                 "value": round(sps, 1), "unit": "samples/sec",
                 "vs_baseline": round(sps / py_sps, 2),
             }))
+
     return 0
 
 
