@@ -139,6 +139,38 @@ def test_stop_drains_queued_futures(model):
         fut.result(timeout=5)
 
 
+def test_queue_full_backpressure(model):
+    """Submissions beyond max_queue resolve immediately with a backpressure
+    error instead of accumulating unbounded memory."""
+    engine = ServingEngine(model, max_queue=2)  # not started: queue fills
+    settings = TextSettings(gen_length=8, steps=4, block_length=8)
+    futs = [engine.submit_text(np.full(6, 9), settings) for _ in range(4)]
+    overflowed = [f for f in futs if f.done() and f.exception() is not None]
+    assert len(overflowed) == 2
+    assert "backpressure" in str(overflowed[0].exception())
+    engine.stop()
+
+
+def test_engine_with_quantized_model(model):
+    """The engine's jitted entry points work over int8-quantized params
+    (QuantizedTensor leaves ride the MMadaModel pytree through jit)."""
+    import dataclasses as _dc
+
+    from mmada_tpu.ops.quantization import quantize_llada_params
+
+    qmodel = _dc.replace(
+        model, params=quantize_llada_params(model.params)
+    )
+    engine = ServingEngine(qmodel, max_wait_ms=30).start()
+    try:
+        settings = TextSettings(gen_length=8, steps=4, block_length=8)
+        out = engine.submit_text(np.arange(3, 9), settings).result(120)
+        assert out.shape == (14,)
+        assert (out[:6] == np.arange(3, 9)).all()
+    finally:
+        engine.stop()
+
+
 def test_mixed_kinds_and_lengths(model):
     engine = ServingEngine(model, max_wait_ms=30).start()
     try:
