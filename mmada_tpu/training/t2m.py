@@ -54,6 +54,8 @@ class T2MStepConfig:
     num_motion_tokens: int
     min_masking_rate: float = 0.0
     mask_schedule: Callable = cosine_schedule
+    skip_nonfinite_updates: bool = True  # on-device NaN-batch skip
+                                         # (train_t2m.py:219-238 analog)
 
 
 def make_t2m_train_step(
@@ -109,7 +111,18 @@ def make_t2m_train_step(
         )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        metrics = dict(aux, loss=loss, grad_norm=optax.global_norm(grads))
+        grad_norm = optax.global_norm(grads)
+        if sc.skip_nonfinite_updates:
+            ok = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
+            params = jax.tree.map(
+                lambda new, old: jnp.where(ok, new, old), params, state.params
+            )
+            opt_state = jax.tree.map(
+                lambda new, old: jnp.where(ok, new, old),
+                opt_state, state.opt_state,
+            )
+            aux = dict(aux, skipped_nonfinite=(~ok).astype(jnp.float32))
+        metrics = dict(aux, loss=loss, grad_norm=grad_norm)
         return (
             TrainState(params=params, opt_state=opt_state, step=state.step + 1),
             metrics,
@@ -176,7 +189,18 @@ def make_t2m_lora_train_step(
         )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        metrics = dict(aux, loss=loss, grad_norm=optax.global_norm(grads))
+        grad_norm = optax.global_norm(grads)
+        if sc.skip_nonfinite_updates:
+            ok = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
+            params = jax.tree.map(
+                lambda new, old: jnp.where(ok, new, old), params, state.params
+            )
+            opt_state = jax.tree.map(
+                lambda new, old: jnp.where(ok, new, old),
+                opt_state, state.opt_state,
+            )
+            aux = dict(aux, skipped_nonfinite=(~ok).astype(jnp.float32))
+        metrics = dict(aux, loss=loss, grad_norm=grad_norm)
         return (
             TrainState(params=params, opt_state=opt_state, step=state.step + 1),
             metrics,

@@ -66,6 +66,9 @@ class StepConfig:
     use_chat_lm: bool = False    # stage-3: lm rows carry prompt masks
     log_param_grad_norms: bool = False  # per-weight-kind grad norms
                                         # (train_mmada.py:976-981 analog)
+    skip_nonfinite_updates: bool = True  # drop a poison batch's update on
+                                         # device (train_t2m.py:219-238
+                                         # analog, without the host sync)
 
 
 def corrupt_batch(model: MMadaModel, sc: StepConfig, batch: dict, rng: jax.Array):
@@ -177,7 +180,22 @@ def make_train_step(
             grads, state.opt_state, state.params
         )
         params = optax.apply_updates(state.params, updates)
-        metrics = dict(aux, loss=loss, grad_norm=optax.global_norm(grads))
+        grad_norm = optax.global_norm(grads)
+        if sc.skip_nonfinite_updates:
+            # reference skips NaN-loss batches with a host-side check
+            # (train_t2m.py:219-238); here the skip is ON DEVICE — keep the
+            # old params/opt_state when loss or grads go non-finite, so a
+            # poison batch cannot corrupt training and no step syncs to host
+            ok = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
+            params = jax.tree.map(
+                lambda new, old: jnp.where(ok, new, old), params, state.params
+            )
+            opt_state = jax.tree.map(
+                lambda new, old: jnp.where(ok, new, old),
+                opt_state, state.opt_state,
+            )
+            aux = dict(aux, skipped_nonfinite=(~ok).astype(jnp.float32))
+        metrics = dict(aux, loss=loss, grad_norm=grad_norm)
         if sc.log_param_grad_norms:
             metrics.update(per_kind_grad_norms(grads))
         return (

@@ -262,3 +262,44 @@ def test_per_param_grad_norms():
     assert any(k.endswith("wte") for k in kinds)
     for k in kinds:
         assert np.isfinite(float(metrics[k]))
+
+
+def test_nonfinite_batch_skipped_on_device():
+    """A poison batch (NaN reaching the loss) must leave params and
+    optimizer state untouched, flag skipped_nonfinite=1, and an unguarded
+    step must demonstrably have poisoned the weights (the failure mode the
+    guard prevents). Reference skips NaN-loss batches host-side
+    (train_t2m.py:219-238); this skip is on device."""
+    import dataclasses as dc
+
+    model = tiny_model()
+    sc = StepConfig(
+        batch_size_t2i=1, batch_size_lm=1, batch_size_mmu=1, max_seq_length=8
+    )
+    opt = optimizers.adamw(1e-2, params_for_mask=model.params)
+    step = jax.jit(make_train_step(model, opt, sc))
+    rng = np.random.default_rng(0)
+    batch = _toy_batch(rng, model, sc)
+
+    state = TrainState.create(model.params, opt)
+    state1, m1 = step(state, batch, jax.random.key(1))
+    assert float(m1["skipped_nonfinite"]) == 0.0
+    assert not np.allclose(np.asarray(state1.params["wte"]),
+                           np.asarray(state.params["wte"]))
+
+    # poison: NaN in the embedding table -> NaN loss -> no-op update
+    bad_params = dict(state1.params)
+    bad_params["wte"] = state1.params["wte"].at[5, 0].set(jnp.nan)
+    bad_state = TrainState(params=bad_params, opt_state=state1.opt_state,
+                           step=state1.step)
+    state2, m2 = step(bad_state, batch, jax.random.key(2))
+    assert float(m2["skipped_nonfinite"]) == 1.0
+    np.testing.assert_array_equal(
+        np.asarray(state2.params["blocks"]["q_proj"]),
+        np.asarray(bad_state.params["blocks"]["q_proj"]),
+    )
+    # the unguarded step spreads the NaN into unrelated weights
+    unguarded = jax.jit(make_train_step(
+        model, opt, dc.replace(sc, skip_nonfinite_updates=False)))
+    state3, _ = unguarded(bad_state, batch, jax.random.key(2))
+    assert np.isnan(np.asarray(state3.params["blocks"]["q_proj"])).any()
