@@ -85,6 +85,8 @@ class Trainer:
             ),
             lm_loss_mode=tr.get("lm_loss_mode", "llada"),
             use_chat_lm=tr.get("use_chat_lm", False),
+            skip_nonfinite_updates=tr.get("skip_nonfinite_updates", True),
+            log_param_grad_norms=tr.get("log_param_grad_norms", False),
         )
 
         total_steps = tr.get("max_train_steps", 10000)

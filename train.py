@@ -179,6 +179,7 @@ def train_t2m(cfg):
     sc = t2m.T2MStepConfig(
         batch_size=batch_size, max_text_len=prompting.max_text_len,
         num_motion_tokens=n_motion,
+        skip_nonfinite_updates=tr.get("skip_nonfinite_updates", True),
     )
     if lora_cfg_raw:
         from mmada_tpu.models import lora as lora_mod
