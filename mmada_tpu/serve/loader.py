@@ -101,6 +101,13 @@ def build_model(cfg: Config, vocab: VocabLayout) -> MMadaModel:
         cfg.get_path("training.mixed_precision", "bf16")
         if not m.get("tiny") else "fp32"
     )
+    # activation checkpointing (reference configuration_llada.py:386-430 /
+    # training.gradient_checkpointing): one jax.checkpoint on the layer
+    # scan — required to fit full-depth training in HBM
+    remat = bool(
+        cfg.get_path("training.gradient_checkpointing",
+                     cfg.get_path("model.gradient_checkpointing", False))
+    )
     if m.get("random_init") or m.get("tiny"):
         if m.get("tiny"):
             arch = llada.tiny_config(vocab_size=vocab.total_vocab_size)
@@ -110,13 +117,13 @@ def build_model(cfg: Config, vocab: VocabLayout) -> MMadaModel:
         return MMadaModel.init(
             jax.random.key(cfg.get_path("training.seed", 0)),
             arch, vocab, policy=policy,
-            dtype=policy.param_dtype,
+            dtype=policy.param_dtype, remat=remat,
         )
     path = m.get("pretrained_model_path")
     if not path:
         raise ValueError("model.mmada.pretrained_model_path or tiny/random_init required")
     model = MMadaModel.from_pretrained(
-        path, vocab, dtype=policy.param_dtype, policy=policy
+        path, vocab, dtype=policy.param_dtype, policy=policy, remat=remat
     )
     if m.get("quantize") in ("int8", "w8", "w8a8"):
         # full-depth 8B on one 16 GB chip (ops/quantization.py)
