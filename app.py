@@ -44,7 +44,7 @@ class AppState:
         buys nothing — and the engine API carries no attention masks)."""
         from mmada_tpu.serve.engine import ServingEngine
 
-        self.engine = ServingEngine(self.model, prompting=self.prompting).start()
+        self.engine = ServingEngine(self.model).start()
         return self
 
     def stop_engine(self):

@@ -133,13 +133,11 @@ class ServingEngine:
     def __init__(
         self,
         model,
-        prompting=None,
         max_batch: int = 8,
         max_wait_ms: float = 10.0,
         max_queue: int = 256,
     ):
         self.model = model
-        self.prompting = prompting
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
         self.buckets = _buckets_up_to(max_batch)
