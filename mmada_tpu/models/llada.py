@@ -273,6 +273,42 @@ def apply_rope(
     return q.astype(dtype), k.astype(dtype)
 
 
+def _dispatch_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: Optional[jax.Array],
+    softmax_dtype: jnp.dtype,
+    attn_impl: str,
+    mesh,
+    tp_axis: str,
+) -> jax.Array:
+    """Pick the mesh-aware path when a mesh is provided.
+
+    Under multi-device pjit a bare `pallas_call` has no GSPMD partitioning
+    rule (ops/attention._pallas_eligible), so the plain path silently falls
+    back to XLA attention. With a mesh we instead run the Pallas kernel
+    per-shard via shard_map: heads over the tensor axis, batch over
+    data×fsdp (parallel/tp_attention). All decisions here are on static
+    shapes — jit-safe. Falls back to the plain dispatch when the head or
+    batch counts don't divide the mesh."""
+    if mesh is not None:
+        from mmada_tpu.parallel.tp_attention import best_batch_axes, tp_attention
+
+        ts = mesh.shape.get(tp_axis, 1)
+        heads_ok = q.shape[1] % ts == 0 and k.shape[1] % ts == 0
+        batch_axes = best_batch_axes(q.shape[0], mesh)
+        if heads_ok and (ts > 1 or batch_axes):
+            return tp_attention(
+                q, k, v, mesh, axis_name=tp_axis, bias=bias,
+                softmax_dtype=softmax_dtype, impl=attn_impl,
+                batch_axes=batch_axes,
+            )
+    return bidirectional_attention(
+        q, k, v, bias=bias, softmax_dtype=softmax_dtype, impl=attn_impl
+    )
+
+
 def _block(
     cfg: LLaDAConfig,
     policy: Policy,
@@ -282,6 +318,8 @@ def _block(
     sin: jax.Array,
     cos: jax.Array,
     attn_impl: str,
+    mesh=None,
+    tp_axis: str = "tensor",
 ) -> jax.Array:
     b, l, d = x.shape
     nh, kvh, hd = cfg.n_heads, cfg.effective_n_kv_heads, cfg.head_dim
@@ -309,8 +347,8 @@ def _block(
     v = v.reshape(b, l, kvh, hd).transpose(0, 2, 1, 3)
 
     q, k = apply_rope(q, k, sin, cos, cfg.rope_full_precision)
-    att = bidirectional_attention(
-        q, k, v, bias=bias, softmax_dtype=policy.softmax_dtype, impl=attn_impl
+    att = _dispatch_attention(
+        q, k, v, bias, policy.softmax_dtype, attn_impl, mesh, tp_axis
     )
     att = att.transpose(0, 2, 1, 3).reshape(b, l, d)
     x = x + maybe_matmul(att, lp["attn_out"])
@@ -362,6 +400,8 @@ def forward(
     remat: bool = False,
     attn_impl: str = "auto",
     output_hidden_states: bool = False,
+    mesh=None,
+    tp_axis: str = "tensor",
 ):
     """Compute logits `(B, L, V)` (or `(B, L, window)` with `logit_window`;
     `logit_positions=(start, stop)` additionally restricts the head to that
@@ -387,7 +427,10 @@ def forward(
     sin, cos = rope_sin_cos(seq_len, cfg.head_dim, cfg.rope_theta)
 
     def body(carry, lp):
-        h = _block(cfg, policy, carry, lp, bias, sin, cos, attn_impl)
+        h = _block(
+            cfg, policy, carry, lp, bias, sin, cos, attn_impl,
+            mesh=mesh, tp_axis=tp_axis,
+        )
         return h, (h if output_hidden_states else None)
 
     if remat:

@@ -38,7 +38,7 @@ from mmada_tpu.sampling.schedules import cosine_schedule
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["params"],
-    meta_fields=["cfg", "vocab", "policy", "attn_impl", "remat"],
+    meta_fields=["cfg", "vocab", "policy", "attn_impl", "remat", "mesh"],
 )
 @dataclasses.dataclass
 class MMadaModel:
@@ -55,6 +55,11 @@ class MMadaModel:
     policy: Policy = FP32
     attn_impl: str = "auto"
     remat: bool = False
+    mesh: Any = None
+    """Optional jax.sharding.Mesh. When set, attention runs the
+    mesh-aware shard_map path (heads over 'tensor', batch over
+    data×fsdp) so the Pallas kernel survives multi-device execution
+    instead of degrading to XLA attention (llada._dispatch_attention)."""
 
     # ------------------------------------------------------------- factory
     @classmethod
@@ -79,7 +84,7 @@ class MMadaModel:
             attention_mask=attention_mask, attention_bias=attention_bias,
             policy=self.policy, logit_window=logit_window,
             logit_positions=logit_positions,
-            remat=self.remat, attn_impl=self.attn_impl,
+            remat=self.remat, attn_impl=self.attn_impl, mesh=self.mesh,
         )
 
     def _text_forward_fn(self):

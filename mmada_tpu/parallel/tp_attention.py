@@ -19,10 +19,11 @@ the TPU-native path for serving the 8B model bf16 on a v5e-4/8 slice.
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 try:  # moved out of experimental in newer JAX
     from jax import shard_map
@@ -30,11 +31,31 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
+from mmada_tpu.core.mesh import DATA_AXIS, FSDP_AXIS
 from mmada_tpu.ops.attention import (
     _is_tpu_backend,
     _pallas_shape_eligible,
     bidirectional_attention,
 )
+
+
+def best_batch_axes(
+    batch_size: int,
+    mesh: Mesh,
+    axis_names: Sequence[str] = (DATA_AXIS, FSDP_AXIS),
+) -> tuple[str, ...]:
+    """Longest prefix of `axis_names` (present in the mesh with size > 1)
+    whose combined size divides `batch_size`. shard_map requires exact
+    divisibility, unlike GSPMD which pads — so a batch that does not divide
+    the full data×fsdp product degrades gracefully to fewer axes
+    (the dropped axes then see a replicated batch)."""
+    axes = tuple(a for a in axis_names if mesh.shape.get(a, 1) > 1)
+    while axes:
+        total = int(np.prod([mesh.shape[a] for a in axes]))
+        if batch_size % total == 0:
+            return axes
+        axes = axes[:-1]
+    return ()
 
 
 def tp_attention(
@@ -43,14 +64,20 @@ def tp_attention(
     v: jax.Array,  # (B, KVH, L, D)
     mesh: Mesh,
     axis_name: str = "tensor",
-    bias: Optional[jax.Array] = None,  # (B|1, 1|H, L, L), replicated
+    bias: Optional[jax.Array] = None,  # (B|1, 1|H, L, L)
     softmax_dtype: jnp.dtype = jnp.float32,
     impl: str = "auto",
+    batch_axes: Sequence[str] = (),
 ) -> jax.Array:
     """Head-sharded attention over `axis_name`. H and KVH must divide the
     axis size (GQA groups stay intact on one device so the kernel's
-    head-repeat indexing is purely local). A (B|1, 1, L, L) bias is
-    broadcast to every shard; a per-head bias shards with the heads."""
+    head-repeat indexing is purely local: with contiguous head blocks,
+    local q-head r maps to local kv-head r // (H/KVH) exactly as globally).
+    `batch_axes` additionally shards the batch dim (activations in the
+    model forward are batch-sharded over data×fsdp; without this the
+    shard_map would all-gather the batch onto every device). A
+    (B|1, 1, L, L) bias is broadcast to every head shard; a per-head bias
+    shards with the heads."""
     axis_size = mesh.shape[axis_name]
     n_heads, n_kv = q.shape[1], k.shape[1]
     if n_heads % axis_size or n_kv % axis_size:
@@ -58,14 +85,22 @@ def tp_attention(
             f"heads ({n_heads}, kv {n_kv}) must divide mesh axis "
             f"'{axis_name}' of size {axis_size}"
         )
+    b_ax = tuple(batch_axes) or None
+    if b_ax:
+        total = int(np.prod([mesh.shape[a] for a in b_ax]))
+        if q.shape[0] % total:
+            raise ValueError(
+                f"batch {q.shape[0]} must divide batch_axes {b_ax} "
+                f"of total size {total}"
+            )
 
-    head_spec = P(None, axis_name, None, None)
+    head_spec = P(b_ax, axis_name, None, None)
     if bias is None:
         bias_spec = None
     elif bias.shape[1] == 1:
-        bias_spec = P(None, None, None, None)  # replicated per-pair mask
+        bias_spec = P(b_ax if bias.shape[0] != 1 else None, None, None, None)
     else:
-        bias_spec = P(None, axis_name, None, None)
+        bias_spec = P(b_ax if bias.shape[0] != 1 else None, axis_name, None, None)
 
     def local(q_blk, k_blk, v_blk, *maybe_bias):
         b = maybe_bias[0] if maybe_bias else None

@@ -99,3 +99,89 @@ def test_quantized_params_shardable():
     a = np.asarray(jax.jit(lambda m, i: m.forward(i))(model, ids))
     b = np.asarray(jax.jit(lambda m, i: m.forward(i))(model_sh, ids))
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_mesh_attention_forward_matches_unsharded():
+    """With model.mesh set, attention dispatches to the shard_map path
+    (heads over 'tensor', batch over data×fsdp) and the logits match the
+    plain single-device forward."""
+    cfg, params = build(n_heads=8, d_model=128)
+    mesh = make_mesh(data=2, fsdp=2, tensor=2)
+    params_sh = sharding.shard_params(
+        params, sharding.llada_param_specs(cfg), mesh
+    )
+    model = MMadaModel(cfg=cfg, params=params, vocab=VOCAB)
+    model_mesh = MMadaModel(cfg=cfg, params=params_sh, vocab=VOCAB, mesh=mesh)
+
+    ids = jnp.asarray(
+        np.random.default_rng(1).integers(3, 200, (4, 16)), jnp.int32
+    )
+    fwd = lambda m, i: m.forward(i)
+    # the mesh model's program must actually contain the shard_map
+    jaxpr = str(jax.make_jaxpr(fwd)(model_mesh, ids))
+    assert "shard_map" in jaxpr
+    assert "shard_map" not in str(jax.make_jaxpr(fwd)(model, ids))
+
+    a = np.asarray(jax.jit(fwd)(model, ids))
+    b = np.asarray(jax.jit(fwd)(model_mesh, ids))
+    np.testing.assert_allclose(a, b, atol=2e-5, rtol=2e-5)
+
+
+def test_mesh_attention_generation_matches():
+    """Samplers (semi-AR text + MaskGIT t2i with CFG batch-doubling)
+    produce identical tokens with the mesh-aware attention path."""
+    cfg, params = build(n_heads=8)
+    mesh = make_mesh(data=2, fsdp=2, tensor=2)
+    params_sh = sharding.shard_params(
+        params, sharding.llada_param_specs(cfg), mesh
+    )
+    model = MMadaModel(cfg=cfg, params=params, vocab=VOCAB)
+    model_mesh = MMadaModel(cfg=cfg, params=params_sh, vocab=VOCAB, mesh=mesh)
+
+    prompt = jnp.asarray(
+        np.random.default_rng(0).integers(3, 200, (4, 8)), jnp.int32
+    )
+
+    @jax.jit
+    def gen(model, prompt):
+        return model.generate(prompt, gen_length=16, steps=8, block_length=8)
+
+    np.testing.assert_array_equal(
+        np.asarray(gen(model, prompt)), np.asarray(gen(model_mesh, prompt))
+    )
+
+    n_img = 16
+    frame = np.concatenate([
+        np.full((2, 6), 5), np.full((2, 1), 230),
+        np.full((2, n_img), VOCAB.mask_token_id), np.full((2, 1), 231),
+    ], axis=1).astype(np.int32)
+    uncond = frame.copy()
+    uncond[:, :6] = VOCAB.pad_token_id
+
+    @jax.jit
+    def t2i(model, frame, uncond, key):
+        return model.t2i_generate(
+            frame, uncond_input_ids=uncond, temperature=0.0, greedy=True,
+            timesteps=4, guidance_scale=1.5, num_vq_tokens=n_img, key=key,
+        )
+
+    key = jax.random.key(0)
+    np.testing.assert_array_equal(
+        np.asarray(t2i(model, jnp.asarray(frame), jnp.asarray(uncond), key)),
+        np.asarray(t2i(model_mesh, jnp.asarray(frame), jnp.asarray(uncond), key)),
+    )
+
+
+def test_mesh_attention_indivisible_heads_falls_back():
+    """3 heads on a tensor=2 axis: dispatch must fall back (no shard_map
+    on the head axis) yet still produce correct logits."""
+    cfg, params = build(n_heads=2, d_model=64)  # 2 heads, tensor=4 below
+    mesh = make_mesh(data=1, fsdp=2, tensor=4)
+    model = MMadaModel(cfg=cfg, params=params, vocab=VOCAB)
+    model_mesh = MMadaModel(cfg=cfg, params=params, vocab=VOCAB, mesh=mesh)
+    ids = jnp.asarray(
+        np.random.default_rng(2).integers(3, 200, (2, 12)), jnp.int32
+    )
+    a = np.asarray(jax.jit(lambda m, i: m.forward(i))(model, ids))
+    b = np.asarray(jax.jit(lambda m, i: m.forward(i))(model_mesh, ids))
+    np.testing.assert_allclose(a, b, atol=2e-5, rtol=2e-5)
