@@ -37,11 +37,12 @@ class AppState:
         self.engine = None  # set by start_engine() in HTTP mode
 
     def start_engine(self):
-        """Route text/mmu requests through the batched ServingEngine:
+        """Route text/mmu/t2i requests through the batched ServingEngine:
         concurrent deterministic requests of the same shape micro-batch
-        (measured 2.2x aggregate text throughput at batch 8, BASELINE.md).
-        t2i stays on the direct path (compute-bound from batch 1 — batching
-        buys nothing — and the engine API carries no attention masks)."""
+        (measured 2.2x aggregate text throughput at batch 8, BASELINE.md;
+        stochastic t2i runs solo for seed reproducibility — it is
+        compute-bound from batch 1 anyway), and the single dispatcher
+        thread owns the device. VQ decode stays in the caller thread."""
         from mmada_tpu.serve.engine import ServingEngine
 
         self.engine = ServingEngine(self.model).start()
@@ -137,17 +138,34 @@ class AppState:
         image_ids = np.full((1, num_vq), mask_id, np.int64)
         input_ids, attn = self.prompting(([prompt], image_ids), "t2i_gen")
         uncond_ids, uncond_attn = self.prompting.t2i_gen_uncond(1, num_vq, mask_id)
-        with self.lock:
-            codes = self.model.t2i_generate(
-                jnp.asarray(input_ids),
-                uncond_input_ids=jnp.asarray(uncond_ids),
-                attention_mask=jnp.asarray(attn),
-                uncond_attention_mask=jnp.asarray(uncond_attn),
-                temperature=temperature, timesteps=timesteps,
-                guidance_scale=guidance_scale, num_vq_tokens=num_vq,
-                key=jax.random.key(seed),
+        if self.engine is not None:
+            from mmada_tpu.serve.engine import T2ISettings
+
+            settings = T2ISettings(
+                timesteps=timesteps, guidance_scale=guidance_scale,
+                temperature=temperature, num_vq_tokens=num_vq,
             )
-            pixels = magvit2.decode_code(self.vq_params, self.vq_cfg, codes)
+            fut = self.engine.submit_t2i(
+                np.asarray(input_ids[0]), np.asarray(uncond_ids[0]), settings,
+                seed=seed,
+                attention_mask=np.asarray(attn[0]),
+                uncond_attention_mask=np.asarray(uncond_attn[0]),
+            )
+            codes = jnp.asarray(fut.result()[None])
+            with self.lock:
+                pixels = magvit2.decode_code(self.vq_params, self.vq_cfg, codes)
+        else:
+            with self.lock:
+                codes = self.model.t2i_generate(
+                    jnp.asarray(input_ids),
+                    uncond_input_ids=jnp.asarray(uncond_ids),
+                    attention_mask=jnp.asarray(attn),
+                    uncond_attention_mask=jnp.asarray(uncond_attn),
+                    temperature=temperature, timesteps=timesteps,
+                    guidance_scale=guidance_scale, num_vq_tokens=num_vq,
+                    key=jax.random.key(seed),
+                )
+                pixels = magvit2.decode_code(self.vq_params, self.vq_cfg, codes)
         arr = np.asarray((np.asarray(pixels[0]) + 1.0) * 127.5).clip(0, 255)
         return arr.astype(np.uint8)
 

@@ -100,7 +100,10 @@ def _attn_online_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
     m0 = jnp.full((bq, 1), -jnp.inf, jnp.float32)
     s0 = jnp.zeros((bq, 1), jnp.float32)
     acc, m, s = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, s0))
-    o_ref[0, 0] = (acc / s).astype(o_ref.dtype)
+    # same 1e-30 denominator guard as the bias/staged kernels: the no-bias
+    # path cannot produce an all -inf row today, but keep the three kernels
+    # numerically interchangeable
+    o_ref[0, 0] = (acc / jnp.maximum(s, 1e-30)).astype(o_ref.dtype)
 
 
 def _attn_online_bias_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *,

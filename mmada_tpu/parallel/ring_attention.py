@@ -56,10 +56,12 @@ def _ring_attention_local(q, k, v, axis_name: str, scale: float):
         return (acc, m, s, k_cur, v_cur), None
 
     b, h, lq, d = q.shape
-    # pvary: constants enter the scan carry as device-varying values so the
+    # constants enter the scan carry as device-varying values so the
     # carry type matches the per-device outputs (jax>=0.9 shard_map typing)
     def varying(x):
-        return jax.lax.pvary(x, axis_name)
+        if hasattr(jax.lax, "pcast"):
+            return jax.lax.pcast(x, axis_name, to="varying")
+        return jax.lax.pvary(x, axis_name)  # pragma: no cover - older JAX
 
     acc0, m0, s0 = accumulate(
         varying(jnp.zeros((b, h, lq, d), jnp.float32)),

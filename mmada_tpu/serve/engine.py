@@ -81,10 +81,12 @@ def _jit_text_per_row_keys(model, prompts, settings, keys):
 
 
 @functools.partial(jax.jit, static_argnames=("settings",))
-def _jit_t2i(model, frames, unconds, settings, key):
+def _jit_t2i(model, frames, unconds, attns, uncond_attns, settings, key):
     return model.t2i_generate(
         frames,
         uncond_input_ids=unconds,
+        attention_mask=attns,
+        uncond_attention_mask=uncond_attns,
         temperature=settings.temperature,
         timesteps=settings.timesteps,
         guidance_scale=settings.guidance_scale,
@@ -146,6 +148,7 @@ class ServingEngine:
         self._queue: "queue.Queue[_Request]" = queue.Queue(maxsize=max_queue)
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
+        self._stats_lock = threading.Lock()
         self.stats = {"requests": 0, "batches": 0, "batched_requests": 0}
 
     # ------------------------------------------------------------ public
@@ -176,8 +179,13 @@ class ServingEngine:
         return self._submit("mmu", frame_ids, settings, seed)
 
     def submit_t2i(self, frame: np.ndarray, uncond: np.ndarray,
-                   settings: T2ISettings, seed: int = 0) -> Future:
-        return self._submit("t2i", (frame, uncond), settings, seed)
+                   settings: T2ISettings, seed: int = 0,
+                   attention_mask: Optional[np.ndarray] = None,
+                   uncond_attention_mask: Optional[np.ndarray] = None) -> Future:
+        return self._submit(
+            "t2i", (frame, uncond, attention_mask, uncond_attention_mask),
+            settings, seed,
+        )
 
     def _submit(self, kind, payload, settings, seed) -> Future:
         fut: Future = Future()
@@ -190,8 +198,14 @@ class ServingEngine:
                 RuntimeError("serving queue full — backpressure")
             )
             return fut
-        self.stats["requests"] += 1
+        self._bump("requests")
         return fut
+
+    def _bump(self, name: str, n: int = 1):
+        # read-modify-write on the counters happens from HTTP worker
+        # threads (submit) AND the dispatcher thread (_run_group)
+        with self._stats_lock:
+            self.stats[name] += n
 
     # --------------------------------------------------------- dispatcher
     def _loop(self):
@@ -231,8 +245,12 @@ class ServingEngine:
         groups: dict[tuple, list[_Request]] = {}
         for r in requests:
             if r.kind == "t2i":
-                # both frame AND uncond lengths shape the program
-                length = (r.payload[0].shape[-1], r.payload[1].shape[-1])
+                # both frame AND uncond lengths shape the program, as does
+                # mask presence (None vs array changes the jit signature)
+                length = (
+                    r.payload[0].shape[-1], r.payload[1].shape[-1],
+                    r.payload[2] is not None, r.payload[3] is not None,
+                )
                 solo = id(r) if r.settings.temperature > 0 else None
             else:
                 length = r.payload.shape[-1]
@@ -252,8 +270,8 @@ class ServingEngine:
     def _run_group(self, kind: str, settings, grp: list[_Request]):
         n = len(grp)
         bucket = next(b for b in self.buckets if n <= b)
-        self.stats["batches"] += 1
-        self.stats["batched_requests"] += n
+        self._bump("batches")
+        self._bump("batched_requests", n)
         key = jax.random.key(grp[0].seed)
 
         if kind in ("text", "mmu"):
@@ -278,18 +296,18 @@ class ServingEngine:
             for i, r in enumerate(grp):
                 r.future.set_result(out[i])
         elif kind == "t2i":
-            frames = np.stack([np.asarray(r.payload[0]).reshape(-1) for r in grp])
-            unconds = np.stack([np.asarray(r.payload[1]).reshape(-1) for r in grp])
-            if bucket > n:
-                frames = np.concatenate(
-                    [frames, np.repeat(frames[-1:], bucket - n, 0)]
-                )
-                unconds = np.concatenate(
-                    [unconds, np.repeat(unconds[-1:], bucket - n, 0)]
-                )
+            def stack(idx):
+                rows = [r.payload[idx] for r in grp]
+                if rows[0] is None:
+                    return None
+                arr = np.stack([np.asarray(x).reshape(-1) for x in rows])
+                if bucket > n:
+                    arr = np.concatenate([arr, np.repeat(arr[-1:], bucket - n, 0)])
+                return jnp.asarray(arr)
+
             codes = np.asarray(
                 _jit_t2i(
-                    self.model, jnp.asarray(frames), jnp.asarray(unconds),
+                    self.model, stack(0), stack(1), stack(2), stack(3),
                     settings, key,
                 )
             )

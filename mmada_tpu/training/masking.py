@@ -128,15 +128,13 @@ def eval_image_corruption(
 
 def enable_full_determinism(seed: int = 0):
     """Best-effort determinism gates (models/training_utils.py:27-45
-    analog): deterministic XLA reductions + a fixed numpy global seed for
-    any host-side randomness."""
-    import os
-
+    analog). TPU/XLA execution is deterministic by default given fixed
+    PRNG keys, so on-device this only needs fixed host-side seeds. NOTE:
+    XLA flags are only read at backend initialization — this must run
+    before the first JAX operation of the process to have any XLA-side
+    effect (same constraint as the reference's CUBLAS env vars)."""
     import numpy as np
 
-    os.environ.setdefault("XLA_FLAGS", "")
-    if "--xla_gpu_deterministic_ops" not in os.environ["XLA_FLAGS"]:
-        os.environ["XLA_FLAGS"] += " --xla_gpu_deterministic_ops=true"
     np.random.seed(seed)
     import random as _random
 

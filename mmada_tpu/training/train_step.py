@@ -195,11 +195,18 @@ def make_train_step(
                 opt_state, state.opt_state,
             )
             aux = dict(aux, skipped_nonfinite=(~ok).astype(jnp.float32))
+            # a skipped batch does not count: the reference's host-side
+            # `continue` (train_t2m.py:219-238) leaves the step counter
+            # untouched, so step-indexed hooks (save_every/eval_every) and
+            # the LR schedule stay aligned with batches actually applied
+            step = state.step + ok.astype(state.step.dtype)
+        else:
+            step = state.step + 1
         metrics = dict(aux, loss=loss, grad_norm=grad_norm)
         if sc.log_param_grad_norms:
             metrics.update(per_kind_grad_norms(grads))
         return (
-            TrainState(params=params, opt_state=opt_state, step=state.step + 1),
+            TrainState(params=params, opt_state=opt_state, step=step),
             metrics,
         )
 

@@ -181,3 +181,53 @@ def test_mixed_kinds_and_lengths(model):
         assert r1.shape == (14,) and r2.shape == (18,)
     finally:
         engine.stop()
+
+
+def test_t2i_with_masks_matches_direct(model):
+    """submit_t2i carries attention masks (the app's t2i path routes
+    through the engine); greedy engine output matches the direct call."""
+    import dataclasses as _dc
+
+    import jax.numpy as jnp
+
+    # masks only matter with attention_bias_enabled; flip it on so the
+    # plumbing is actually load-bearing in this test
+    cfg = _dc.replace(model.cfg, attention_bias_enabled=True)
+    m = MMadaModel(cfg=cfg, params=model.params, vocab=model.vocab)
+    engine = ServingEngine(m, max_wait_ms=30).start()
+    try:
+        n_img = 16
+        frame = np.concatenate([
+            np.full(6, 5), [280], np.full(n_img, VOCAB.mask_token_id), [281]
+        ]).astype(np.int64)
+        uncond = frame.copy()
+        uncond[:6] = VOCAB.pad_token_id
+        attn = np.ones_like(frame)
+        attn[:2] = 0  # padded prefix
+        uattn = np.ones_like(uncond)
+        settings = T2ISettings(
+            timesteps=3, guidance_scale=1.5, temperature=0.0,
+            num_vq_tokens=n_img,
+        )
+        fut = engine.submit_t2i(
+            frame, uncond, settings, seed=7,
+            attention_mask=attn, uncond_attention_mask=uattn,
+        )
+        got = fut.result(timeout=120)
+        want = np.asarray(
+            m.t2i_generate(
+                jnp.asarray(frame)[None],
+                uncond_input_ids=jnp.asarray(uncond)[None],
+                attention_mask=jnp.asarray(attn)[None],
+                uncond_attention_mask=jnp.asarray(uattn)[None],
+                temperature=0.0, timesteps=3, guidance_scale=1.5,
+                num_vq_tokens=n_img, key=jax.random.key(7),
+            )
+        )[0]
+        np.testing.assert_array_equal(got, want)
+
+        # masks must change the result when bias is enabled (load-bearing)
+        fut2 = engine.submit_t2i(frame, uncond, settings, seed=7)
+        assert not np.array_equal(fut2.result(timeout=120), got)
+    finally:
+        engine.stop()
