@@ -56,6 +56,14 @@ def build_vocab(cfg: Config) -> VocabLayout:
             motion_special=2 if m.get("motion_vocab_size") else 0,
         )
     vocab = MMADA_8B
+    nnst = int(m.get("num_new_special_tokens", 0) or 0)
+    if nnst:
+        # reference offsets the image window by len(tokenizer) +
+        # num_new_special_tokens (modeling_mmada.py:168): appended special
+        # tokens extend the text region, pushing the VQ windows up
+        vocab = dataclasses.replace(
+            vocab, text_vocab_size=vocab.text_vocab_size + nnst
+        )
     if m.get("motion_vocab_size"):
         vocab = vocab.with_motion(m["motion_vocab_size"])
     return vocab
@@ -114,6 +122,12 @@ def build_model(cfg: Config, vocab: VocabLayout) -> MMadaModel:
             arch = dataclasses.replace(arch, mask_token_id=vocab.mask_token_id)
         else:
             arch = llada.llada_8b(vocab.total_vocab_size)
+        if "tie_word_embeddings" in m:
+            # only honored for random init: a pretrained checkpoint's own
+            # config decides whether an ff_out head exists in its weights
+            arch = dataclasses.replace(
+                arch, weight_tying=bool(m["tie_word_embeddings"])
+            )
         return MMadaModel.init(
             jax.random.key(cfg.get_path("training.seed", 0)),
             arch, vocab, policy=policy,

@@ -105,6 +105,12 @@ def build_dataloader(cfg):
             for b in batched(lm_iter, tr.batch_size_lm)
         )
     if tr.get("batch_size_mmu"):
+        # und_type selects the mmu understanding pipeline; image+caption
+        # webdataset streams cover the captioning family, and unsupported
+        # types fail loudly like the reference (train_mmada.py:340-377)
+        und_type = cfg.get_path("dataset.und_type", "captioning")
+        if und_type not in ("captioning", "captioning_parquet"):
+            raise NotImplementedError(f"Unsupported und_type {und_type}")
         # stage-4 mixes mmu sources ({cot,vqa,clevr2,geo170k}_in_mmu_coeff,
         # train_mmada_stage4.py:694): any `<name>_in_mmu_coeff` with a
         # matching `train_<name>_mmu_shards_path_or_url` joins the mixture
