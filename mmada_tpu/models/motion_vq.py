@@ -39,6 +39,16 @@ class MotionVQConfig:
     dilation_growth_rate: int = 3
     activation: str = "relu"
     mu: float = 0.99               # EMA decay
+    quantizer: str = "ema_reset"
+    """Codebook variant (reference motion_vqvae/models/quantize_cnn.py):
+      * 'ema_reset' — EMA updates + dead-code reset (QuantizeEMAReset:6-124,
+        the flagship default);
+      * 'ema'       — EMA updates, no reset (QuantizeEMA:301-413);
+      * 'reset'     — gradient-free codebook, codes unused in the current
+        batch reseeded from batch vectors (QuantizeReset:193-298);
+      * 'gradient'  — optimizer-trained codebook with the classic VQ loss
+        (Quantizer:127-189); requires the codebook in the optimizer."""
+    beta: float = 1.0              # 'gradient' commitment weight
 
 
 def tiny_motion_cfg() -> MotionVQConfig:
@@ -153,11 +163,23 @@ def init_decoder(key, cfg: MotionVQConfig, dtype=jnp.float32) -> Params:
 
 
 def init_motion_vq(key, cfg: MotionVQConfig, dtype=jnp.float32) -> Params:
-    k1, k2 = jax.random.split(key)
+    k1, k2, k3 = jax.random.split(key, 3)
+    if cfg.quantizer == "gradient":
+        # nn.Embedding uniform(-1/n, 1/n) init (quantize_cnn.py:136)
+        codebook = jax.random.uniform(
+            k3, (cfg.nb_code, cfg.code_dim), dtype,
+            -1.0 / cfg.nb_code, 1.0 / cfg.nb_code,
+        )
+    elif cfg.quantizer == "reset":
+        # nn.Parameter(torch.randn(...)) (quantize_cnn.py:199); replaced by
+        # batch seeding on the first training step
+        codebook = jax.random.normal(k3, (cfg.nb_code, cfg.code_dim), dtype)
+    else:  # ema / ema_reset: zeros until first-batch seeding
+        codebook = jnp.zeros((cfg.nb_code, cfg.code_dim), dtype)
     return {
         "encoder": init_encoder(k1, cfg, dtype),
         "decoder": init_decoder(k2, cfg, dtype),
-        "codebook": jnp.zeros((cfg.nb_code, cfg.code_dim), dtype),
+        "codebook": codebook,
     }
 
 
@@ -231,13 +253,107 @@ def perplexity_of(codes: jax.Array, nb_code: int) -> jax.Array:
 
 
 def _tile_to(key, x_flat: jax.Array, nb_code: int) -> jax.Array:
-    """Repeat batch vectors (+tiny noise) up to nb_code rows for codebook
-    (re)seeding (quantize_cnn.py:24-34)."""
+    """Reference `_tile` (quantize_cnn.py:20-29): repeat batch vectors up to
+    nb_code rows, adding tiny noise ONLY when tiling is needed — with a
+    full batch (N >= nb_code) the seed vectors are exact batch samples."""
     n, d = x_flat.shape
+    if n >= nb_code:
+        return x_flat[:nb_code]
     reps = (nb_code + n - 1) // n
     out = jnp.tile(x_flat, (reps, 1))[:nb_code]
     noise = jax.random.normal(key, out.shape, out.dtype) * (0.01 / np.sqrt(d))
     return out + noise
+
+
+def _perplexity(code_count_batch: jax.Array, eps: float = 1e-7) -> jax.Array:
+    prob = code_count_batch / jnp.maximum(code_count_batch.sum(), 1e-12)
+    return jnp.exp(-jnp.sum(prob * jnp.log(prob + eps)))
+
+
+def _init_codebook(key, x_flat: jax.Array, nb_code: int):
+    """Shared first-batch seeding (quantize_cnn.py:31-36): codebook and EMA
+    sums from batch vectors, counts at one."""
+    seeded = _tile_to(key, x_flat, nb_code)
+    return seeded, CodebookState(
+        code_sum=seeded,
+        code_count=jnp.ones((nb_code,)),
+        initialized=jnp.ones((), jnp.bool_),
+    )
+
+
+def _apply_update(
+    key: jax.Array,
+    codebook: jax.Array,
+    state: CodebookState,
+    x_flat: jax.Array,
+    codes: jax.Array,
+    cfg: MotionVQConfig,
+) -> tuple[jax.Array, CodebookState, jax.Array]:
+    """Variant-specific unconditional codebook update:
+      * ema_reset — EMA centers, dead codes (EMA count < 1) reseeded
+        (quantize_cnn.py:49-73);
+      * ema       — EMA centers, never reseeded (:344-363);
+      * reset     — values kept verbatim for codes used THIS batch,
+        unused codes reseeded from batch vectors (:233-252)."""
+    nb_code = codebook.shape[0]
+    mu = cfg.mu
+    onehot = jax.nn.one_hot(codes, nb_code, dtype=x_flat.dtype)  # (N, K)
+    code_sum_batch = onehot.T @ x_flat
+    code_count_batch = onehot.sum(axis=0)
+    rand = _tile_to(key, x_flat, nb_code)
+
+    if cfg.quantizer == "reset":
+        usage = (code_count_batch >= 1.0)[:, None]
+        new_codebook = jnp.where(usage, codebook, rand)
+        new_state = CodebookState(
+            code_sum=state.code_sum, code_count=code_count_batch,
+            initialized=jnp.ones((), jnp.bool_),
+        )
+    else:
+        code_sum = mu * state.code_sum + (1 - mu) * code_sum_batch
+        code_count = mu * state.code_count + (1 - mu) * code_count_batch
+        update = code_sum / jnp.maximum(code_count[:, None], 1e-12)
+        if cfg.quantizer == "ema":
+            new_codebook = update
+        else:  # ema_reset
+            usage = (code_count >= 1.0)[:, None]
+            new_codebook = jnp.where(usage, update, rand)
+        new_state = CodebookState(
+            code_sum=code_sum, code_count=code_count,
+            initialized=jnp.ones((), jnp.bool_),
+        )
+    return new_codebook, new_state, _perplexity(code_count_batch)
+
+
+def quantizer_forward(
+    key: jax.Array,
+    codebook: jax.Array,
+    state: CodebookState,
+    x_flat: jax.Array,
+    cfg: MotionVQConfig,
+) -> tuple[jax.Array, jax.Array, jax.Array, CodebookState, jax.Array]:
+    """Training-mode quantizer pass in the reference's exact order
+    (quantize_cnn.py:94-123 forward): maybe-init from the batch →
+    quantize with the (possibly just-seeded) codebook → unconditional
+    variant update. Returns (z_q, codes, new_codebook, new_state,
+    perplexity). Not for 'gradient' (use gradient_quantizer_losses)."""
+    if cfg.quantizer not in ("ema_reset", "ema", "reset"):
+        raise ValueError(f"quantizer_forward does not apply to {cfg.quantizer}")
+    nb_code = codebook.shape[0]
+    k_init, k_update = jax.random.split(key)
+
+    codebook, state = jax.lax.cond(
+        state.initialized,
+        lambda _: (codebook, state),
+        lambda _: _init_codebook(k_init, x_flat, nb_code),
+        None,
+    )
+    codes = quantize(codebook, x_flat)
+    z_q = dequantize(codebook, codes)
+    new_codebook, new_state, ppl = _apply_update(
+        k_update, codebook, state, x_flat, codes, cfg
+    )
+    return z_q, codes, new_codebook, new_state, ppl
 
 
 def ema_update(
@@ -248,49 +364,31 @@ def ema_update(
     codes: jax.Array,
     mu: float,
 ) -> tuple[jax.Array, CodebookState, jax.Array]:
-    """One EMA codebook update with dead-code reset; returns
-    (codebook, state, perplexity)."""
+    """One flagship-default (ema_reset) update with given codes; seeds from
+    the batch when uninitialized. Prefer `quantizer_forward`, which also
+    reproduces the reference's init-then-requantize first step."""
+    cfg = MotionVQConfig(mu=mu, quantizer="ema_reset")
     nb_code = codebook.shape[0]
-    onehot = jax.nn.one_hot(codes, nb_code, dtype=x_flat.dtype)  # (N, K)
-    code_sum_batch = onehot.T @ x_flat
-    code_count_batch = onehot.sum(axis=0)
+    k_init, k_update = jax.random.split(key)
 
     def init_branch(_):
-        seeded = _tile_to(key, x_flat, nb_code)
-        return seeded, CodebookState(
-            code_sum=seeded,
-            code_count=jnp.ones((nb_code,)),
-            initialized=jnp.ones((), jnp.bool_),
-        )
+        cb, st = _init_codebook(k_init, x_flat, nb_code)
+        new_codes = quantize(cb, x_flat)
+        return _apply_update(k_update, cb, st, x_flat, new_codes, cfg)
 
     def update_branch(_):
-        code_sum = mu * state.code_sum + (1 - mu) * code_sum_batch
-        code_count = mu * state.code_count + (1 - mu) * code_count_batch
-        usage = (code_count >= 1.0)[:, None]
-        update = code_sum / jnp.maximum(code_count[:, None], 1e-7)
-        rand = _tile_to(key, x_flat, nb_code)
-        new_codebook = jnp.where(usage, update, rand)
-        return new_codebook, CodebookState(
-            code_sum=code_sum, code_count=code_count,
-            initialized=jnp.ones((), jnp.bool_),
-        )
+        return _apply_update(k_update, codebook, state, x_flat, codes, cfg)
 
-    codebook, state = jax.lax.cond(
-        state.initialized, update_branch, init_branch, None
-    )
-    prob = code_count_batch / jnp.maximum(code_count_batch.sum(), 1)
-    perplexity = jnp.exp(-jnp.sum(prob * jnp.log(prob + 1e-7)))
-    return codebook, state, perplexity
+    return jax.lax.cond(state.initialized, update_branch, init_branch, None)
 
 
 def gradient_quantizer_losses(
     codebook: jax.Array, z_flat: jax.Array, beta: float = 1.0
-) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Plain gradient-trained quantizer (`Quantizer`, quantize_cnn.py:127-165):
-    codebook loss ‖z_q − sg(z)‖² + β‖sg(z_q) − z‖², both sides receiving
-    gradients (codebook through the first term, encoder through the second).
-    Returns (z_q_ste, loss, codes). Use instead of `ema_update` when the
-    codebook is an optimizer-trained parameter."""
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Optimizer-trained quantizer (`Quantizer`, quantize_cnn.py:127-165):
+    loss = ‖z_q − sg(z)‖² + β‖sg(z_q) − z‖² (codebook learns through the
+    first term, encoder through the second). Returns
+    (z_q_ste, loss, perplexity, codes)."""
     codes = quantize(codebook, jax.lax.stop_gradient(z_flat))
     z_q = codebook[codes]
     loss = (
@@ -298,21 +396,13 @@ def gradient_quantizer_losses(
         + beta * jnp.mean(jnp.square(jax.lax.stop_gradient(z_q) - z_flat))
     )
     z_q_ste = z_flat + jax.lax.stop_gradient(z_q - z_flat)
-    return z_q_ste, loss, codes
-
-
-def reset_dead_codes(
-    key: jax.Array,
-    codebook: jax.Array,
-    usage_count: jax.Array,     # (K,) codes used this step
-    x_flat: jax.Array,
-    threshold: float = 1.0,
-) -> jax.Array:
-    """`QuantizeReset` variant (quantize_cnn.py:190-250): re-seed codes whose
-    usage fell below threshold from current batch vectors."""
-    dead = usage_count < threshold
-    rand = _tile_to(key, x_flat, codebook.shape[0])
-    return jnp.where(dead[:, None], rand, codebook)
+    # reference Quantizer uses eps 1e-10 (quantize_cnn.py:163) and one-hot
+    # means rather than counts — identical up to the shared normalizer
+    onehot_mean = jax.nn.one_hot(codes, codebook.shape[0]).mean(axis=0)
+    perplexity = jnp.exp(
+        -jnp.sum(onehot_mean * jnp.log(onehot_mean + 1e-10))
+    )
+    return z_q_ste, loss, perplexity, codes
 
 
 # --------------------------------------------------------------------------
@@ -341,21 +431,30 @@ def forward_train(
     motion: jax.Array,
 ):
     """Training forward: returns (recon, commit_loss, perplexity,
-    new_codebook, new_state). Straight-through estimator on the bottleneck."""
+    new_codebook, new_state). Straight-through estimator on the bottleneck.
+
+    For the non-gradient variants the returned codebook/state carry the
+    functional update (assign them back); for `quantizer='gradient'` the
+    codebook is untouched here — it learns through commit_loss (which is
+    then the full two-term VQ loss) via the optimizer."""
     z = encoder_forward(params["encoder"], cfg, motion)
     b, t, d = z.shape
     z_flat = z.reshape(-1, d)
-    codes = quantize(params["codebook"], z_flat)
-    z_q = dequantize(params["codebook"], codes)
+    if cfg.quantizer == "gradient":
+        z_ste, commit_loss, perplexity, _ = gradient_quantizer_losses(
+            params["codebook"], z_flat, beta=cfg.beta
+        )
+        recon = decoder_forward(params["decoder"], cfg, z_ste.reshape(b, t, d))
+        return recon, commit_loss, perplexity, params["codebook"], state
+    z_q, codes, new_codebook, new_state, perplexity = quantizer_forward(
+        key, params["codebook"], state,
+        jax.lax.stop_gradient(z_flat), cfg,
+    )
     commit_loss = jnp.mean(
         jnp.square(z_flat - jax.lax.stop_gradient(z_q))
     )
     z_ste = z_flat + jax.lax.stop_gradient(z_q - z_flat)
     recon = decoder_forward(params["decoder"], cfg, z_ste.reshape(b, t, d))
-    new_codebook, new_state, perplexity = ema_update(
-        key, params["codebook"], state,
-        jax.lax.stop_gradient(z_flat), codes, cfg.mu,
-    )
     return recon, commit_loss, perplexity, new_codebook, new_state
 
 

@@ -527,6 +527,68 @@ def golden_motion_vq():
     )
 
 
+def golden_motion_quantizers():
+    """All four codebook variants (motion_vqvae/models/quantize_cnn.py):
+    QuantizeEMAReset (:6-124), Quantizer (:127-189), QuantizeReset
+    (:193-298), QuantizeEMA (:301-413). The batch is sized N*T >= nb_code so
+    `_tile` takes its deterministic no-noise branch — updates are then exact
+    functions of the inputs and compare bit-close."""
+    from motion_vqvae.models import quantize_cnn
+
+    # the reference hardcodes .cuda() in reset_codebook; run on CPU
+    torch.Tensor.cuda = lambda self, *a, **k: self
+
+    nb_code, code_dim = 12, 6
+    n, t = 4, 4  # N*T = 16 >= nb_code -> deterministic seeding
+
+    class _Args:
+        pass
+
+    args = _Args()
+    args.model = _Args()
+    args.model.motion_vq_model = _Args()
+    args.model.motion_vq_model.mu = 0.99
+
+    rng = np.random.default_rng(33)
+    x1 = rng.normal(size=(n, code_dim, t)).astype(np.float32)  # NCT
+    x2 = rng.normal(size=(n, code_dim, t)).astype(np.float32)
+
+    out = {"x1": x1, "x2": x2}
+    for name, q in (
+        ("ema_reset", quantize_cnn.QuantizeEMAReset(nb_code, code_dim, args)),
+        ("ema", quantize_cnn.QuantizeEMA(nb_code, code_dim, args)),
+        ("reset", quantize_cnn.QuantizeReset(nb_code, code_dim, args)),
+    ):
+        q.train()
+        xd1, commit1, ppl1 = q(torch.tensor(x1))   # init + update
+        cb1 = (q.codebook.data if isinstance(q.codebook, torch.nn.Parameter)
+               else q.codebook).clone()
+        xd2, commit2, ppl2 = q(torch.tensor(x2))   # steady-state update
+        cb2 = (q.codebook.data if isinstance(q.codebook, torch.nn.Parameter)
+               else q.codebook).clone()
+        out.update({
+            f"{name}::xd1": xd1.detach().numpy(),
+            f"{name}::commit1": commit1.detach().numpy(),
+            f"{name}::ppl1": ppl1.detach().numpy(),
+            f"{name}::codebook1": cb1.numpy(),
+            f"{name}::xd2": xd2.detach().numpy(),
+            f"{name}::commit2": commit2.detach().numpy(),
+            f"{name}::ppl2": ppl2.detach().numpy(),
+            f"{name}::codebook2": cb2.numpy(),
+        })
+
+    torch.manual_seed(7)
+    gq = quantize_cnn.Quantizer(nb_code, code_dim, beta=1.0).train()
+    zq, loss, ppl = gq(torch.tensor(x1))
+    out.update({
+        "gradient::embedding": gq.embedding.weight.detach().numpy(),
+        "gradient::zq": zq.detach().numpy(),
+        "gradient::loss": loss.detach().numpy(),
+        "gradient::ppl": ppl.detach().numpy(),
+    })
+    save("motion_quantizers", **out)
+
+
 def golden_t2m_evaluator():
     """Tiny evaluator models (models/modules.py) + metric functions
     (utils/eval_trans.py) golden outputs."""
@@ -608,5 +670,6 @@ if __name__ == "__main__":
     golden_magvit()
     golden_t2m()
     golden_motion_vq()
+    golden_motion_quantizers()
     golden_t2m_evaluator()
     print("done")

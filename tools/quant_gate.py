@@ -1,0 +1,422 @@
+"""W8A8 promotion gate: blind decode-agreement vs bf16 at flagship dims.
+
+Round-1 measured W8A8 (+36% t2i / +68% text on one chip, BASELINE.md) but
+left it quality-ungated. This gate produces the decision artifact
+(QUANT_r{N}.json) that bench.py consults for its headline scheme:
+
+  Phase A (half depth, FULL flagship width: d4096/H32/mlp12288/134,656
+  vocab, 16 layers — bf16 at full 32L is 16.2 GB and cannot co-reside with
+  its quantized copy on a 16 GB chip):
+    * bf16 reference: forward logits, greedy semi-AR text decode, greedy
+      MaskGIT t2i decode (all fixed-seed random weights/prompts);
+    * int8 (weight-only) and W8A8 (same int8 values — the W8A8Tensor is a
+      zero-copy view; it differs only by per-token activation quantization
+      on the int8 MXU): same outputs, compared token-for-token vs bf16.
+  Phase B (FULL 32-layer depth): int8 vs W8A8 decode agreement — the
+    activation-quantization marginal at real depth (bf16 ref impossible
+    on one chip).
+
+Promotion rule (recorded in the artifact):
+  promote W8A8  iff  forward top-1 agreement vs bf16 >= 0.99 (half depth)
+             AND its decode agreements are within 0.01 of int8's
+             (int8 is the shipping headline; W8A8 must not be worse)
+             AND full-depth W8A8-vs-int8 decode agreement >= 0.99.
+
+Random weights are the only option in this zero-egress environment; they
+are harsher than trained weights for argmax agreement (near-tied logits
+flip under any perturbation), so margin-filtered agreement (positions
+where the bf16 top-1 margin exceeds 0.05) is also recorded.
+
+Usage:
+    python tools/quant_gate.py out=QUANT_r02.json          # on the TPU chip
+    python tools/quant_gate.py tiny=1 out=/tmp/q.json      # CPU harness test
+"""
+
+import gc
+import json
+import logging
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+logger = logging.getLogger("quant_gate")
+
+MARGIN = 0.05
+FWD_THRESHOLD = 0.99
+DECODE_SLACK = 0.01
+FULLDEPTH_THRESHOLD = 0.99
+
+
+def _residual_scale(n_layers: int) -> float:
+    """GPT-2-style residual scaling: trained transformers keep the residual
+    stream's scale roughly constant with depth; unscaled std-0.02 random
+    weights at d_model 4096 grow activations ~2.5x per matmul, which
+    amplifies quantization error geometrically and makes every scheme
+    (including the shipping int8) fail argmax agreement — an artifact of
+    the proxy, not of quantization. Scaling attn_out/ff_out by 1/sqrt(2L)
+    makes the random proxy depth-realistic."""
+    import numpy as np
+
+    return float(1.0 / np.sqrt(2.0 * n_layers))
+
+
+def _build_bf16(key, cfg):
+    import jax
+    import jax.numpy as jnp
+
+    from mmada_tpu.models import llada
+
+    scale = _residual_scale(cfg.n_layers)
+
+    def build(k):
+        p = llada.init_params(k, cfg, dtype=jnp.bfloat16)
+        blocks = dict(p["blocks"])
+        for name in ("attn_out", "ff_out"):
+            blocks[name] = (blocks[name].astype(jnp.float32) * scale
+                            ).astype(jnp.bfloat16)
+        return dict(p, blocks=blocks)
+
+    return jax.jit(build)(key)
+
+
+def _quantize_destructive(params):
+    """Per-kind, per-layer quantization that frees each bf16 weight as its
+    int8 replacement lands — peak HBM stays ~(bf16 total + one layer f32)
+    instead of (bf16 + int8) totals."""
+    import jax
+
+    from mmada_tpu.ops import quantization as Q
+
+    out = dict(params)
+    blocks = dict(params["blocks"])
+    per_layer = jax.jit(lambda w: jax.lax.map(Q.quantize_tensor, w))
+    for name in Q.QUANT_TARGETS:
+        if name in blocks:
+            q = per_layer(blocks[name])
+            blocks[name] = q  # drops the bf16 buffer
+            gc.collect()
+    out["blocks"] = blocks
+    if "ff_out" in params:
+        out["ff_out"] = jax.jit(Q.quantize_tensor)(params["ff_out"])
+    return out
+
+
+def _build_int8_direct(key, cfg):
+    """Full-depth build: sample bf16-scale weights per layer and quantize
+    inside a lax.map, so the f32 source never materializes beyond one layer
+    (full-depth bf16 at 16.2 GB cannot exist on the chip at all)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmada_tpu.models import llada
+    from mmada_tpu.ops import quantization as Q
+
+    shapes = jax.eval_shape(
+        lambda k: llada.init_params(k, cfg, dtype=jnp.bfloat16), key
+    )
+    std = 0.02
+    res_scale = _residual_scale(cfg.n_layers)
+
+    def build_leaf(path, s):
+        path_str = "/".join(str(p) for p in path)
+        lk = jax.random.fold_in(key, abs(hash(path_str)) % (2**31))
+        is_quant_kind = any(f"'{t}'" in path_str for t in Q.QUANT_TARGETS)
+        leaf_std = std * (
+            res_scale
+            if ("'attn_out'" in path_str
+                or ("'ff_out'" in path_str and "blocks" in path_str))
+            else 1.0
+        )
+        if "norm" in path_str or "ln_f" in path_str:
+            return jax.jit(lambda: jnp.ones(s.shape, s.dtype))()
+        if not is_quant_kind or "wte" in path_str:
+            return jax.jit(
+                lambda k: (jax.random.normal(k, s.shape, jnp.float32) * leaf_std
+                           ).astype(jnp.bfloat16)
+            )(lk)
+        if len(s.shape) == 3:  # layer-stacked block weight
+            lkeys = jax.random.split(lk, s.shape[0])
+            return jax.jit(lambda ks: jax.lax.map(
+                lambda kk: Q.quantize_tensor(
+                    jax.random.normal(kk, s.shape[1:], jnp.float32) * leaf_std
+                ), ks
+            ))(lkeys)
+        return jax.jit(lambda kk: Q.quantize_tensor(
+            jax.random.normal(kk, s.shape, jnp.float32) * leaf_std
+        ))(lk)
+
+    leaves = []
+    flat, treedef = jax.tree_util.tree_flatten_with_path(shapes)
+    for path, s in flat:
+        leaves.append(build_leaf(path, s))
+        gc.collect()
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def _w8a8_view(params):
+    """Zero-copy: reuse the int8 values/scales under W8A8 semantics."""
+    import jax
+
+    from mmada_tpu.ops.quantization import QuantizedTensor, W8A8Tensor
+
+    return jax.tree.map(
+        lambda x: W8A8Tensor(values=x.values, scales=x.scales)
+        if isinstance(x, QuantizedTensor) else x,
+        params,
+        is_leaf=lambda x: isinstance(x, QuantizedTensor),
+    )
+
+
+def _agreement(a, b):
+    import numpy as np
+
+    a, b = np.asarray(a), np.asarray(b)
+    return float((a == b).mean())
+
+
+def main(argv):
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+    args = dict(kv.split("=", 1) for kv in argv if "=" in kv)
+    out_path = args.get("out", "QUANT_r02.json")
+    tiny = args.get("tiny") == "1"
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if tiny:
+        jax.config.update("jax_platforms", "cpu")
+
+    from mmada_tpu.core.vocab import MMADA_8B, tiny_layout
+    from mmada_tpu.models import llada
+    from mmada_tpu.models.mmada import MMadaModel
+    from mmada_tpu.core.precision import BF16
+
+    if tiny:
+        vocab = tiny_layout(text_vocab_size=256, image_codebook_size=64)
+        dims = dict(d_model=64, n_heads=4, mlp_hidden_size=128)
+        half_layers, full_layers = 2, 4
+        text_prompt_len, gen_len, steps, block = 16, 16, 8, 8
+        num_vq, t2i_text = 16, 14
+    else:
+        vocab = MMADA_8B
+        dims = dict(d_model=4096, n_heads=32, mlp_hidden_size=12288)
+        half_layers, full_layers = 16, 32
+        text_prompt_len, gen_len, steps, block = 128, 256, 128, 64
+        num_vq, t2i_text = 1024, 510
+
+    def make_cfg(n_layers):
+        return llada.LLaDAConfig(
+            n_layers=n_layers,
+            vocab_size=vocab.total_vocab_size,
+            embedding_size=vocab.total_vocab_size,
+            max_sequence_length=2048, rope_theta=500000.0,
+            mask_token_id=vocab.mask_token_id,
+            **dims,
+        )
+
+    # fixed prompts -------------------------------------------------------
+    kp = jax.random.key(17)
+    text_prompt = jax.random.randint(
+        kp, (2, text_prompt_len), 3, min(100000, vocab.text_vocab_size - 30),
+        jnp.int32,
+    )
+    soi = 230 if tiny else vocab.special("<|soi|>")
+    eoi = 231 if tiny else vocab.special("<|eoi|>")
+    t2i_frame = jnp.concatenate([
+        jax.random.randint(jax.random.key(18), (2, t2i_text), 3,
+                           min(100000, vocab.text_vocab_size - 30)),
+        jnp.full((2, 1), soi),
+        jnp.full((2, num_vq), vocab.mask_token_id),
+        jnp.full((2, 1), eoi),
+    ], axis=1).astype(jnp.int32)
+    t2i_uncond = t2i_frame.at[:, :t2i_text].set(vocab.pad_token_id)
+    fwd_ids = jax.random.randint(
+        jax.random.key(19), (2, max(block * 2, 128) if not tiny else 32),
+        3, vocab.text_vocab_size - 30, jnp.int32,
+    )
+
+    @jax.jit
+    def run_text(model, prompt):
+        return model.generate(
+            prompt, gen_length=gen_len, steps=steps, block_length=block,
+            temperature=0.0,
+        )
+
+    @jax.jit
+    def run_t2i(model, frame, uncond):
+        return model.t2i_generate(
+            frame, uncond_input_ids=uncond, temperature=0.0, greedy=True,
+            timesteps=15, guidance_scale=3.5, num_vq_tokens=num_vq,
+            key=jax.random.key(0),
+        )
+
+    @jax.jit
+    def run_fwd(model, ids):
+        return model.forward(ids).astype(jnp.float32)
+
+    def sync(x):
+        return float(jax.device_get(jnp.asarray(x).sum()))
+
+    def drive(params, cfg, label, want_fwd=True):
+        model = MMadaModel(cfg=cfg, params=params, vocab=vocab, policy=BF16)
+        res = {}
+        t0 = time.perf_counter()
+        text = run_text(model, text_prompt)
+        sync(text)
+        compile_and_run = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        text = run_text(model, text_prompt)
+        sync(text)
+        res["text_s"] = time.perf_counter() - t0
+        res["text_tokens_per_s"] = round(2 * gen_len / res["text_s"], 2)
+        res["text_tokens"] = np.asarray(text[:, text_prompt_len:])
+
+        t2i = run_t2i(model, t2i_frame, t2i_uncond)
+        sync(t2i)
+        t0 = time.perf_counter()
+        t2i = run_t2i(model, t2i_frame, t2i_uncond)
+        sync(t2i)
+        res["t2i_s"] = time.perf_counter() - t0
+        res["t2i_images_per_s"] = round(2 / res["t2i_s"], 4)
+        res["t2i_tokens"] = np.asarray(t2i)
+
+        if want_fwd:
+            res["logits"] = np.asarray(run_fwd(model, fwd_ids))
+        logger.info(
+            "%s: text %.1f tok/s, t2i %.3f img/s (first call %.1fs)",
+            label, res["text_tokens_per_s"], res["t2i_images_per_s"],
+            compile_and_run,
+        )
+        return res
+
+    report = {
+        "dims": {**dims, "vocab": vocab.total_vocab_size,
+                 "half_layers": half_layers, "full_layers": full_layers},
+        "operating_points": {
+            "text": {"prompt": text_prompt_len, "gen": gen_len,
+                     "steps": steps, "block": block, "temperature": 0.0},
+            "t2i": {"timesteps": 15, "cfg": 3.5, "num_vq": num_vq,
+                    "greedy": True},
+        },
+        "thresholds": {
+            "forward_top1_min": FWD_THRESHOLD,
+            "decode_vs_int8_slack": DECODE_SLACK,
+            "fulldepth_w8a8_vs_int8_min": FULLDEPTH_THRESHOLD,
+            "margin": MARGIN,
+        },
+    }
+
+    # ---------------------------------------------------- Phase A: half depth
+    cfg_h = make_cfg(half_layers)
+    logger.info("phase A: building bf16 %dL flagship-width params", half_layers)
+    params = _build_bf16(jax.random.key(0), cfg_h)
+    bf16 = drive(params, cfg_h, "bf16/%dL" % half_layers)
+
+    logger.info("phase A: quantizing (destructive, per layer)")
+    qparams = _quantize_destructive(params)
+    del params
+    gc.collect()
+    int8 = drive(qparams, cfg_h, "int8/%dL" % half_layers)
+    w8a8 = drive(_w8a8_view(qparams), cfg_h, "w8a8/%dL" % half_layers)
+    del qparams
+    gc.collect()
+
+    ref_logits = bf16.pop("logits")
+    ref_top1 = ref_logits.argmax(-1)
+    sorted_top2 = np.sort(ref_logits, axis=-1)[..., -2:]
+    confident = (sorted_top2[..., 1] - sorted_top2[..., 0]) > MARGIN
+    report["half_depth"] = {"bf16": {
+        "text_tokens_per_s": bf16["text_tokens_per_s"],
+        "t2i_images_per_s": bf16["t2i_images_per_s"],
+    }}
+    for name, res in (("int8", int8), ("w8a8", w8a8)):
+        logits = res.pop("logits")
+        top1 = logits.argmax(-1)
+        rel = float(np.linalg.norm(logits - ref_logits)
+                    / max(np.linalg.norm(ref_logits), 1e-9))
+        report["half_depth"][name] = {
+            "text_tokens_per_s": res["text_tokens_per_s"],
+            "t2i_images_per_s": res["t2i_images_per_s"],
+            "speedup_text_vs_bf16": round(
+                res["text_tokens_per_s"] / bf16["text_tokens_per_s"], 3),
+            "speedup_t2i_vs_bf16": round(
+                res["t2i_images_per_s"] / bf16["t2i_images_per_s"], 3),
+            "forward_logit_rel_l2": round(rel, 5),
+            "forward_top1_agreement": round(_agreement(top1, ref_top1), 4),
+            "forward_top1_agreement_margin": round(
+                _agreement(top1[confident], ref_top1[confident]), 4),
+            "confident_fraction": round(float(confident.mean()), 4),
+            "text_decode_agreement": round(
+                _agreement(res["text_tokens"], bf16["text_tokens"]), 4),
+            "t2i_decode_agreement": round(
+                _agreement(res["t2i_tokens"], bf16["t2i_tokens"]), 4),
+        }
+
+    # ---------------------------------------------------- Phase B: full depth
+    cfg_f = make_cfg(full_layers)
+    logger.info("phase B: building int8 %dL directly (per-layer fused "
+                "sample+quantize)", full_layers)
+    qparams = _build_int8_direct(jax.random.key(0), cfg_f)
+    int8_f = drive(qparams, cfg_f, "int8/%dL" % full_layers, want_fwd=False)
+    w8a8_f = drive(_w8a8_view(qparams), cfg_f, "w8a8/%dL" % full_layers,
+                   want_fwd=False)
+    del qparams
+    gc.collect()
+    report["full_depth"] = {
+        "int8": {"text_tokens_per_s": int8_f["text_tokens_per_s"],
+                 "t2i_images_per_s": int8_f["t2i_images_per_s"]},
+        "w8a8": {
+            "text_tokens_per_s": w8a8_f["text_tokens_per_s"],
+            "t2i_images_per_s": w8a8_f["t2i_images_per_s"],
+            "speedup_text_vs_int8": round(
+                w8a8_f["text_tokens_per_s"] / int8_f["text_tokens_per_s"], 3),
+            "speedup_t2i_vs_int8": round(
+                w8a8_f["t2i_images_per_s"] / int8_f["t2i_images_per_s"], 3),
+            "text_decode_agreement_vs_int8": round(
+                _agreement(w8a8_f["text_tokens"], int8_f["text_tokens"]), 4),
+            "t2i_decode_agreement_vs_int8": round(
+                _agreement(w8a8_f["t2i_tokens"], int8_f["t2i_tokens"]), 4),
+        },
+    }
+
+    # ------------------------------------------------------------- decision
+    hd_w, hd_i = report["half_depth"]["w8a8"], report["half_depth"]["int8"]
+    fd_w = report["full_depth"]["w8a8"]
+    checks = {
+        "forward_top1_ok": hd_w["forward_top1_agreement"] >= FWD_THRESHOLD,
+        "text_decode_not_worse_than_int8":
+            hd_w["text_decode_agreement"]
+            >= hd_i["text_decode_agreement"] - DECODE_SLACK,
+        "t2i_decode_not_worse_than_int8":
+            hd_w["t2i_decode_agreement"]
+            >= hd_i["t2i_decode_agreement"] - DECODE_SLACK,
+        "fulldepth_text_ok":
+            fd_w["text_decode_agreement_vs_int8"] >= FULLDEPTH_THRESHOLD,
+        "fulldepth_t2i_ok":
+            fd_w["t2i_decode_agreement_vs_int8"] >= FULLDEPTH_THRESHOLD,
+    }
+    report["checks"] = checks
+    report["promote_w8a8"] = all(checks.values())
+    report["headline_scheme"] = "w8a8" if report["promote_w8a8"] else "int8"
+    report["note"] = (
+        "random weights (zero-egress env); argmax agreement on random "
+        "weights is a HARSHER test than trained weights (near-uniform "
+        "logits tie-flip under perturbation) — see "
+        "forward_top1_agreement_margin for the tie-excluded number. "
+        "Re-run on real weights the day they are mountable "
+        "(tools/real_weight_harness.py)."
+    )
+
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=2, default=str)
+    print(json.dumps({k: report[k] for k in
+                      ("promote_w8a8", "headline_scheme", "checks")}))
+    logger.info("wrote %s", out_path)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

@@ -39,6 +39,8 @@ def main(argv):
         depth=mcfg_raw.get("depth", 3),
         dilation_growth_rate=mcfg_raw.get("dilation_growth_rate", 3),
         mu=mcfg_raw.get("mu", 0.99),
+        quantizer=mcfg_raw.get("quantizer", "ema_reset"),
+        beta=mcfg_raw.get("beta", 1.0),
     )
     tr = cfg.get_path("training", {})
     batch_size = tr.get("batch_size", 32)
@@ -50,7 +52,13 @@ def main(argv):
     out_dir = cfg.get_path("experiment.output_dir", "motion-vq-output")
 
     if cfg.get_path("dataset.synthetic"):
-        mcfg = motion_vq.tiny_motion_cfg() if tr.get("tiny", True) else mcfg
+        if tr.get("tiny", True):
+            import dataclasses as _dc
+
+            mcfg = _dc.replace(
+                motion_vq.tiny_motion_cfg(),
+                quantizer=mcfg.quantizer, beta=mcfg.beta,
+            )
 
         def loader():
             rng = np.random.default_rng(0)
@@ -73,14 +81,20 @@ def main(argv):
     params = motion_vq.init_motion_vq(jax.random.key(0), mcfg)
     cb_state = motion_vq.CodebookState.create(mcfg)
     opt = optax.adamw(lr, weight_decay=tr.get("weight_decay", 0.0))
+    # the 'gradient' quantizer trains its codebook through the optimizer
+    # (quantize_cnn.py:127-165 Quantizer); the EMA/reset variants update it
+    # functionally via forward_train's returned codebook
+    train_codebook = mcfg.quantizer == "gradient"
     conv_params = {"encoder": params["encoder"], "decoder": params["decoder"]}
+    if train_codebook:
+        conv_params["codebook"] = params["codebook"]
     opt_state = opt.init(conv_params)
     codebook = params["codebook"]
 
     @jax.jit
     def step(conv_params, codebook, cb_state, opt_state, motion, key):
         def loss_fn(cp):
-            full = dict(cp, codebook=codebook)
+            full = dict(cp) if train_codebook else dict(cp, codebook=codebook)
             recon, commit, ppl, new_cb, new_state = motion_vq.forward_train(
                 key, full, cb_state, mcfg, motion
             )
@@ -94,6 +108,8 @@ def main(argv):
         )
         updates, opt_state = opt.update(grads, opt_state, conv_params)
         conv_params = optax.apply_updates(conv_params, updates)
+        if train_codebook:
+            new_cb = conv_params["codebook"]
         return conv_params, new_cb, new_state, opt_state, total, parts, ppl
 
     metrics = MetricsLogger(f"{out_dir}/metrics.jsonl")
