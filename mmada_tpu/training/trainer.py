@@ -353,6 +353,52 @@ class Trainer:
                 )
         except Exception:
             logger.exception("generate_images validation hook failed")
+        try:
+            mmu_dir = self.cfg.get_path(
+                "dataset.params.mmu_validation_dir", "mmu_validation"
+            )
+            prompts_path = os.path.join(mmu_dir, "prompts.jsonl")
+            if os.path.exists(prompts_path) and self.vq_params:
+                self._run_understanding_hook(model, mmu_dir, prompts_path)
+        except Exception:
+            logger.exception("understanding_images validation hook failed")
+
+    def _run_understanding_hook(self, model, mmu_dir, prompts_path):
+        """Caption the task-typed validation images with their per-image
+        questions (train_mmada.py:872-932 + mmu_validation fixtures)."""
+        import json as _json
+
+        import numpy as np
+        from PIL import Image
+
+        from mmada_tpu.data.transforms import image_transform
+        from mmada_tpu.training import validation as V
+
+        res = self.cfg.get_path("dataset.preprocessing.resolution", 256)
+        entries = []
+        with open(prompts_path) as f:
+            for ln in f:
+                if ln.strip():
+                    entries.append(_json.loads(ln))
+        images, questions = [], []
+        for e in entries[:8]:
+            path = os.path.join(mmu_dir, e.get("file_name", ""))
+            if not os.path.exists(path):
+                continue
+            images.append(image_transform(Image.open(path), res))
+            questions.append(e["prompt"])
+        if not images:
+            return
+        V.understanding_images(
+            model, self.vq_params, self.vq_cfg, self.prompting,
+            self.prompting.text_tokenizer, np.stack(images), questions,
+            self.cfg.get_path("experiment.output_dir", "output"),
+            self.global_step,
+            max_new_tokens=self.cfg.get_path(
+                "training.validation_max_new_tokens", 32
+            ),
+            steps=self.cfg.get_path("training.validation_steps", 16),
+        )
 
 
 def _pad_flows_to_common_length(batch: dict, eos_id: int) -> dict:

@@ -133,18 +133,36 @@ def understanding_images(
     steps: int = 32,
     key: Optional[jax.Array] = None,
 ):
-    """Caption/answer for validation images (train_mmada.py:872-932)."""
+    """Caption/answer for validation images (train_mmada.py:872-932).
+
+    `question` is one string for all images, or one per image (the
+    reference's prompts_with_vqa.json pairs each validation image with its
+    own task-typed question)."""
     vocab = model.vocab
     sp = prompting.sp
     codes = np.asarray(magvit2.get_code(vq_params, vq_cfg, jnp.asarray(images)))
     fused = codes + vocab.image_offset
-    text_ids = tokenizer([question])["input_ids"][0]
+    questions = (
+        [question] * images.shape[0]
+        if isinstance(question, str) else list(question)
+    )
+    if len(questions) != images.shape[0]:
+        raise ValueError(
+            f"{len(questions)} questions for {images.shape[0]} images"
+        )
     frames = []
     for i in range(images.shape[0]):
+        text_ids = tokenizer([questions[i]])["input_ids"][0]
         frames.append(np.concatenate(
             [[sp.mmu, sp.soi], fused[i], [sp.eoi, sp.bos], text_ids]
         ))
-    frames = np.stack(frames).astype(np.int32)
+    max_len = max(len(fr) for fr in frames)
+    # left-pad to a common length so one batched mmu_generate covers
+    # variable-length questions (prompt region stays intact on the right)
+    frames = np.stack([
+        np.concatenate([np.full(max_len - len(fr), sp.pad), fr])
+        for fr in frames
+    ]).astype(np.int32)
     out_tokens = model.mmu_generate(
         jnp.asarray(frames), max_new_tokens=max_new_tokens, steps=steps,
         block_length=max_new_tokens, key=key,
@@ -157,7 +175,9 @@ def understanding_images(
     out = _out_dir(output_dir, step)
     with open(os.path.join(out, "mmu_answers.jsonl"), "w") as f:
         for i, a in enumerate(answers):
-            f.write(json.dumps({"index": i, "question": question, "answer": a}) + "\n")
+            f.write(json.dumps(
+                {"index": i, "question": questions[i], "answer": a}
+            ) + "\n")
     return answers
 
 

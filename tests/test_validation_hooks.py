@@ -79,3 +79,57 @@ def test_understanding_and_chat(setup, tmp_path):
     assert len(chat) == 1
     out = tmp_path / "validation" / "step_1"
     assert (out / "mmu_answers.jsonl").exists() and (out / "chat.jsonl").exists()
+
+
+def test_understanding_task_typed_fixtures(setup, tmp_path):
+    """Run understanding_images over the shipped mmu_validation/ fixtures
+    with their per-image VQA questions (reference mmu_validation/ +
+    prompts_with_vqa.json parity: one task-typed question per image)."""
+    import json
+    import pathlib
+
+    from PIL import Image
+
+    from mmada_tpu.data.transforms import image_transform
+
+    model, vq_params, vq_cfg, tok, prompting = setup
+    fix_dir = pathlib.Path(__file__).parent.parent / "mmu_validation"
+    entries = [
+        json.loads(ln)
+        for ln in (fix_dir / "prompts.jsonl").read_text().splitlines()
+        if ln.strip()
+    ]
+    assert len(entries) >= 9, "need task-typed fixture coverage"
+    vqa = json.loads((fix_dir / "prompts_with_vqa.json").read_text())
+    assert {v["file_name"] for v in vqa} == {e["file_name"] for e in entries}
+
+    images, questions = [], []
+    for e in entries:
+        img = Image.open(fix_dir / e["file_name"])
+        images.append(image_transform(img, 16))  # tiny VQ resolution
+        questions.append(e["prompt"])
+    answers = V.understanding_images(
+        model, vq_params, vq_cfg, prompting, tok,
+        np.stack(images), questions, str(tmp_path), 2,
+        max_new_tokens=8, steps=4,
+    )
+    assert len(answers) == len(entries)
+    recorded = [
+        json.loads(ln)
+        for ln in (tmp_path / "validation" / "step_2" / "mmu_answers.jsonl")
+        .read_text().splitlines()
+    ]
+    assert [r["question"] for r in recorded] == questions
+
+
+def test_understanding_question_count_mismatch(setup, tmp_path):
+    model, vq_params, vq_cfg, tok, prompting = setup
+    imgs = np.random.default_rng(1).uniform(-1, 1, (2, 16, 16, 3)).astype(np.float32)
+    import pytest
+
+    with pytest.raises(ValueError):
+        V.understanding_images(
+            model, vq_params, vq_cfg, prompting, tok, imgs,
+            ["only one question"], str(tmp_path), 1,
+            max_new_tokens=8, steps=4,
+        )
