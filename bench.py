@@ -1,26 +1,56 @@
-"""Benchmark: t2i denoise throughput on one TPU chip.
+"""Benchmark: flagship serving throughput on one TPU chip.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...extras}.
+The headline metric is t2i images/sec/chip at the reference operating point
+(BASELINE.md: 15 timesteps, CFG 3.5, 1024 VQ tokens), measured end-to-end
+through the jitted MaskGIT scan — batch-doubled CFG forwards, windowed 8k
+vocab head, on-device remasking — on the FULL 32-layer 8B architecture
+(d_model 4096, 32 heads, mlp 12288, fused 134,656-row vocab).
 
-Measures the headline operating point (BASELINE.md: 15 timesteps,
-CFG 3.5, 1024 VQ tokens) end-to-end through the jitted MaskGIT scan —
-batch-doubled CFG forwards, windowed 8k vocab head, on-device remasking —
-at flagship layer dimensions (d_model 4096, 32 heads, mlp 12288, fused
-134,656-row vocab). The model is the FULL 32-layer 8B architecture with int8 weight-only
-quantization (ops/quantization.py) so it fits a single 16 GB v5e chip —
-bf16 weights (16.2 GB) need the sharded multi-chip path.
+Quantization scheme: read from the promotion gate artifact (QUANT_r*.json,
+tools/quant_gate.py). int8 weight-only is the quality-gated default that
+fits the 16 GB chip (bf16 is 16.2 GB); W8A8 (~1.6x faster) switches in
+automatically once a real-weight gate run promotes it.
+
+Extras in the same JSON line: semi-AR text tokens/sec at the reference
+text operating point, achieved model FLOP/s and MXU utilization (vs the
+v5e bf16 peak), and the scheme/gate provenance.
 
 The reference publishes no throughput numbers (BASELINE.md), so
-vs_baseline is 1.0 until a reference-GPU measurement exists; the driver's
-BENCH_r{N}.json series tracks round-over-round progress.
+vs_baseline is 1.0; the driver's BENCH_r{N}.json series tracks
+round-over-round progress.
 """
 
+import glob
 import json
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+V5E_BF16_PEAK = 197e12  # FLOP/s per chip (public v5e spec)
+
+
+def pick_scheme():
+    """Latest gate artifact decides the headline quantization scheme."""
+    arts = sorted(glob.glob(os.path.join(os.path.dirname(__file__) or ".",
+                                         "QUANT_r*.json")))
+    if arts:
+        with open(arts[-1]) as f:
+            gate = json.load(f)
+        return gate.get("headline_scheme", "int8"), os.path.basename(arts[-1])
+    return "int8", None
+
+
+def model_flops_per_token(cfg, seq_len, head_positions, head_width):
+    """Matmul FLOPs per processed token of one forward."""
+    d, f, L = cfg.d_model, cfg.mlp_hidden_size, cfg.n_layers
+    per_layer = 2 * (4 * d * d + 3 * d * f)   # qkvo + gated mlp
+    attn = 4 * seq_len * d                     # QK^T + PV, all heads
+    head = 2 * d * head_width * (head_positions / seq_len)
+    return L * (per_layer + attn) + head
 
 
 def main():
@@ -28,17 +58,15 @@ def main():
     from mmada_tpu.models import llada
     from mmada_tpu.models.mmada import MMadaModel
     from mmada_tpu.core.precision import BF16
+    from mmada_tpu.ops import quantization as Q
+
+    scheme, gate_artifact = pick_scheme()
 
     batch = 4
     timesteps = 15
     num_vq = 1024
     text_frame = 510               # -> L = 510 + 1 + 1024 + 1 = 1536
     seq_len = text_frame + num_vq + 2
-
-    # FULL flagship depth: 32 layers, 8B params. bf16 (16.2 GB) exceeds the
-    # 16 GB chip; int8 weight-only quantization (ops/quantization.py,
-    # ~8.6 GB) serves the full model on one chip.
-    from mmada_tpu.ops import quantization as Q
 
     cfg = llada.LLaDAConfig(
         d_model=4096, n_heads=32, n_layers=32, mlp_hidden_size=12288,
@@ -51,7 +79,8 @@ def main():
     # minutes of remote compile on the tunneled chip).
     shapes = jax.eval_shape(
         lambda k: Q.quantize_llada_params(
-            llada.init_params(k, cfg, dtype=jnp.bfloat16)
+            llada.init_params(k, cfg, dtype=jnp.bfloat16),
+            activations=(scheme == "w8a8"),
         ),
         jax.random.key(0),
     )
@@ -84,7 +113,7 @@ def main():
     # Closing over params instead would bake them into the lowered module —
     # catastrophic with this environment's remote compiler.
     @jax.jit
-    def run(model, frame, uncond, key):
+    def run_t2i(model, frame, uncond, key):
         return model.t2i_generate(
             frame,
             uncond_input_ids=uncond,
@@ -95,30 +124,65 @@ def main():
             key=key,
         )
 
+    text_gen, text_steps, text_block, text_prompt_len = 512, 256, 64, 128
+    text_prompt = jax.random.randint(
+        jax.random.key(5), (1, text_prompt_len), 3, 100000, jnp.int32
+    )
+
+    @jax.jit
+    def run_text(model, prompt):
+        return model.generate(
+            prompt, gen_length=text_gen, steps=text_steps,
+            block_length=text_block, temperature=0.0,
+        )
+
     def sync(x):
         # block_until_ready does not actually block on the tunneled axon
         # platform; a host fetch is the reliable synchronization
         return int(jax.device_get(x.sum()))
 
-    # compile + warm
-    sync(run(model, frame, uncond, jax.random.key(2)))
-
+    # ---------------------------------------------------------------- t2i
+    sync(run_t2i(model, frame, uncond, jax.random.key(2)))  # compile+warm
     runs = 3
     t0 = time.perf_counter()
     for i in range(runs):
-        out = run(model, frame, uncond, jax.random.key(3 + i))
+        out = run_t2i(model, frame, uncond, jax.random.key(3 + i))
     sync(out)
-    dt = time.perf_counter() - t0
+    t2i_dt = time.perf_counter() - t0
+    images_per_sec = batch * runs / t2i_dt
 
-    images_per_sec = batch * runs / dt
+    # FLOP accounting: per denoise step the forward runs 2*batch CFG rows
+    # over the full sequence, head sliced to the image span & 8k window
+    t2i_flops_per_run = (
+        timesteps * 2 * batch * seq_len
+        * model_flops_per_token(cfg, seq_len, num_vq + 1, 8192)
+    )
+    t2i_flops_per_s = t2i_flops_per_run * runs / t2i_dt
+    mxu_util = t2i_flops_per_s / V5E_BF16_PEAK
+
+    # ---------------------------------------------------------------- text
+    sync(run_text(model, text_prompt))
+    t0 = time.perf_counter()
+    out = run_text(model, text_prompt)
+    sync(out)
+    text_dt = time.perf_counter() - t0
+    text_tokens_per_s = text_gen / text_dt
+
     print(
         json.dumps(
             {
                 "metric": "t2i images/sec/chip @15 steps cfg3.5 "
-                          "(FULL 8B 32L int8, 1536 seq, batch 4)",
+                          f"(FULL 8B 32L {scheme}, 1536 seq, batch 4)",
                 "value": round(images_per_sec, 4),
                 "unit": "images/sec",
                 "vs_baseline": 1.0,
+                "scheme": scheme,
+                "quant_gate_artifact": gate_artifact,
+                "text_tokens_per_s": round(text_tokens_per_s, 2),
+                "text_operating_point": f"gen{text_gen} steps{text_steps} "
+                                        f"block{text_block} T0 batch1",
+                "achieved_model_tflops": round(t2i_flops_per_s / 1e12, 1),
+                "mxu_utilization_vs_bf16_peak": round(mxu_util, 3),
             }
         )
     )

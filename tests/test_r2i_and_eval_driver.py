@@ -303,3 +303,26 @@ def test_motion_vq_eval_mpjpe_humanml_width():
     assert j.shape == (8, 22, 3)
     # direct MPJPE math sanity: identical features -> 0 error
     assert float(np.linalg.norm(j - j, axis=-1).mean()) == 0.0
+
+
+def test_real_weight_harness_dryrun(tmp_path):
+    """The one-command real-weight harness stays green on its synthetic
+    checkpoint dry run (tools/real_weight_harness.py) — so the day real
+    weights mount, the bit-exactness run is a single command."""
+    import json
+    import pathlib
+    import subprocess
+    import sys
+
+    repo = pathlib.Path(__file__).parent.parent
+    out = tmp_path / "rwh.json"
+    r = subprocess.run(
+        [sys.executable, str(repo / "tools" / "real_weight_harness.py"),
+         "dryrun=1", f"out={out}"],
+        capture_output=True, text=True, timeout=300, cwd=repo,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads(out.read_text())
+    assert report["ok"]
+    assert report["stages"]["samplers"]["ok"]
+    assert "promote_w8a8" in report["stages"]["quant_gate"]

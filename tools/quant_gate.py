@@ -402,12 +402,21 @@ def main(argv):
     report["promote_w8a8"] = all(checks.values())
     report["headline_scheme"] = "w8a8" if report["promote_w8a8"] else "int8"
     report["note"] = (
-        "random weights (zero-egress env); argmax agreement on random "
-        "weights is a HARSHER test than trained weights (near-uniform "
-        "logits tie-flip under perturbation) — see "
-        "forward_top1_agreement_margin for the tie-excluded number. "
-        "Re-run on real weights the day they are mountable "
-        "(tools/real_weight_harness.py)."
+        "Random weights (zero-egress env). CONTROL RESULT: the shipping "
+        "int8 weight-only scheme fails the same agreement gate "
+        f"(top-1 {report['half_depth']['int8']['forward_top1_agreement']}, "
+        f"decode {report['half_depth']['int8']['text_decode_agreement']}) — "
+        "with ~134k near-exchangeable random logit directions the top-1 "
+        "margin is Gumbel-thin, so argmax agreement at flagship dims is "
+        "uninformative without trained weights (trained models separate "
+        "the top token by large margins). The informative numbers here are "
+        "logit_rel_l2 (int8 "
+        f"{report['half_depth']['int8']['forward_logit_rel_l2']}, w8a8 "
+        f"{report['half_depth']['w8a8']['forward_logit_rel_l2']} — w8a8 "
+        "adds ~1.6x int8's perturbation) and the measured speedups. "
+        "DECISION: headline stays int8; W8A8 promotion requires this gate "
+        "re-run on real weights (tools/real_weight_harness.py) where "
+        "decode agreement is meaningful. Thresholds above stand."
     )
 
     with open(out_path, "w") as f:
