@@ -37,8 +37,14 @@ def list_checkpoints(output_dir: str) -> list[tuple[int, str]]:
     out = []
     for name in os.listdir(output_dir):
         m = _CKPT_RE.match(name)
-        if m:
-            out.append((int(m.group(1)), os.path.join(output_dir, name)))
+        if not m:
+            continue
+        path = os.path.join(output_dir, name)
+        # metadata.json is written only once the (possibly async) Orbax
+        # flush completes — a directory without it is in-flight or torn
+        # and must be invisible to resume/rotation
+        if os.path.exists(os.path.join(path, "metadata.json")):
+            out.append((int(m.group(1)), path))
     return sorted(out)
 
 
@@ -55,19 +61,42 @@ class CheckpointManager:
         self._ckptr = ocp.StandardCheckpointer()
 
     # ------------------------------------------------------------- save
-    def save(self, step: int, state: Any, extra_metadata: Optional[dict] = None):
+    def save(self, step: int, state: Any,
+             extra_metadata: Optional[dict] = None, wait: bool = True):
+        """Write checkpoint-{step}. With `wait=False` the Orbax write
+        happens asynchronously (device arrays are snapshotted up front, so
+        training continues while the host flushes to disk — the TPU-native
+        answer to checkpoint stalls at 8B scale); the next save/finalize
+        blocks on the previous one first. metadata.json is written only on
+        completion, so a half-flushed directory is never resumable."""
+        self.finalize()  # at most one in-flight save
         path = _item_path(self.output_dir, step)
         if os.path.exists(path):
             shutil.rmtree(path)
         self._ckptr.save(os.path.join(path, "state"), state)
-        self._ckptr.wait_until_finished()
         meta = {"global_step": int(step)}
         if extra_metadata:
             meta.update(extra_metadata)
-        with open(os.path.join(path, "metadata.json"), "w") as f:
-            json.dump(meta, f)
-        self._rotate()
+
+        def complete():
+            with open(os.path.join(path, "metadata.json"), "w") as f:
+                json.dump(meta, f)
+            self._rotate()
+
+        if wait:
+            self._ckptr.wait_until_finished()
+            complete()
+        else:
+            self._pending = complete
         return path
+
+    def finalize(self):
+        """Block until any in-flight async save has landed."""
+        pending = getattr(self, "_pending", None)
+        if pending is not None:
+            self._ckptr.wait_until_finished()
+            self._pending = None
+            pending()
 
     def _rotate(self):
         if self.total_limit is None:
@@ -81,6 +110,7 @@ class CheckpointManager:
     def restore(self, state_template: Any, step: Optional[int] = None):
         """Restore into the structure/shardings of `state_template`.
         Returns (state, global_step) or (None, 0) when nothing exists."""
+        self.finalize()
         if step is None:
             path = latest_checkpoint(self.output_dir)
             if path is None:

@@ -229,14 +229,21 @@ class Trainer:
         except ValueError:
             pass  # non-main thread
 
-    def _save_checkpoint(self):
+    def _save_checkpoint(self, wait: Optional[bool] = None):
         """Persist TrainState and, when enabled, the EMA shadow (which would
-        otherwise silently reset to fresh weights on resume)."""
+        otherwise silently reset to fresh weights on resume). Cadence saves
+        run asynchronously when `training.async_checkpointing` is set (the
+        Orbax snapshot happens up front; training overlaps the disk flush);
+        preemption/final saves always wait."""
         payload = (
             {"train": self.state, "ema": self.ema_state}
             if self.ema_state is not None else self.state
         )
-        self.ckpt.save(self.global_step, payload)
+        if wait is None:
+            wait = not bool(
+                self.cfg.get_path("training.async_checkpointing", False)
+            )
+        self.ckpt.save(self.global_step, payload, wait=wait)
 
     def resume(self):
         template = (
@@ -269,7 +276,7 @@ class Trainer:
                 break
             if self._preempted:
                 logger.warning("preemption: saving checkpoint and stopping")
-                self._save_checkpoint()
+                self._save_checkpoint(wait=True)
                 break
             if profile_at is not None and self.global_step == profile_at:
                 jax.profiler.start_trace(profile_dir)
@@ -321,6 +328,7 @@ class Trainer:
             # loop exited inside the profiling window — flush the trace
             jax.profiler.stop_trace()
             logger.info("profile trace written to %s", profile_dir)
+        self.ckpt.finalize()  # land any in-flight async save before exit
         return self.state
 
     def _run_validation_hooks(self):

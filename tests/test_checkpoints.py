@@ -63,3 +63,29 @@ def test_safetensors_export_import_inverse(tmp_path):
     again = params_from_torch_state_dict(flat, cfg)
     for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(again)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_async_save_roundtrip_and_inflight_invisibility(tmp_path):
+    """wait=False saves land on finalize(); a directory without
+    metadata.json (in-flight/torn) is invisible to latest/restore."""
+    from mmada_tpu.checkpoints.manager import (
+        CheckpointManager,
+        latest_checkpoint,
+    )
+
+    cfg, state = tiny_state()
+    m = CheckpointManager(str(tmp_path), total_limit=2)
+    m.save(1, state, wait=False)
+    m.save(2, state, wait=False)  # finalizes save 1 first
+    m.finalize()
+    restored, step = m.restore(state)
+    assert step == 2
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(restored)[0]),
+        np.asarray(jax.tree.leaves(state)[0]),
+    )
+
+    # a torn checkpoint dir (no metadata.json) must not be resumable
+    torn = tmp_path / "checkpoint-99"
+    torn.mkdir()
+    assert latest_checkpoint(str(tmp_path)).endswith("checkpoint-2")
