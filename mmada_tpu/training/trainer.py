@@ -321,6 +321,7 @@ class Trainer:
                 and self.global_step % self.generate_every == 0
             ):
                 self._run_validation_hooks()
+                self._maybe_visualize_predictions(raw)
         if (
             profile_at is not None
             and profile_at <= self.global_step < profile_at + 3
@@ -370,6 +371,57 @@ class Trainer:
                 self._run_understanding_hook(model, mmu_dir, prompts_path)
         except Exception:
             logger.exception("understanding_images validation hook failed")
+        try:
+            chat_path = self.cfg.get_path(
+                "dataset.params.lm_chat_validation_file",
+                os.path.join("lm_chat_validation", "questions.jsonl"),
+            )
+            if os.path.exists(chat_path):
+                import json as _json
+
+                questions = []
+                with open(chat_path) as f:
+                    for ln in f:
+                        if ln.strip():
+                            rec = _json.loads(ln)
+                            questions.append(
+                                rec.get("question") or rec.get("prompt") or ""
+                            )
+                if questions:
+                    V.generate_chat_text(
+                        model, self.prompting.text_tokenizer, questions[:4],
+                        out_dir, self.global_step,
+                        gen_length=self.cfg.get_path(
+                            "training.validation_max_new_tokens", 32
+                        ),
+                        steps=self.cfg.get_path("training.validation_steps", 16),
+                        block_length=self.cfg.get_path(
+                            "training.validation_max_new_tokens", 32
+                        ),
+                    )
+        except Exception:
+            logger.exception("generate_chat_text validation hook failed")
+
+    def _maybe_visualize_predictions(self, raw_batch: dict):
+        """Original vs VQ-recon vs model-prediction triptychs from the
+        CURRENT training batch's images (train_mmada.py:750-795) — runs on
+        the generate_every cadence alongside the other hooks."""
+        from mmada_tpu.training import validation as V
+
+        images = raw_batch.get("t2i_flow", {}).get("images")
+        if images is None or not self.vq_params:
+            return
+        try:
+            model = dataclasses.replace(self.model, params=self.state.params)
+            imgs = np.asarray(images)[:2]
+            V.visualize_predictions(
+                model, self.vq_params, self.vq_cfg, self.prompting,
+                imgs, [""] * imgs.shape[0],
+                self.cfg.get_path("experiment.output_dir", "output"),
+                self.global_step,
+            )
+        except Exception:
+            logger.exception("visualize_predictions validation hook failed")
 
     def _run_understanding_hook(self, model, mmu_dir, prompts_path):
         """Caption the task-typed validation images with their per-image

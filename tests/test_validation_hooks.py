@@ -133,3 +133,29 @@ def test_understanding_question_count_mismatch(setup, tmp_path):
             ["only one question"], str(tmp_path), 1,
             max_new_tokens=8, steps=4,
         )
+
+
+def test_trainer_cadence_runs_all_hooks(tmp_path):
+    """Driving train.main for a few synthetic steps with generate_every
+    produces every reference validation artifact (train_mmada.py:698-730):
+    mmu answers + chat transcript + prediction triptychs in one cadence."""
+    import pathlib
+
+    import train as train_mod
+
+    rc = train_mod.main([
+        "config=configs/tiny_test.yaml",
+        "dataset.synthetic=true",
+        "training.max_train_steps=2",
+        "experiment.generate_every=2",
+        "experiment.log_every=1",
+        "training.validation_max_new_tokens=8",
+        "training.validation_steps=4",
+        f"experiment.output_dir={tmp_path}/out",
+    ])
+    assert rc == 0
+    step_dir = pathlib.Path(tmp_path) / "out" / "validation" / "step_2"
+    assert (step_dir / "mmu_answers.jsonl").exists()
+    assert (step_dir / "chat.jsonl").exists()
+    assert (step_dir / "pred_000_original.png").exists()
+    assert (step_dir / "pred_000_model.png").exists()
