@@ -291,7 +291,23 @@ def _dispatch_attention(
     per-shard via shard_map: heads over the tensor axis, batch over
     data×fsdp (parallel/tp_attention). All decisions here are on static
     shapes — jit-safe. Falls back to the plain dispatch when the head or
-    batch counts don't divide the mesh."""
+    batch counts don't divide the mesh.
+
+    `attn_impl='ring'` (with a mesh, unbiased) instead shards the SEQUENCE
+    over the fsdp axis — sequence parallelism for contexts that outgrow a
+    chip's activations (parallel/ring_attention; the reference has no
+    long-context story at all, SURVEY §5)."""
+    if mesh is not None and attn_impl == "ring" and bias is None:
+        from mmada_tpu.parallel.ring_attention import ring_attention
+
+        sp_axis = "fsdp"
+        sp = mesh.shape.get(sp_axis, 1)
+        if sp > 1 and q.shape[2] % sp == 0:
+            if k.shape[1] != q.shape[1]:  # GQA: ring kernel wants equal heads
+                rep = q.shape[1] // k.shape[1]
+                k = jnp.repeat(k, rep, axis=1)
+                v = jnp.repeat(v, rep, axis=1)
+            return ring_attention(q, k, v, mesh, axis_name=sp_axis)
     if mesh is not None:
         from mmada_tpu.parallel.tp_attention import best_batch_axes, tp_attention
 
@@ -301,9 +317,12 @@ def _dispatch_attention(
         if heads_ok and (ts > 1 or batch_axes):
             return tp_attention(
                 q, k, v, mesh, axis_name=tp_axis, bias=bias,
-                softmax_dtype=softmax_dtype, impl=attn_impl,
+                softmax_dtype=softmax_dtype,
+                impl="auto" if attn_impl == "ring" else attn_impl,
                 batch_axes=batch_axes,
             )
+    if attn_impl == "ring":
+        attn_impl = "auto"  # no mesh / indivisible: plain single-device path
     return bidirectional_attention(
         q, k, v, bias=bias, softmax_dtype=softmax_dtype, impl=attn_impl
     )

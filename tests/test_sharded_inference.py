@@ -185,3 +185,41 @@ def test_mesh_attention_indivisible_heads_falls_back():
     a = np.asarray(jax.jit(lambda m, i: m.forward(i))(model, ids))
     b = np.asarray(jax.jit(lambda m, i: m.forward(i))(model_mesh, ids))
     np.testing.assert_allclose(a, b, atol=2e-5, rtol=2e-5)
+
+
+def test_ring_attention_forward_matches():
+    """attn_impl='ring' sequence-shards attention over the fsdp axis; the
+    full forward matches the plain single-device forward (long-context
+    path, llada._dispatch_attention)."""
+    cfg, params = build(n_heads=4)
+    mesh = make_mesh(data=1, fsdp=8, tensor=1)
+    params_sh = sharding.shard_params(
+        params, sharding.llada_param_specs(cfg), mesh
+    )
+    model = MMadaModel(cfg=cfg, params=params, vocab=VOCAB)
+    model_ring = MMadaModel(
+        cfg=cfg, params=params_sh, vocab=VOCAB, mesh=mesh, attn_impl="ring"
+    )
+    ids = jnp.asarray(
+        np.random.default_rng(4).integers(3, 200, (2, 32)), jnp.int32
+    )
+    fwd = lambda m, i: m.forward(i)
+    assert "ppermute" in str(jax.make_jaxpr(fwd)(model_ring, ids))
+    a = np.asarray(jax.jit(fwd)(model, ids))
+    b = np.asarray(jax.jit(fwd)(model_ring, ids))
+    np.testing.assert_allclose(a, b, atol=2e-5, rtol=2e-5)
+
+
+def test_ring_attention_indivisible_seq_falls_back():
+    cfg, params = build(n_heads=4)
+    mesh = make_mesh(data=1, fsdp=8, tensor=1)
+    model_ring = MMadaModel(
+        cfg=cfg, params=params, vocab=VOCAB, mesh=mesh, attn_impl="ring"
+    )
+    ids = jnp.asarray(
+        np.random.default_rng(4).integers(3, 200, (2, 12)), jnp.int32
+    )  # 12 % 8 != 0 -> falls back, still correct
+    model = MMadaModel(cfg=cfg, params=params, vocab=VOCAB)
+    a = np.asarray(jax.jit(lambda m, i: m.forward(i))(model, ids))
+    b = np.asarray(jax.jit(lambda m, i: m.forward(i))(model_ring, ids))
+    np.testing.assert_allclose(a, b, atol=2e-5, rtol=2e-5)
