@@ -70,3 +70,21 @@ def test_mesh_construction():
     assert mesh.shape == {"data": 1, "fsdp": 4, "tensor": 2}
     with pytest.raises(ValueError):
         make_mesh(data=3, fsdp=3, tensor=1)
+
+
+def test_process_local_batch_slice_single_host():
+    """Multi-host data sharding helper: on one process it owns the whole
+    batch; the per-host arithmetic is what multi-host feeding relies on
+    (core/mesh.py, make_array_from_process_local_data pairing)."""
+    from mmada_tpu.core.mesh import process_local_batch_slice
+
+    s = process_local_batch_slice(32)
+    assert (s.start, s.stop) == (0, 32)
+
+
+def test_initialize_distributed_single_process_is_safe():
+    """initialize_distributed returns False instead of raising when no
+    coordinator exists (single-process run)."""
+    from mmada_tpu.core.mesh import initialize_distributed
+
+    assert initialize_distributed() is False
