@@ -445,11 +445,32 @@ def forward(
     seq_len = x.shape[1]
     sin, cos = rope_sin_cos(seq_len, cfg.head_dim, cfg.rope_theta)
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        from mmada_tpu.parallel.tp_attention import best_batch_axes
+
+        b_ax = best_batch_axes(x.shape[0], mesh)
+        act_sharding = NamedSharding(mesh, _P(b_ax or None, None, None))
+
+        def pin(h):
+            # pin the residual stream to batch-over-(data×fsdp), replicated
+            # on hidden: without this GSPMD sometimes picks a hidden-dim
+            # resharding for the qkv matmuls inside remat and falls back to
+            # "involuntary full rematerialization" (replicate-then-slice)
+            return jax.lax.with_sharding_constraint(h, act_sharding)
+
+        x = pin(x)
+    else:
+        def pin(h):
+            return h
+
     def body(carry, lp):
         h = _block(
             cfg, policy, carry, lp, bias, sin, cos, attn_impl,
             mesh=mesh, tp_axis=tp_axis,
         )
+        h = pin(h)
         return h, (h if output_hidden_states else None)
 
     if remat:

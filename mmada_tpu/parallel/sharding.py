@@ -62,7 +62,14 @@ def llada_param_specs(cfg: LLaDAConfig) -> Any:
         block_specs["k_norm"] = P(None, None)
 
     specs = {
-        "wte": P(TENSOR_AXIS, FSDP_AXIS),
+        # vocab-row sharding (megatron embedding): GSPMD lowers the lookup
+        # to a masked local gather + psum, and the activation comes out
+        # ready to batch-shard. Sharding d instead (the old layout) made
+        # every lookup emit a d-sharded activation whose reshard to
+        # batch-sharded hit SPMD's "involuntary full rematerialization"
+        # fallback. Rows split over fsdp*tensor: 134,656x4096 bf16 is
+        # ~138 MB/device on 8 devices.
+        "wte": P((FSDP_AXIS, TENSOR_AXIS), None),
         "ln_f": P(None),
         "blocks": block_specs,
     }
