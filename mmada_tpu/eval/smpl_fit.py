@@ -247,11 +247,29 @@ class GMMPrior:
 
     means: jax.Array        # (N, 69)
     precisions: jax.Array   # (N, 69, 69)
-    weights: jax.Array      # (N,)  — already merged with covariance dets
+    weights: jax.Array      # (N,) nll_weights — merged with covariance dets
+
+    @classmethod
+    def from_arrays(cls, means: np.ndarray, covars: np.ndarray,
+                    weights: np.ndarray) -> "GMMPrior":
+        """From the raw SMPLify gmm_08 fields (means/covars/weights),
+        reproducing the reference's merged nll_weights construction
+        (prior.py:145-159): w / ((2π)^(D/2) · sqrt(det Σ)/min sqrt(det Σ))."""
+        precisions = np.stack([np.linalg.inv(c) for c in covars])
+        sqrdets = np.array([np.sqrt(np.linalg.det(c)) for c in covars])
+        const = (2 * np.pi) ** (means.shape[1] / 2.0)
+        nll_weights = weights / (const * (sqrdets / sqrdets.min()))
+        return cls(
+            means=jnp.asarray(means, jnp.float32),
+            precisions=jnp.asarray(precisions, jnp.float32),
+            weights=jnp.asarray(nll_weights, jnp.float32),
+        )
 
     @classmethod
     def from_npz(cls, path: str) -> "GMMPrior":
         d = np.load(path)
+        if "covars" in d:  # raw SMPLify fields
+            return cls.from_arrays(d["means"], d["covars"], d["weights"])
         return cls(
             means=jnp.asarray(d["means"], jnp.float32),
             precisions=jnp.asarray(d["precisions"], jnp.float32),
@@ -281,13 +299,16 @@ def camera_fitting_loss_3d(
     depth_loss_weight: float = 100.0,
 ) -> jax.Array:
     """Torso alignment + depth anchor (customloss.py:192-222, AMASS
-    category: same indices both sides)."""
+    category: same indices both sides). Reference quirk kept verbatim:
+    `j3d_error_loss + depth_loss` broadcasts the (B, 1, 3) depth term
+    against the (B, 4, 3) torso error before the final sum, so the camera
+    anchor is effectively weighted 4x (golden-tested)."""
     cam = camera_t.reshape(camera_t.shape[0], 1, 3)
     moved = model_joints + cam
     idx = jnp.asarray(TORSO_IDX)
     j3d_err = (j3d[:, idx] - moved[:, idx]) ** 2
     depth = (depth_loss_weight ** 2) * (cam - camera_t_est.reshape(cam.shape)) ** 2
-    return j3d_err.sum() + depth.sum()
+    return (j3d_err + depth).sum()
 
 
 def body_fitting_loss_3d(

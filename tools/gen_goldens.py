@@ -589,6 +589,73 @@ def golden_motion_quantizers():
     save("motion_quantizers", **out)
 
 
+def golden_smplify_losses():
+    """SMPLify-3D loss math goldens (visualize/joints2smpl/src/customloss.py
+    gmof/angle_prior/camera_fitting_loss_3d/body_fitting_loss_3d and
+    prior.py MaxMixturePrior merged log-likelihood with a synthetic GMM —
+    the MPG assets never enter; only the math is pinned)."""
+    import pickle
+    import tempfile
+
+    from visualize.joints2smpl.src import customloss, prior
+
+    rng = np.random.default_rng(44)
+    out = {}
+
+    x = rng.normal(size=(2, 22, 3)).astype(np.float32)
+    out["gmof_in"] = x
+    out["gmof"] = customloss.gmof(torch.tensor(x), 100.0).numpy()
+
+    body_pose = rng.normal(scale=0.4, size=(2, 69)).astype(np.float32)
+    out["body_pose"] = body_pose
+    out["angle_prior"] = customloss.angle_prior(torch.tensor(body_pose)).numpy()
+
+    model_joints = rng.normal(size=(2, 22, 3)).astype(np.float32)
+    j3d = rng.normal(size=(2, 22, 3)).astype(np.float32)
+    cam = rng.normal(scale=0.1, size=(2, 1, 3)).astype(np.float32)
+    cam_est = rng.normal(scale=0.1, size=(2, 1, 3)).astype(np.float32)
+    out.update(model_joints=model_joints, j3d=j3d, cam=cam, cam_est=cam_est)
+    out["camera_loss"] = customloss.camera_fitting_loss_3d(
+        torch.tensor(model_joints), torch.tensor(cam), torch.tensor(cam_est),
+        torch.tensor(j3d), joints_category="AMASS",
+    ).numpy()
+
+    # synthetic 4-component GMM in the SMPLify pickle format
+    n, d = 4, 69
+    means = rng.normal(scale=0.3, size=(n, d)).astype(np.float64)
+    covs = []
+    for _ in range(n):
+        a = rng.normal(scale=0.05, size=(d, d))
+        covs.append(np.eye(d) + a @ a.T)
+    covars = np.stack(covs)
+    weights = rng.dirichlet(np.ones(n))
+    out.update(gmm_means=means.astype(np.float32),
+               gmm_covars=covars.astype(np.float32),
+               gmm_weights=weights.astype(np.float32))
+    with tempfile.TemporaryDirectory() as tmp:
+        with open(os.path.join(tmp, "gmm_04.pkl"), "wb") as f:
+            pickle.dump(
+                {"means": means, "covars": covars, "weights": weights}, f
+            )
+        gmm = prior.MaxMixturePrior(prior_folder=tmp, num_gaussians=4,
+                                    dtype=torch.float32)
+    out["gmm_nll"] = gmm(torch.tensor(body_pose),
+                         torch.zeros(2, 10)).detach().numpy()
+
+    preserve = rng.normal(scale=0.4, size=(2, 69)).astype(np.float32)
+    conf = np.ones(22, np.float32)
+    out["preserve_pose"] = preserve
+    betas = rng.normal(scale=0.5, size=(2, 10)).astype(np.float32)
+    out["betas"] = betas
+    out["body_loss"] = customloss.body_fitting_loss_3d(
+        torch.tensor(body_pose), torch.tensor(preserve),
+        torch.tensor(betas), torch.tensor(model_joints), torch.tensor(cam),
+        torch.tensor(j3d), gmm, joints3d_conf=torch.tensor(conf),
+        joint_loss_weight=600.0, pose_preserve_weight=5.0,
+    ).detach().numpy()
+    save("smplify_losses", **out)
+
+
 def golden_t2m_evaluator():
     """Tiny evaluator models (models/modules.py) + metric functions
     (utils/eval_trans.py) golden outputs."""
@@ -671,5 +738,6 @@ if __name__ == "__main__":
     golden_t2m()
     golden_motion_vq()
     golden_motion_quantizers()
+    golden_smplify_losses()
     golden_t2m_evaluator()
     print("done")
