@@ -231,3 +231,38 @@ def test_t2i_with_masks_matches_direct(model):
         assert not np.array_equal(fut2.result(timeout=120), got)
     finally:
         engine.stop()
+
+
+def test_engine_serves_mesh_sharded_model(model):
+    """The serving engine works with a mesh-attached FSDP+TP-sharded model
+    (the production multi-chip serving path): batched text results match
+    the unsharded direct call."""
+    import jax.numpy as jnp
+
+    from mmada_tpu.core.mesh import make_mesh
+    from mmada_tpu.parallel import sharding
+
+    mesh = make_mesh(data=2, fsdp=2, tensor=2)
+    # module-scope fixture model has 2 heads; tensor=2 divides it
+    params_sh = sharding.shard_params(
+        model.params, sharding.llada_param_specs(model.cfg), mesh
+    )
+    import dataclasses as _dc
+
+    model_sh = _dc.replace(model, params=params_sh, mesh=mesh)
+    engine = ServingEngine(model_sh, max_wait_ms=50).start()
+    try:
+        settings = TextSettings(gen_length=8, steps=4, block_length=8)
+        prompts = [np.arange(3, 9) + i for i in range(4)]
+        futs = [engine.submit_text(p, settings) for p in prompts]
+        outs = [f.result(timeout=180) for f in futs]
+        direct = np.asarray(
+            model.generate(
+                jnp.asarray(np.stack(prompts)),
+                gen_length=8, steps=4, block_length=8, temperature=0.0,
+            )
+        )
+        for got, want in zip(outs, direct):
+            np.testing.assert_array_equal(got, want)
+    finally:
+        engine.stop()
