@@ -103,6 +103,28 @@ def build_prompting(cfg: Config, tokenizer, vocab: VocabLayout) -> UniversalProm
     )
 
 
+def serving_mesh(cfg: Config):
+    """Device mesh for serving when more than one device is visible.
+
+    The reference has no multi-device serving at all; here every CLI/app
+    entry point serves sharded by default on a slice: params FSDP+TP
+    sharded (`parallel.{data,fsdp,tensor}`, default all-fsdp) and
+    attention dispatched through the shard_map kernels
+    (models/llada._dispatch_attention). Opt out with `parallel.serving:
+    none` (replicated single-device execution)."""
+    if jax.device_count() == 1:
+        return None
+    p = cfg.get_path("parallel", Config())
+    if str(p.get("serving", "auto")).lower() == "none":
+        return None
+    from mmada_tpu.core.mesh import make_mesh
+
+    return make_mesh(
+        data=p.get("data", 1), fsdp=p.get("fsdp", -1),
+        tensor=p.get("tensor", 1),
+    )
+
+
 def build_model(cfg: Config, vocab: VocabLayout) -> MMadaModel:
     m = cfg.get_path("model.mmada", Config())
     policy = policy_from_name(
@@ -128,11 +150,12 @@ def build_model(cfg: Config, vocab: VocabLayout) -> MMadaModel:
             arch = dataclasses.replace(
                 arch, weight_tying=bool(m["tie_word_embeddings"])
             )
-        return MMadaModel.init(
+        model = MMadaModel.init(
             jax.random.key(cfg.get_path("training.seed", 0)),
             arch, vocab, policy=policy,
             dtype=policy.param_dtype, remat=remat,
         )
+        return _maybe_shard(cfg, model)
     path = m.get("pretrained_model_path")
     if not path:
         raise ValueError("model.mmada.pretrained_model_path or tiny/random_init required")
@@ -149,7 +172,20 @@ def build_model(cfg: Config, vocab: VocabLayout) -> MMadaModel:
                 model.params, activations=m.get("quantize") == "w8a8"
             ),
         )
-    return model
+    return _maybe_shard(cfg, model)
+
+
+def _maybe_shard(cfg: Config, model: MMadaModel) -> MMadaModel:
+    mesh = serving_mesh(cfg)
+    if mesh is None:
+        return model
+    from mmada_tpu.parallel import sharding
+
+    logger.info("serving sharded over mesh %s", dict(mesh.shape))
+    params = sharding.shard_params(
+        model.params, sharding.llada_param_specs(model.cfg), mesh
+    )
+    return dataclasses.replace(model, params=params, mesh=mesh)
 
 
 def build_vq_model(cfg: Config):

@@ -266,3 +266,28 @@ def test_engine_serves_mesh_sharded_model(model):
             np.testing.assert_array_equal(got, want)
     finally:
         engine.stop()
+
+
+def test_loader_serves_sharded_by_default():
+    """With >1 visible device (conftest forces 8), build_model attaches a
+    serving mesh and FSDP-shards the params; parallel.serving=none opts
+    out (the reference has no multi-device serving at all)."""
+    from mmada_tpu.core.config import load_config
+    from mmada_tpu.serve.loader import build_model, build_vocab
+
+    cfg = load_config("configs/tiny_test.yaml")
+    vocab = build_vocab(cfg)
+    m = build_model(cfg, vocab)
+    assert m.mesh is not None and dict(m.mesh.shape)["fsdp"] == 8
+    # at least one leaf actually sharded (most tiny dims fall back, but
+    # the 320-row embedding divides 8)
+    shardings = {
+        str(getattr(leaf, "sharding", None))
+        for leaf in jax.tree.leaves(m.params)
+    }
+    assert any("fsdp" in s for s in shardings), shardings
+
+    cfg2 = load_config("configs/tiny_test.yaml",
+                       overrides=["parallel.serving=none"])
+    m2 = build_model(cfg2, build_vocab(cfg2))
+    assert m2.mesh is None
