@@ -38,7 +38,8 @@ from mmada_tpu.sampling.schedules import cosine_schedule
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["params"],
-    meta_fields=["cfg", "vocab", "policy", "attn_impl", "remat", "mesh"],
+    meta_fields=["cfg", "vocab", "policy", "attn_impl", "remat", "mesh",
+                 "pipeline_axis"],
 )
 @dataclasses.dataclass
 class MMadaModel:
@@ -60,6 +61,12 @@ class MMadaModel:
     mesh-aware shard_map path (heads over 'tensor', batch over
     data×fsdp) so the Pallas kernel survives multi-device execution
     instead of degrading to XLA attention (llada._dispatch_attention)."""
+    pipeline_axis: Any = None
+    """Mesh axis name for GPipe pipeline-parallel serving
+    (parallel/pipeline.py). Requires `mesh`, params sharded with
+    `pipeline.shard_stage_params` (layer axis = stages), and the
+    checkpoint-faithful no-bias attention (attention_bias_enabled=False).
+    All samplers then run their forwards through the pipeline."""
 
     # ------------------------------------------------------------- factory
     @classmethod
@@ -79,6 +86,21 @@ class MMadaModel:
     # ------------------------------------------------------------- forward
     def forward(self, input_ids, attention_mask=None, attention_bias=None,
                 logit_window=None, logit_positions=None):
+        if self.pipeline_axis is not None:
+            from mmada_tpu.parallel import pipeline
+
+            if self.cfg.attention_bias_enabled and (
+                attention_mask is not None or attention_bias is not None
+            ):
+                raise ValueError(
+                    "pipeline serving supports only the no-bias attention "
+                    "path (attention_bias_enabled=False)"
+                )
+            return pipeline.pipeline_forward(
+                self.params, self.cfg, input_ids, self.mesh,
+                axis_name=self.pipeline_axis, policy=self.policy,
+                logit_window=logit_window, logit_positions=logit_positions,
+            )
         return llada.forward(
             self.params, self.cfg, input_ids,
             attention_mask=attention_mask, attention_bias=attention_bias,

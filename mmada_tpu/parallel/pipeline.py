@@ -64,6 +64,7 @@ def pipeline_forward(
     num_microbatches: Optional[int] = None,
     policy: Policy = FP32,
     logit_window: Optional[tuple[int, int]] = None,
+    logit_positions: Optional[tuple[int, int]] = None,
 ):
     """Logits equal to `llada.forward` (no bias path), computed with the
     block stack pipeline-parallel over `axis_name`. B must divide
@@ -147,6 +148,10 @@ def pipeline_forward(
     )(params["blocks"], mb, sin, cos)
     x = out.reshape(b, seq_len, -1)
 
+    if logit_positions is not None:
+        # same head-FLOP skip as llada.forward: only the consumed span
+        p_start, p_stop = logit_positions
+        x = x[:, p_start:p_stop]
     x = llada._norm(cfg, x, params["ln_f"])
     head = params["wte"].T if cfg.weight_tying else params["ff_out"]
     if logit_window is not None:

@@ -179,6 +179,28 @@ def _maybe_shard(cfg: Config, model: MMadaModel) -> MMadaModel:
     mesh = serving_mesh(cfg)
     if mesh is None:
         return model
+    mode = str(cfg.get_path("parallel.serving", "auto")).lower()
+    if mode == "pipeline":
+        # GPipe over the fsdp axis: layer-sharded stages, ppermute-only
+        # transfers (parallel/pipeline.py); raw-array params required
+        from mmada_tpu.ops.quantization import is_quantized
+        from mmada_tpu.parallel import pipeline
+
+        if any(is_quantized(l) for l in jax.tree.leaves(
+                model.params, is_leaf=is_quantized)):
+            raise ValueError("parallel.serving=pipeline requires "
+                             "unquantized params (bf16 multi-chip regime)")
+        if model.cfg.n_layers % mesh.shape["fsdp"]:
+            raise ValueError(
+                f"{model.cfg.n_layers} layers do not divide the fsdp axis "
+                f"({mesh.shape['fsdp']}) for pipeline stages"
+            )
+        logger.info("pipeline serving: %d stages over mesh %s",
+                    mesh.shape["fsdp"], dict(mesh.shape))
+        params = pipeline.shard_stage_params(model.params, mesh, "fsdp")
+        return dataclasses.replace(
+            model, params=params, mesh=mesh, pipeline_axis="fsdp"
+        )
     from mmada_tpu.parallel import sharding
 
     logger.info("serving sharded over mesh %s", dict(mesh.shape))

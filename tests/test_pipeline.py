@@ -83,3 +83,61 @@ def test_pipeline_rejects_indivisible_layers():
             pipeline.shard_stage_params(params, mesh), cfg,
             jnp.zeros((2, 8), jnp.int32), mesh,
         )
+
+
+def test_pipeline_samplers_match_plain():
+    """With pipeline_axis set, ALL samplers run through the GPipe forward
+    and produce identical tokens to the plain model (the loader's
+    parallel.serving=pipeline mode)."""
+    from mmada_tpu.models.mmada import MMadaModel
+
+    cfg, params = build(n_layers=8)
+    mesh = make_mesh(data=1, fsdp=8, tensor=1)
+    plain = MMadaModel(cfg=cfg, params=params, vocab=VOCAB)
+    piped = MMadaModel(
+        cfg=cfg, params=pipeline.shard_stage_params(params, mesh),
+        vocab=VOCAB, mesh=mesh, pipeline_axis="fsdp",
+    )
+    prompt = jnp.asarray(
+        np.random.default_rng(0).integers(3, 200, (2, 8)), jnp.int32
+    )
+
+    @jax.jit
+    def gen(m, p):
+        return m.generate(p, gen_length=16, steps=8, block_length=8)
+
+    np.testing.assert_array_equal(
+        np.asarray(gen(plain, prompt)), np.asarray(gen(piped, prompt))
+    )
+
+    n_img = 16
+    frame = np.concatenate([
+        np.full((2, 6), 5), np.full((2, 1), 230),
+        np.full((2, n_img), VOCAB.mask_token_id), np.full((2, 1), 231),
+    ], axis=1).astype(np.int32)
+    uncond = frame.copy()
+    uncond[:, :6] = VOCAB.pad_token_id
+
+    @jax.jit
+    def t2i(m, f, u, k):
+        return m.t2i_generate(
+            f, uncond_input_ids=u, temperature=0.0, greedy=True,
+            timesteps=4, guidance_scale=1.5, num_vq_tokens=n_img, key=k,
+        )
+
+    key = jax.random.key(0)
+    np.testing.assert_array_equal(
+        np.asarray(t2i(plain, jnp.asarray(frame), jnp.asarray(uncond), key)),
+        np.asarray(t2i(piped, jnp.asarray(frame), jnp.asarray(uncond), key)),
+    )
+
+
+def test_loader_pipeline_mode():
+    from mmada_tpu.core.config import load_config
+    from mmada_tpu.serve.loader import build_model, build_vocab
+
+    cfg = load_config("configs/tiny_test.yaml",
+                      overrides=["parallel.serving=pipeline",
+                                 "parallel.fsdp=2", "parallel.data=4"])
+    m = build_model(cfg, build_vocab(cfg))
+    assert m.pipeline_axis == "fsdp" and m.mesh is not None
