@@ -9,8 +9,11 @@ writes frame{i:03d}.obj files, the fitted thetas (rot6d, reference
 
     python tools/render_motion_mesh.py input=joints.npy out_dir=out \
         [smpl_npz=/mnt/smpl_neutral.npz] [gmm_npz=/mnt/gmm_08.npz] \
-        [num_iters=150]
+        [num_iters=150] [sample=0] [rep=0]
 
+`input` is either a raw (T, 22, 3) joints array or an MDM-style
+`results.npy` dict ({'motion': (N, J, 3, T), 'lengths', 'num_samples'} —
+the reference vis_utils.npy2obj input; pick a clip with sample=/rep=).
 Without `smpl_npz` the deterministic synthetic body model is used (the
 MPG-licensed SMPL asset cannot ship; drop the converted npz in and the
 same code renders the real body).
@@ -22,13 +25,35 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
+def _load_joints(args):
+    """Raw (T, J, 3) array or the MDM results.npy dict
+    (vis_utils.npy2obj:10-33 indexing: absl = rep * num_samples + sample)."""
+    import numpy as np
+
+    raw = np.load(args["input"], allow_pickle=True)
+    if raw.dtype == object:  # results.npy dict
+        motions = raw[None][0]
+        sample_i = int(args.get("sample", 0))
+        rep_i = int(args.get("rep", 0))
+        absl = rep_i * int(motions.get("num_samples", 1)) + sample_i
+        clip = np.asarray(motions["motion"][absl])   # (J, 3, T)
+        if clip.ndim != 3 or clip.shape[1] != 3:
+            raise ValueError(f"expected (J, 3, T) motion, got {clip.shape}")
+        joints = clip.transpose(2, 0, 1)             # (T, J, 3)
+        lengths = motions.get("lengths")
+        if lengths is not None:
+            joints = joints[: int(np.asarray(lengths).reshape(-1)[absl])]
+        return joints
+    return raw
+
+
 def main(argv):
     args = dict(kv.split("=", 1) for kv in argv if "=" in kv)
     import numpy as np
 
     from mmada_tpu.eval import mesh_render, smpl_fit
 
-    joints = np.load(args["input"])
+    joints = _load_joints(args)
     if joints.ndim != 3 or joints.shape[-1] != 3:
         raise ValueError(f"expected (T, J, 3) joints, got {joints.shape}")
     joints = joints[:, : smpl_fit.AMASS_NUM_JOINTS]
