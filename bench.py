@@ -168,6 +168,32 @@ def main():
     text_dt = time.perf_counter() - t0
     text_tokens_per_s = text_gen / text_dt
 
+    # ----------------------------------------------------------------- mmu
+    # reference operating point scaled to serving defaults: 1024-token
+    # image prefix + prompt, 128 new tokens over 64 steps (BASELINE.json
+    # north-star: MMU p50 latency)
+    mmu_prefix = jnp.concatenate([
+        jnp.full((1, 2), MMADA_8B.special("<|mmu|>")),
+        jax.random.randint(jax.random.key(7), (1, 1024), 0, 8192)
+        + MMADA_8B.image_offset,
+        jax.random.randint(jax.random.key(8), (1, 40), 3, 100000),
+    ], axis=1).astype(jnp.int32)
+
+    @jax.jit
+    def run_mmu(model, prefix):
+        return model.mmu_generate(
+            prefix, max_new_tokens=128, steps=64, block_length=128,
+            temperature=0.0,
+        )
+
+    sync(run_mmu(model, mmu_prefix))
+    lats = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        sync(run_mmu(model, mmu_prefix))
+        lats.append(time.perf_counter() - t0)
+    mmu_p50 = sorted(lats)[1]
+
     print(
         json.dumps(
             {
@@ -181,6 +207,9 @@ def main():
                 "text_tokens_per_s": round(text_tokens_per_s, 2),
                 "text_operating_point": f"gen{text_gen} steps{text_steps} "
                                         f"block{text_block} T0 batch1",
+                "mmu_p50_latency_s": round(mmu_p50, 2),
+                "mmu_operating_point": "1066-token image prefix, 128 new, "
+                                       "64 steps, batch 1",
                 "achieved_model_tflops": round(t2i_flops_per_s / 1e12, 1),
                 "mxu_utilization_vs_bf16_peak": round(mxu_util, 3),
             }
