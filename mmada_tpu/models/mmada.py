@@ -35,6 +35,19 @@ from mmada_tpu.sampling import text as text_sampling
 from mmada_tpu.sampling.schedules import cosine_schedule
 
 
+@functools.partial(jax.jit, static_argnames=("block_cfg",))
+def _early_stop_block(model, x, prompt_index, block_end, step_keys,
+                      transfers, block_cfg):
+    """One early-stop denoise block, jitted once per (shape, settings):
+    `model` is a pytree argument (weights stay runtime args, never HLO
+    constants) and `block_end` is traced, so all blocks of all
+    `mmu_generate_fast` calls share a single executable."""
+    return text_sampling.run_block_eager(
+        model._text_forward_fn(), block_cfg, x, prompt_index, block_end,
+        step_keys, transfers,
+    )
+
+
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["params"],
@@ -168,8 +181,21 @@ class MMadaModel:
             temperature=temperature, cfg_scale=cfg_scale,
             mask_id=self.vocab.mask_token_id,
         )
+
+        # model passes as a jit ARGUMENT through the module-level runner:
+        # `block_end` is traced, so one executable serves every block of
+        # every call at these settings (the eager fallback re-traces and
+        # re-compiles the whole block scan per block per call).
+        def run_block(block_cfg, x, prompt_index, block_end, step_keys,
+                      transfers):
+            return _early_stop_block(
+                self, x, prompt_index, block_end, step_keys, transfers,
+                block_cfg,
+            )
+
         return text_sampling.generate_with_early_stop(
-            self._text_forward_fn(), input_ids, scfg, eot_token, key=key
+            self._text_forward_fn(), input_ids, scfg, eot_token, key=key,
+            run_block=run_block,
         )
 
     # ----------------------------------------------------------------- t2i

@@ -124,14 +124,30 @@ def _denoise_step(
     return jnp.where(transfer, x0, x)
 
 
-def generate(
+def _block_key_schedule(key, num_blocks: int, spb: int):
+    """Per-(block, step) PRNG keys with the same derivation order the
+    original per-block host loop used (`key, sub = split(key)` per block,
+    then `split(sub, spb)`), so fixed-seed outputs are stable across the
+    nested-scan refactor."""
+    per_block = []
+    for _ in range(num_blocks):
+        key, sub = jax.random.split(key)
+        per_block.append(jax.random.split(sub, spb))
+    return jnp.stack(per_block)  # (num_blocks, spb) typed keys
+
+
+def _generate_scan(
     forward_fn: ForwardFn,
     prompt: jax.Array,  # (B, P) int32 — no masks inside
     cfg: SemiARConfig,
-    key: Optional[jax.Array] = None,
-) -> jax.Array:
-    """Generate `(B, P + gen_length)` tokens. Deterministic at T=0 with
-    'low_confidence' remasking (the golden-parity configuration)."""
+    key: Optional[jax.Array],
+    collect_states: bool,
+):
+    """Shared nested-scan driver: outer `lax.scan` over blocks, inner over
+    denoise steps. One traced block body regardless of `num_blocks` — the
+    old per-block Python loop unrolled the whole scan per block, multiplying
+    XLA program size (and remote-compile time on a tunneled chip) by
+    `num_blocks` for identical code."""
     b, p = prompt.shape
     x = jnp.concatenate(
         [
@@ -142,30 +158,30 @@ def generate(
     )
     prompt_index = x != cfg.mask_id
     spb = cfg.steps_per_block
+    nb = cfg.num_blocks
 
     needs_key = cfg.temperature > 0 or cfg.remasking == "random"
     if needs_key and key is None:
         raise ValueError("stochastic sampling requires a PRNG key")
+    if needs_key:
+        block_keys = _block_key_schedule(key, nb, spb)
+    else:
+        block_keys = jnp.zeros((nb, spb, 2), jnp.uint32)  # unused placeholder
 
-    for block in range(cfg.num_blocks):
-        block_start = p + block * cfg.block_length
-        block_end = p + (block + 1) * cfg.block_length
-        block_mask = (
-            x[:, block_start:block_end] == cfg.mask_id
-        ).sum(axis=1)
+    def block_body(x, inp):
+        block_idx, step_keys = inp
+        block_start = p + block_idx * cfg.block_length
+        block_end = block_start + cfg.block_length
+        block_slice = jax.lax.dynamic_slice(
+            x, (0, block_start), (b, cfg.block_length)
+        )
+        block_mask = (block_slice == cfg.mask_id).sum(axis=1)
         transfers = num_transfer_schedule(block_mask, spb)  # (B, spb)
 
-        if needs_key:
-            key, sub = jax.random.split(key)
-            step_keys = jax.random.split(sub, spb)
-        else:
-            step_keys = jnp.zeros((spb, 2), jnp.uint32)  # unused placeholder
-
-        def step(carry, inp):
-            x_cur = carry
-            step_key, n_transfer = inp
+        def step(carry, sinp):
+            step_key, n_transfer = sinp
             x_next = _denoise_step(
-                x_cur,
+                carry,
                 step_key if needs_key else None,
                 n_transfer,
                 forward_fn,
@@ -173,9 +189,25 @@ def generate(
                 block_end,
                 cfg,
             )
-            return x_next, None
+            return x_next, (x_next if collect_states else None)
 
-        x, _ = jax.lax.scan(step, x, (step_keys, transfers.T))
+        x, states = jax.lax.scan(step, x, (step_keys, transfers.T))
+        return x, states
+
+    block_idx = jnp.arange(nb, dtype=jnp.int32)
+    x, states = jax.lax.scan(block_body, x, (block_idx, block_keys))
+    return x, states
+
+
+def generate(
+    forward_fn: ForwardFn,
+    prompt: jax.Array,  # (B, P) int32 — no masks inside
+    cfg: SemiARConfig,
+    key: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Generate `(B, P + gen_length)` tokens. Deterministic at T=0 with
+    'low_confidence' remasking (the golden-parity configuration)."""
+    x, _ = _generate_scan(forward_fn, prompt, cfg, key, collect_states=False)
     return x
 
 
@@ -189,41 +221,34 @@ def generate_stepwise(
     `(steps, B, P + gen_length)` — the token state after every step. Powers
     per-step streaming visualization (the reference demo's HighlightedText
     MASK/GEN token states, app.py:116-165). The trajectory comes out of the
-    scan's stacked outputs, so it is still one XLA program per block; the
-    final row equals `generate`'s output exactly."""
-    b, p = prompt.shape
-    x = jnp.concatenate(
-        [
-            prompt.astype(jnp.int32),
-            jnp.full((b, cfg.gen_length), cfg.mask_id, jnp.int32),
-        ],
-        axis=1,
-    )
-    prompt_index = x != cfg.mask_id
-    spb = cfg.steps_per_block
+    scans' stacked outputs, so it is still one XLA program; the final row
+    equals `generate`'s output exactly."""
+    _, states = _generate_scan(forward_fn, prompt, cfg, key, collect_states=True)
+    # (num_blocks, spb, B, L) -> (steps, B, L), block-major like the old
+    # per-block concatenation
+    return states.reshape((-1,) + states.shape[2:])
 
+
+def run_block_eager(
+    forward_fn: ForwardFn,
+    cfg: SemiARConfig,
+    x: jax.Array,
+    prompt_index: jax.Array,
+    block_end: jax.Array,
+    step_keys: jax.Array,
+    transfers: jax.Array,
+) -> jax.Array:
+    """One block of denoise steps as an eager `lax.scan`. `block_end` is a
+    TRACED scalar so every block produces the same jaxpr. Callers that can
+    pass their parameters as explicit jit arguments should wrap this in a
+    module-level `jax.jit` (see models/mmada._early_stop_block) — that is
+    what makes blocks 2..N reuse block 1's executable."""
     needs_key = cfg.temperature > 0 or cfg.remasking == "random"
-    if needs_key and key is None:
-        raise ValueError("stochastic sampling requires a PRNG key")
 
-    states = []
-    for block in range(cfg.num_blocks):
-        block_start = p + block * cfg.block_length
-        block_end = p + (block + 1) * cfg.block_length
-        block_mask = (
-            x[:, block_start:block_end] == cfg.mask_id
-        ).sum(axis=1)
-        transfers = num_transfer_schedule(block_mask, spb)
-
-        if needs_key:
-            key, sub = jax.random.split(key)
-            step_keys = jax.random.split(sub, spb)
-        else:
-            step_keys = jnp.zeros((spb, 2), jnp.uint32)
-
-        def step(carry, inp):
-            step_key, n_transfer = inp
-            x_next = _denoise_step(
+    def step(carry, inp):
+        step_key, n_transfer = inp
+        return (
+            _denoise_step(
                 carry,
                 step_key if needs_key else None,
                 n_transfer,
@@ -231,12 +256,12 @@ def generate_stepwise(
                 prompt_index,
                 block_end,
                 cfg,
-            )
-            return x_next, x_next
+            ),
+            None,
+        )
 
-        x, block_states = jax.lax.scan(step, x, (step_keys, transfers.T))
-        states.append(block_states)
-    return jnp.concatenate(states, axis=0)
+    x, _ = jax.lax.scan(step, x, (step_keys, transfers.T))
+    return x
 
 
 def generate_with_early_stop(
@@ -245,11 +270,18 @@ def generate_with_early_stop(
     cfg: SemiARConfig,
     eot_token: int,
     key: Optional[jax.Array] = None,
+    run_block: Optional[Callable] = None,
 ) -> jax.Array:
     """`mmu_generate_fast` analog (modeling_mmada.py:484-556): after each
     block, stop if every row's block ends with EOT. The per-block scan stays
     jitted; only the one-bool stop check syncs to host, so best-case latency
-    drops proportionally to blocks skipped."""
+    drops proportionally to blocks skipped.
+
+    `run_block(cfg, x, prompt_index, block_end, step_keys, transfers)`
+    executes one block; model-aware callers inject a jitted runner whose
+    parameters are jit arguments (models/mmada.py), which both avoids
+    lowering weights as HLO constants and caches ONE executable across all
+    blocks and calls."""
     b, p = prompt.shape
     x = jnp.concatenate(
         [
@@ -266,27 +298,11 @@ def generate_with_early_stop(
         cfg, gen_length=cfg.block_length, steps=spb, block_length=cfg.block_length
     )
 
-    # NOTE: deliberately not jax.jit — forward_fn closes over model params,
-    # and jit would lower them as module constants (pathological with remote
-    # compilation). The lax.scan inside still compiles the hot loop.
-    def run_block(x, block_end, step_keys, transfers):
-        def step(carry, inp):
-            step_key, n_transfer = inp
-            return (
-                _denoise_step(
-                    carry,
-                    step_key if needs_key else None,
-                    n_transfer,
-                    forward_fn,
-                    prompt_index,
-                    block_end,
-                    block_cfg,
-                ),
-                None,
-            )
-
-        x, _ = jax.lax.scan(step, x, (step_keys, transfers.T))
-        return x
+    if run_block is None:
+        # fallback: eager scan per block. NOT jax.jit — forward_fn closes
+        # over model params, and jit would lower them as module constants
+        # (pathological with remote compilation).
+        run_block = partial(run_block_eager, forward_fn)
 
     for block in range(cfg.num_blocks):
         block_start = p + block * cfg.block_length
@@ -298,7 +314,10 @@ def generate_with_early_stop(
             step_keys = jax.random.split(sub, spb)
         else:
             step_keys = jnp.zeros((spb, 2), jnp.uint32)
-        x = run_block(x, block_end, step_keys, transfers)
+        x = run_block(
+            block_cfg, x, prompt_index, jnp.int32(block_end), step_keys,
+            transfers,
+        )
         if bool(jnp.all(x[:, block_end - 1] == eot_token)):
             break
     return x
