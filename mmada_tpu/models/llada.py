@@ -33,7 +33,12 @@ import jax
 import jax.numpy as jnp
 
 from mmada_tpu.core.precision import FP32, Policy
-from mmada_tpu.ops.attention import bidirectional_attention, NEG_INF
+from mmada_tpu.ops.attention import (
+    NEG_INF,
+    _rotate_half,  # noqa: F401  (re-export: pre-refactor API location)
+    apply_rope,
+    bidirectional_attention,
+)
 from mmada_tpu.ops.quantization import QuantizedTensor, W8A8Tensor, maybe_matmul
 from mmada_tpu.ops.norms import layer_norm, rms_norm
 
@@ -250,27 +255,9 @@ def rope_sin_cos(
     return jnp.sin(emb).astype(dtype), jnp.cos(emb).astype(dtype)
 
 
-def _rotate_half(x: jax.Array) -> jax.Array:
-    x1, x2 = jnp.split(x, 2, axis=-1)
-    return jnp.concatenate([-x2, x1], axis=-1)
-
-
-def apply_rope(
-    q: jax.Array,  # (B, H, L, D)
-    k: jax.Array,
-    sin: jax.Array,  # (L, D)
-    cos: jax.Array,
-    full_precision: bool = True,
-) -> tuple[jax.Array, jax.Array]:
-    dtype = q.dtype
-    if full_precision:
-        q, k = q.astype(jnp.float32), k.astype(jnp.float32)
-        sin, cos = sin.astype(jnp.float32), cos.astype(jnp.float32)
-    else:
-        sin, cos = sin.astype(dtype), cos.astype(dtype)
-    q = q * cos + _rotate_half(q) * sin
-    k = k * cos + _rotate_half(k) * sin
-    return q.astype(dtype), k.astype(dtype)
+# NOTE: `_rotate_half` / `apply_rope` live beside the attention dispatch
+# (ops/attention.py) so the Pallas kernel can fuse the rotation into its
+# tile loads; they are re-exported above for API continuity.
 
 
 def _dispatch_attention(
@@ -282,6 +269,8 @@ def _dispatch_attention(
     attn_impl: str,
     mesh,
     tp_axis: str,
+    rope_sin: Optional[jax.Array] = None,  # (L, D): q/k arrive UN-roped
+    rope_cos: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Pick the mesh-aware path when a mesh is provided.
 
@@ -303,6 +292,10 @@ def _dispatch_attention(
         sp_axis = "fsdp"
         sp = mesh.shape.get(sp_axis, 1)
         if sp > 1 and q.shape[2] % sp == 0:
+            if rope_sin is not None:
+                # ring shards the sequence: rotate before the permute ring
+                q, k = apply_rope(q, k, rope_sin, rope_cos)
+                rope_sin = rope_cos = None
             if k.shape[1] != q.shape[1]:  # GQA: ring kernel wants equal heads
                 rep = q.shape[1] // k.shape[1]
                 k = jnp.repeat(k, rep, axis=1)
@@ -320,11 +313,13 @@ def _dispatch_attention(
                 softmax_dtype=softmax_dtype,
                 impl="auto" if attn_impl == "ring" else attn_impl,
                 batch_axes=batch_axes,
+                rope_sin=rope_sin, rope_cos=rope_cos,
             )
     if attn_impl == "ring":
         attn_impl = "auto"  # no mesh / indivisible: plain single-device path
     return bidirectional_attention(
-        q, k, v, bias=bias, softmax_dtype=softmax_dtype, impl=attn_impl
+        q, k, v, bias=bias, softmax_dtype=softmax_dtype, impl=attn_impl,
+        rope_sin=rope_sin, rope_cos=rope_cos,
     )
 
 
@@ -365,10 +360,18 @@ def _block(
     k = k.reshape(b, l, kvh, hd).transpose(0, 2, 1, 3)
     v = v.reshape(b, l, kvh, hd).transpose(0, 2, 1, 3)
 
-    q, k = apply_rope(q, k, sin, cos, cfg.rope_full_precision)
-    att = _dispatch_attention(
-        q, k, v, bias, policy.softmax_dtype, attn_impl, mesh, tp_axis
-    )
+    if cfg.rope_full_precision:
+        # rope rides into the attention dispatch: the Pallas one-pass kernel
+        # rotates q/k tiles in VMEM (fp32), other paths run apply_rope
+        att = _dispatch_attention(
+            q, k, v, bias, policy.softmax_dtype, attn_impl, mesh, tp_axis,
+            rope_sin=sin, rope_cos=cos,
+        )
+    else:
+        q, k = apply_rope(q, k, sin, cos, full_precision=False)
+        att = _dispatch_attention(
+            q, k, v, bias, policy.softmax_dtype, attn_impl, mesh, tp_axis
+        )
     att = att.transpose(0, 2, 1, 3).reshape(b, l, d)
     x = x + maybe_matmul(att, lp["attn_out"])
 

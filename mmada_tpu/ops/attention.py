@@ -64,6 +64,33 @@ def xla_attention(
     return out.astype(orig_dtype)
 
 
+def _rotate_half(x: jax.Array) -> jax.Array:
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def apply_rope(
+    q: jax.Array,  # (B, H, L, D)
+    k: jax.Array,
+    sin: jax.Array,  # (L, D)
+    cos: jax.Array,
+    full_precision: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """Neox rotate-half RoPE as a standalone XLA pass (reference
+    modeling_llada.py:363-428). The Pallas one-pass kernel instead fuses
+    this rotation into the attention tile loads (flash_attention rope_sin/
+    rope_cos) — value-identical, but without materializing roped q/k."""
+    dtype = q.dtype
+    if full_precision:
+        q, k = q.astype(jnp.float32), k.astype(jnp.float32)
+        sin, cos = sin.astype(jnp.float32), cos.astype(jnp.float32)
+    else:
+        sin, cos = sin.astype(dtype), cos.astype(dtype)
+    q = q * cos + _rotate_half(q) * sin
+    k = k * cos + _rotate_half(k) * sin
+    return q.astype(dtype), k.astype(dtype)
+
+
 def bidirectional_attention(
     q: jax.Array,
     k: jax.Array,
@@ -71,12 +98,20 @@ def bidirectional_attention(
     bias: Optional[jax.Array] = None,
     softmax_dtype: jnp.dtype = jnp.float32,
     impl: str = "auto",
+    rope_sin: Optional[jax.Array] = None,  # (L, D) — RoPE not yet applied
+    rope_cos: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Dispatch to the configured attention implementation.
 
     impl: 'auto' | 'xla' | 'pallas'. 'auto' picks pallas on TPU when shapes
     are tile-aligned, else xla.
+
+    When `rope_sin`/`rope_cos` are given, q/k arrive UN-roped and the
+    rotation happens here: fused into the one-pass Pallas kernel when that
+    tier is selected (fp32 math in VMEM, ~5% forward saving at flagship
+    shapes), or as the standalone fp32 `apply_rope` pass otherwise.
     """
+    has_rope = rope_sin is not None
     if impl == "pallas" or (impl == "auto" and _pallas_eligible(q, k, bias)):
         from mmada_tpu.ops.flash_attention import (
             flash_attention,
@@ -89,10 +124,18 @@ def bidirectional_attention(
             # Online variant keeps K/V whole in VMEM (fine to ~16k); the
             # staged variant streams K/V AND bias per (block_q, block_k)
             # tile, so biased or very long sequences are unbounded.
+            if has_rope:
+                q, k = apply_rope(q, k, rope_sin, rope_cos)
             if bias is not None or q.shape[2] > 16384:
                 return flash_attention_staged(q, k, v, bias=bias)
             return flash_attention_online(q, k, v, bias=bias)
-        return flash_attention(q, k, v, bias=bias)
+        return flash_attention(
+            q, k, v, bias=bias,
+            rope_sin=rope_sin if has_rope else None,
+            rope_cos=rope_cos if has_rope else None,
+        )
+    if has_rope:
+        q, k = apply_rope(q, k, rope_sin, rope_cos)
     return xla_attention(q, k, v, bias=bias, softmax_dtype=softmax_dtype)
 
 

@@ -32,9 +32,27 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    q = q_ref[0, 0].astype(jnp.float32)            # (bq, D)
-    k = k_ref[0, 0].astype(jnp.float32)            # (L, D)
+def _rope_tile(x: jax.Array, sin: jax.Array, cos: jax.Array) -> jax.Array:
+    """Neox rotate-half RoPE on a (n, D) q/k tile: fp32 math, cast back to
+    the tile dtype — value-matching llada.apply_rope(full_precision=True),
+    but executed in VMEM so the rotation costs zero extra HBM traffic
+    (measured ~5% of the flagship forward when done as a separate XLA pass)."""
+    xf = x.astype(jnp.float32)
+    d2 = xf.shape[-1] // 2
+    rot = jnp.concatenate([-xf[:, d2:], xf[:, :d2]], axis=-1)
+    return (xf * cos + rot * sin).astype(x.dtype)
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                 rope_refs=()):
+    q_in = q_ref[0, 0]                             # (bq, D)
+    k_in = k_ref[0, 0]                             # (L, D)
+    if rope_refs:
+        sin_q, cos_q, sin_k, cos_k = rope_refs
+        q_in = _rope_tile(q_in, sin_q[...], cos_q[...])
+        k_in = _rope_tile(k_in, sin_k[...], cos_k[...])
+    q = q_in.astype(jnp.float32)
+    k = k_in.astype(jnp.float32)
     v = v_ref[0, 0]                                # (L, D)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -46,9 +64,22 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     o_ref[0, 0] = o.astype(o_ref.dtype)
 
 
-def _attn_bias_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale: float):
-    q = q_ref[0, 0].astype(jnp.float32)
-    k = k_ref[0, 0].astype(jnp.float32)
+def _attn_rope_kernel(q_ref, k_ref, v_ref, sq_ref, cq_ref, sk_ref, ck_ref,
+                      o_ref, *, scale: float):
+    _attn_kernel(q_ref, k_ref, v_ref, o_ref, scale=scale,
+                 rope_refs=(sq_ref, cq_ref, sk_ref, ck_ref))
+
+
+def _attn_bias_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale: float,
+                      rope_refs=()):
+    q_in = q_ref[0, 0]
+    k_in = k_ref[0, 0]
+    if rope_refs:
+        sin_q, cos_q, sin_k, cos_k = rope_refs
+        q_in = _rope_tile(q_in, sin_q[...], cos_q[...])
+        k_in = _rope_tile(k_in, sin_k[...], cos_k[...])
+    q = q_in.astype(jnp.float32)
+    k = k_in.astype(jnp.float32)
     v = v_ref[0, 0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -59,6 +90,12 @@ def _attn_bias_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale: float):
     p = p / jnp.sum(p, axis=-1, keepdims=True)
     o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
     o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
+def _attn_rope_bias_kernel(q_ref, k_ref, v_ref, b_ref, sq_ref, cq_ref,
+                           sk_ref, ck_ref, o_ref, *, scale: float):
+    _attn_bias_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, scale=scale,
+                      rope_refs=(sq_ref, cq_ref, sk_ref, ck_ref))
 
 
 def _fit_block(preferred: int, l: int) -> int:
@@ -355,6 +392,8 @@ def flash_attention(
     bias: Optional[jax.Array] = None,  # (B|1, 1|H, L, L) float32 additive
     block_q: int = 256,
     interpret: bool = False,
+    rope_sin: Optional[jax.Array] = None,  # (L, D) fp32 — fuse RoPE on q/k
+    rope_cos: Optional[jax.Array] = None,
 ) -> jax.Array:
     b, h, l, d = q.shape
     kvh = k.shape[1]
@@ -383,16 +422,38 @@ def flash_attention(
         transcendentals=b * h * l * l,
     )
 
+    rope_args: tuple = ()
+    rope_specs: list = []
+    if rope_sin is not None:
+        assert rope_sin.shape == (l, d) and rope_cos.shape == (l, d)
+        sin32 = rope_sin.astype(jnp.float32)
+        cos32 = rope_cos.astype(jnp.float32)
+        # q rotates per (block_q, D) tile; k is whole-in-VMEM so its tables
+        # ride along whole too
+        sq_spec = pl.BlockSpec(
+            (block_q, d), lambda bi, hi, qi: (qi, 0), memory_space=pltpu.VMEM
+        )
+        sk_spec = pl.BlockSpec(
+            (l, d), lambda bi, hi, qi: (0, 0), memory_space=pltpu.VMEM
+        )
+        rope_args = (sin32, cos32, sin32, cos32)
+        rope_specs = [sq_spec, sq_spec, sk_spec, sk_spec]
+
     if bias is None:
+        kernel = (
+            functools.partial(_attn_rope_kernel, scale=scale)
+            if rope_args
+            else functools.partial(_attn_kernel, scale=scale)
+        )
         return pl.pallas_call(
-            functools.partial(_attn_kernel, scale=scale),
+            kernel,
             grid=grid,
-            in_specs=[q_spec, kv_spec, kv_spec],
+            in_specs=[q_spec, kv_spec, kv_spec, *rope_specs],
             out_specs=out_spec,
             out_shape=out_shape,
             cost_estimate=cost,
             interpret=interpret,
-        )(q, k, v)
+        )(q, k, v, *rope_args)
 
     if bias.dtype == jnp.bool_:
         # boolean bias marks ALLOWED pairs (ops/attention.py contract);
@@ -411,12 +472,17 @@ def flash_attention(
         ),
         memory_space=pltpu.VMEM,
     )
+    kernel = (
+        functools.partial(_attn_rope_bias_kernel, scale=scale)
+        if rope_args
+        else functools.partial(_attn_bias_kernel, scale=scale)
+    )
     return pl.pallas_call(
-        functools.partial(_attn_bias_kernel, scale=scale),
+        kernel,
         grid=grid,
-        in_specs=[q_spec, kv_spec, kv_spec, b_spec],
+        in_specs=[q_spec, kv_spec, kv_spec, b_spec, *rope_specs],
         out_specs=out_spec,
         out_shape=out_shape,
         cost_estimate=cost,
         interpret=interpret,
-    )(q, k, v, bias)
+    )(q, k, v, bias, *rope_args)

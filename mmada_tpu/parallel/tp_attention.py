@@ -68,6 +68,8 @@ def tp_attention(
     softmax_dtype: jnp.dtype = jnp.float32,
     impl: str = "auto",
     batch_axes: Sequence[str] = (),
+    rope_sin: Optional[jax.Array] = None,  # (L, D) — q/k arrive UN-roped
+    rope_cos: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Head-sharded attention over `axis_name`. H and KVH must divide the
     axis size (GQA groups stay intact on one device so the kernel's
@@ -102,8 +104,13 @@ def tp_attention(
     else:
         bias_spec = P(b_ax if bias.shape[0] != 1 else None, axis_name, None, None)
 
-    def local(q_blk, k_blk, v_blk, *maybe_bias):
-        b = maybe_bias[0] if maybe_bias else None
+    has_rope = rope_sin is not None
+
+    def local(q_blk, k_blk, v_blk, *rest):
+        rest = list(rest)
+        b = rest.pop(0) if bias is not None else None
+        r_sin = rest.pop(0) if has_rope else None
+        r_cos = rest.pop(0) if has_rope else None
         # resolve 'auto' on the LOCAL shard shapes: inside shard_map the
         # partitioning is manual, so the multi-chip gate in
         # ops.attention._pallas_eligible must not apply
@@ -117,6 +124,7 @@ def tp_attention(
         return bidirectional_attention(
             q_blk, k_blk, v_blk, bias=b,
             softmax_dtype=softmax_dtype, impl=local_impl,
+            rope_sin=r_sin, rope_cos=r_cos,
         )
 
     in_specs = (head_spec, head_spec, head_spec)
@@ -124,6 +132,11 @@ def tp_attention(
     if bias is not None:
         in_specs = in_specs + (bias_spec,)
         args = args + (bias,)
+    if has_rope:
+        # the (L, D) tables are position-indexed — replicated across every
+        # head/batch shard
+        in_specs = in_specs + (P(None, None), P(None, None))
+        args = args + (rope_sin, rope_cos)
     fn = shard_map(
         local, mesh=mesh, in_specs=in_specs, out_specs=head_spec
     )

@@ -179,3 +179,56 @@ def test_staged_flash_bf16(rng):
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         atol=3e-2, rtol=3e-2,
     )
+
+
+# --------------------------------------------------------------- fused RoPE
+
+def _rope_tables(l, d):
+    from mmada_tpu.models.llada import rope_sin_cos
+
+    return rope_sin_cos(l, d, 500000.0)
+
+
+def test_flash_fused_rope_matches_unfused(rng):
+    from mmada_tpu.ops.attention import apply_rope
+
+    q, k, v = make_qkv(rng, 2, 4, 4, 256, 128)
+    sin, cos = _rope_tables(256, 128)
+    q_r, k_r = apply_rope(q, k, sin, cos)
+    want = flash_attention(q_r, k_r, v, block_q=128, interpret=True)
+    got = flash_attention(q, k, v, block_q=128, interpret=True,
+                          rope_sin=sin, rope_cos=cos)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_flash_fused_rope_gqa_bias_bf16(rng):
+    from mmada_tpu.ops.attention import apply_rope
+
+    b, h, kvh, l, d = 1, 4, 2, 256, 128
+    q, k, v = make_qkv(rng, b, h, kvh, l, d, jnp.bfloat16)
+    sin, cos = _rope_tables(l, d)
+    bias = jnp.asarray(rng.normal(size=(b, 1, l, l)), jnp.float32)
+    q_r, k_r = apply_rope(q, k, sin, cos)
+    want = flash_attention(q_r, k_r, v, bias=bias, block_q=128,
+                           interpret=True)
+    got = flash_attention(q, k, v, bias=bias, block_q=128, interpret=True,
+                          rope_sin=sin, rope_cos=cos)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=1e-3,  # 1 bf16 ulp: fp32 FMA contraction differs between the
+        # fused (in-kernel) and standalone rope, flipping rounding ties
+    )
+
+
+def test_dispatch_applies_rope_on_xla_fallback(rng):
+    """bidirectional_attention(rope_sin=...) must equal apply_rope-then-
+    attention on the non-Pallas path (what CPU and multi-device auto use)."""
+    from mmada_tpu.ops.attention import apply_rope, bidirectional_attention
+
+    q, k, v = make_qkv(rng, 2, 4, 4, 256, 128)
+    sin, cos = _rope_tables(256, 128)
+    q_r, k_r = apply_rope(q, k, sin, cos)
+    want = bidirectional_attention(q_r, k_r, v, impl="xla")
+    got = bidirectional_attention(q, k, v, impl="xla",
+                                  rope_sin=sin, rope_cos=cos)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0.0)
