@@ -123,7 +123,15 @@ def bidirectional_attention(
             # one-pass kernel's (block_q, L) score tile outgrows VMEM.
             # Online variant keeps K/V whole in VMEM (fine to ~16k); the
             # staged variant streams K/V AND bias per (block_q, block_k)
-            # tile, so biased or very long sequences are unbounded.
+            # tile, so biased or very long sequences are unbounded. These
+            # tiers still require 128-aligned L (the one-pass tier pads
+            # internally; long-context callers control their shapes).
+            if q.shape[2] % 128:
+                if has_rope:
+                    q, k = apply_rope(q, k, rope_sin, rope_cos)
+                return xla_attention(
+                    q, k, v, bias=bias, softmax_dtype=softmax_dtype
+                )
             if has_rope:
                 q, k = apply_rope(q, k, rope_sin, rope_cos)
             if bias is not None or q.shape[2] > 16384:
@@ -164,12 +172,14 @@ def _pallas_eligible(q, k, bias) -> bool:
 
 def _pallas_shape_eligible(q, k, bias) -> bool:
     """Tile-alignment checks only (no backend/topology gating) — for
-    callers that have already established a per-device context."""
+    callers that have already established a per-device context. Unaligned
+    sequence lengths are allowed up to the one-pass tier's 4096 limit (the
+    kernel pads internally and masks the padded keys); longer sequences
+    must be 128-aligned for the online/staged tiers."""
     seq_q, seq_k = q.shape[2], k.shape[2]
     head_dim = q.shape[-1]
-    return (
-        seq_q % 128 == 0
-        and seq_k % 128 == 0
-        and head_dim % 128 == 0
-        and seq_q >= 256
-    )
+    if seq_q != seq_k or head_dim % 128 or seq_q < 256:
+        return False
+    if seq_q > 4096:
+        return seq_q % 128 == 0
+    return True

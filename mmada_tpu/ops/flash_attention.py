@@ -43,8 +43,21 @@ def _rope_tile(x: jax.Array, sin: jax.Array, cos: jax.Array) -> jax.Array:
     return (xf * cos + rot * sin).astype(x.dtype)
 
 
+_NEG_F32 = float(jnp.finfo(jnp.float32).min)
+
+
+def _mask_padded_cols(s: jax.Array, valid_len) -> jax.Array:
+    """Mask key columns >= valid_len (sequence padded up to a 128 multiple).
+    Finite min instead of -inf so all-padded QUERY rows (discarded by the
+    caller's slice) stay NaN-free through the softmax."""
+    if valid_len is None or valid_len >= s.shape[-1]:
+        return s
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    return jnp.where(col < valid_len, s, _NEG_F32)
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
-                 rope_refs=()):
+                 rope_refs=(), valid_len=None):
     q_in = q_ref[0, 0]                             # (bq, D)
     k_in = k_ref[0, 0]                             # (L, D)
     if rope_refs:
@@ -57,6 +70,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale                                      # (bq, L)
+    s = _mask_padded_cols(s, valid_len)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     p = p / jnp.sum(p, axis=-1, keepdims=True)
@@ -65,13 +79,14 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
 
 
 def _attn_rope_kernel(q_ref, k_ref, v_ref, sq_ref, cq_ref, sk_ref, ck_ref,
-                      o_ref, *, scale: float):
+                      o_ref, *, scale: float, valid_len=None):
     _attn_kernel(q_ref, k_ref, v_ref, o_ref, scale=scale,
-                 rope_refs=(sq_ref, cq_ref, sk_ref, ck_ref))
+                 rope_refs=(sq_ref, cq_ref, sk_ref, ck_ref),
+                 valid_len=valid_len)
 
 
 def _attn_bias_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale: float,
-                      rope_refs=()):
+                      rope_refs=(), valid_len=None):
     q_in = q_ref[0, 0]
     k_in = k_ref[0, 0]
     if rope_refs:
@@ -85,6 +100,7 @@ def _attn_bias_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale: float,
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
     s = s + b_ref[0, 0].astype(jnp.float32)
+    s = _mask_padded_cols(s, valid_len)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     p = p / jnp.sum(p, axis=-1, keepdims=True)
@@ -93,9 +109,11 @@ def _attn_bias_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale: float,
 
 
 def _attn_rope_bias_kernel(q_ref, k_ref, v_ref, b_ref, sq_ref, cq_ref,
-                           sk_ref, ck_ref, o_ref, *, scale: float):
+                           sk_ref, ck_ref, o_ref, *, scale: float,
+                           valid_len=None):
     _attn_bias_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, scale=scale,
-                      rope_refs=(sq_ref, cq_ref, sk_ref, ck_ref))
+                      rope_refs=(sq_ref, cq_ref, sk_ref, ck_ref),
+                      valid_len=valid_len)
 
 
 def _fit_block(preferred: int, l: int) -> int:
@@ -390,14 +408,40 @@ def flash_attention(
     k: jax.Array,  # (B, KVH, L, D)
     v: jax.Array,  # (B, KVH, L, D)
     bias: Optional[jax.Array] = None,  # (B|1, 1|H, L, L) float32 additive
-    block_q: int = 256,
+    block_q: Optional[int] = None,
     interpret: bool = False,
     rope_sin: Optional[jax.Array] = None,  # (L, D) fp32 — fuse RoPE on q/k
     rope_cos: Optional[jax.Array] = None,
 ) -> jax.Array:
-    b, h, l, d = q.shape
+    if block_q is None:
+        # v5e sweep at flagship shapes (B8 H32 L1536 D128): 512 beats 256
+        # by ~9%; past ~2k the (block_q, L) fp32 score tile + rope tables
+        # start crowding VMEM, so fall back to 256
+        block_q = 512 if q.shape[2] <= 2048 else 256
+    b, h, l_in, d = q.shape
     kvh = k.shape[1]
     rep = h // kvh
+
+    # Unaligned sequence lengths (serving prompts are arbitrary): pad L up
+    # to the 128 tile, mask the padded KEY columns in-kernel (finite min),
+    # and slice the padded QUERY rows off the output. Semantics match the
+    # unpadded kernel exactly; without this every non-multiple-of-128
+    # sequence (e.g. the 1194-token MMU frame) lost the kernel AND the
+    # fused rope to the XLA fallback.
+    l = -(-l_in // 128) * 128
+    valid_len = l_in if l != l_in else None
+    if valid_len is not None:
+        pad = ((0, 0), (0, 0), (0, l - l_in), (0, 0))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+        if bias is not None:
+            bias = jnp.pad(
+                bias, ((0, 0), (0, 0), (0, l - l_in), (0, l - l_in)),
+                constant_values=True if bias.dtype == jnp.bool_ else 0.0,
+            )
+        if rope_sin is not None:
+            rope_sin = jnp.pad(rope_sin, ((0, l - l_in), (0, 0)))
+            rope_cos = jnp.pad(rope_cos, ((0, l - l_in), (0, 0)))
+
     block_q = _fit_block(block_q, l)
     scale = 1.0 / (d ** 0.5)
     grid = (b, h, l // block_q)
@@ -422,6 +466,9 @@ def flash_attention(
         transcendentals=b * h * l * l,
     )
 
+    def unpad(out):
+        return out[:, :, :l_in, :] if valid_len is not None else out
+
     rope_args: tuple = ()
     rope_specs: list = []
     if rope_sin is not None:
@@ -441,11 +488,15 @@ def flash_attention(
 
     if bias is None:
         kernel = (
-            functools.partial(_attn_rope_kernel, scale=scale)
+            functools.partial(
+                _attn_rope_kernel, scale=scale, valid_len=valid_len
+            )
             if rope_args
-            else functools.partial(_attn_kernel, scale=scale)
+            else functools.partial(
+                _attn_kernel, scale=scale, valid_len=valid_len
+            )
         )
-        return pl.pallas_call(
+        return unpad(pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[q_spec, kv_spec, kv_spec, *rope_specs],
@@ -453,7 +504,7 @@ def flash_attention(
             out_shape=out_shape,
             cost_estimate=cost,
             interpret=interpret,
-        )(q, k, v, *rope_args)
+        )(q, k, v, *rope_args))
 
     if bias.dtype == jnp.bool_:
         # boolean bias marks ALLOWED pairs (ops/attention.py contract);
@@ -473,11 +524,15 @@ def flash_attention(
         memory_space=pltpu.VMEM,
     )
     kernel = (
-        functools.partial(_attn_rope_bias_kernel, scale=scale)
+        functools.partial(
+            _attn_rope_bias_kernel, scale=scale, valid_len=valid_len
+        )
         if rope_args
-        else functools.partial(_attn_bias_kernel, scale=scale)
+        else functools.partial(
+            _attn_bias_kernel, scale=scale, valid_len=valid_len
+        )
     )
-    return pl.pallas_call(
+    return unpad(pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[q_spec, kv_spec, kv_spec, b_spec, *rope_specs],
@@ -485,4 +540,4 @@ def flash_attention(
         out_shape=out_shape,
         cost_estimate=cost,
         interpret=interpret,
-    )(q, k, v, bias, *rope_args)
+    )(q, k, v, bias, *rope_args))

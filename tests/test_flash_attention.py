@@ -64,10 +64,14 @@ def test_flash_bfloat16(rng):
     )
 
 
-def test_flash_rejects_ragged_seq(rng):
+def test_flash_ragged_seq_pads_and_matches(rng):
+    # previously rejected; the kernel now pads unaligned L internally and
+    # masks the padded keys
     q, k, v = make_qkv(rng, 1, 2, 2, 100, 64)
-    with pytest.raises(ValueError):
-        flash_attention(q, k, v, block_q=64, interpret=True)
+    want = xla_attention(q, k, v)
+    got = flash_attention(q, k, v, block_q=64, interpret=True)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
 def test_online_flash_matches_xla(rng):
@@ -232,3 +236,39 @@ def test_dispatch_applies_rope_on_xla_fallback(rng):
     got = bidirectional_attention(q, k, v, impl="xla",
                                   rope_sin=sin, rope_cos=cos)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0.0)
+
+
+# ------------------------------------------------------- unaligned lengths
+
+@pytest.mark.parametrize("l", [300, 1194])
+def test_flash_unaligned_length_matches_xla(rng, l):
+    """Serving prompts are arbitrary lengths (the MMU frame is 1194): the
+    one-pass kernel pads to the 128 tile and masks padded keys."""
+    q, k, v = make_qkv(rng, 2, 4, 4, l, 128)
+    want = xla_attention(q, k, v)
+    got = flash_attention(q, k, v, interpret=True)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_flash_unaligned_with_rope_and_bias(rng):
+    from mmada_tpu.ops.attention import apply_rope
+
+    l = 1194
+    q, k, v = make_qkv(rng, 1, 2, 2, l, 128)
+    sin, cos = _rope_tables(l, 128)
+    bias = jnp.asarray(rng.normal(size=(1, 1, l, l)), jnp.float32)
+    q_r, k_r = apply_rope(q, k, sin, cos)
+    want = xla_attention(q_r, k_r, v, bias=bias)
+    got = flash_attention(q, k, v, bias=bias, interpret=True,
+                          rope_sin=sin, rope_cos=cos)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+
+
+def test_flash_unaligned_bool_bias(rng):
+    l = 300
+    q, k, v = make_qkv(rng, 1, 2, 2, l, 128)
+    allowed = jnp.asarray(rng.random((1, 1, l, l)) > 0.1)
+    want = xla_attention(q, k, v, bias=allowed)
+    got = flash_attention(q, k, v, bias=allowed, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
