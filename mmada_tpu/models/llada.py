@@ -483,11 +483,17 @@ def forward(
 
     if logit_positions is not None:
         # denoise loops only consume a contiguous span's logits (the image /
-        # motion window): slice the hidden states BEFORE the final norm and
-        # vocab-head matmul, skipping their FLOPs and HBM traffic for the
-        # prompt positions (~L_prompt/L of the head cost)
+        # motion window, or the semi-AR current block): slice the hidden
+        # states BEFORE the final norm and vocab-head matmul, skipping their
+        # FLOPs and HBM traffic for the positions outside the span. Static
+        # form: (start, stop) Python ints = [start, stop). Dynamic form: a
+        # TRACED start with a static LENGTH — (start_array, length) — for
+        # spans that move inside a scan (the semi-AR block loop).
         p_start, p_stop = logit_positions
-        x = x[:, p_start:p_stop]
+        if isinstance(p_start, jax.Array):
+            x = jax.lax.dynamic_slice_in_dim(x, p_start, p_stop, axis=1)
+        else:
+            x = x[:, p_start:p_stop]
 
     x = _norm(cfg, x, params["ln_f"])
 

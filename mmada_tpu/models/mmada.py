@@ -43,8 +43,10 @@ def _early_stop_block(model, x, prompt_index, block_end, step_keys,
     constants) and `block_end` is traced, so all blocks of all
     `mmu_generate_fast` calls share a single executable."""
     return text_sampling.run_block_eager(
-        model._text_forward_fn(), block_cfg, x, prompt_index, block_end,
-        step_keys, transfers,
+        block_cfg, x, prompt_index, block_end, step_keys, transfers,
+        window_forward_fn=model._text_window_forward_fn(
+            block_cfg.block_length
+        ),
     )
 
 
@@ -127,6 +129,20 @@ class MMadaModel:
             return self.forward(tokens)
         return fn
 
+    def _text_window_forward_fn(self, block_length: int):
+        """Semi-AR block-windowed forward: the vocab head (full 134k width
+        — text steps may emit any fused-vocab id, reference semantics) runs
+        only over the active block's positions. The pipeline path's head
+        has no dynamic-position support; it slices full logits instead."""
+        if self.pipeline_axis is not None:
+            return text_sampling.as_window_forward_fn(
+                self._text_forward_fn(), block_length
+            )
+
+        def fn(tokens, start):
+            return self.forward(tokens, logit_positions=(start, block_length))
+        return fn
+
     def _window_forward_fn(self, num_tokens: int, window: tuple[int, int]):
         def fn(tokens, attention_mask):
             # vocab AND position windows: the head matmul runs only over the
@@ -147,7 +163,10 @@ class MMadaModel:
             temperature=temperature, cfg_scale=cfg_scale, remasking=remasking,
             mask_id=self.vocab.mask_token_id,
         )
-        return text_sampling.generate(self._text_forward_fn(), prompt, scfg, key=key)
+        return text_sampling.generate(
+            None, prompt, scfg, key=key,
+            window_forward_fn=self._text_window_forward_fn(block_length),
+        )
 
     def generate_stepwise(self, prompt, gen_length=128, steps=128,
                           block_length=128, temperature=0.0, cfg_scale=0.0,
@@ -160,7 +179,8 @@ class MMadaModel:
             mask_id=self.vocab.mask_token_id,
         )
         return text_sampling.generate_stepwise(
-            self._text_forward_fn(), prompt, scfg, key=key
+            None, prompt, scfg, key=key,
+            window_forward_fn=self._text_window_forward_fn(block_length),
         )
 
     def mmu_generate(self, input_ids, max_new_tokens=128, steps=128,
@@ -194,7 +214,7 @@ class MMadaModel:
             )
 
         return text_sampling.generate_with_early_stop(
-            self._text_forward_fn(), input_ids, scfg, eot_token, key=key,
+            None, input_ids, scfg, eot_token, key=key,
             run_block=run_block,
         )
 

@@ -40,6 +40,26 @@ from mmada_tpu.sampling.gumbel import (
 
 ForwardFn = Callable[[jax.Array], jax.Array]  # tokens (B, L) -> logits (B, L, V)
 
+# (tokens (B, L), span_start traced int) -> logits (B, block_length, V):
+# the model evaluates its vocab head ONLY over the current block's
+# positions (llada.forward logit_positions dynamic form). Semi-AR steps
+# never consume logits outside the active block — positions beyond it are
+# frozen and earlier blocks are fully committed — so restricting the head
+# is exact, and it skips ~(1 - block/L) of the 134k-row head matmul AND
+# the (B, L, V) fp32 logits materialization (643 MB/step at MMU shapes).
+WindowForwardFn = Callable[[jax.Array, jax.Array], jax.Array]
+
+
+def as_window_forward_fn(forward_fn: ForwardFn, block_length: int) -> WindowForwardFn:
+    """Adapt a full-logits forward to the windowed contract (for callers
+    without head-position support — computes full logits, then slices)."""
+
+    def wfn(tokens, start):
+        logits = forward_fn(tokens)
+        return jax.lax.dynamic_slice_in_dim(logits, start, block_length, axis=1)
+
+    return wfn
+
 
 def num_transfer_schedule(mask_counts: jax.Array, steps: int) -> jax.Array:
     """(B,) masked counts -> (B, steps) per-step commit counts: uniform split
@@ -80,21 +100,35 @@ def _denoise_step(
     x: jax.Array,              # (B, L) current tokens
     key: Optional[jax.Array],
     num_transfer: jax.Array,   # (B,) commits this step
-    forward_fn: ForwardFn,
+    window_forward_fn: WindowForwardFn,
     prompt_index: jax.Array,   # (B, L) bool — original non-mask positions
-    block_end: int,            # positions >= block_end stay frozen
+    block_end,                 # int or traced scalar — end of active block
     cfg: SemiARConfig,
 ) -> jax.Array:
-    mask_index = x == cfg.mask_id
+    """One denoise step, computed block-restricted.
+
+    Equivalent to the reference's full-sequence step (generate.py:88-110):
+    positions >= block_end are frozen (the reference sets their confidence
+    to -inf) and positions before the block are fully committed by the
+    transfer schedule, so only the active block's logits can ever change
+    `x`. Restricting candidate/confidence/top-k to the block is therefore
+    exact — and lets the model skip the vocab head outside the block."""
+    b = x.shape[0]
+    blk = cfg.block_length
+    block_start = block_end - blk
+    x_blk = jax.lax.dynamic_slice(x, (0, block_start), (b, blk))
+    mask_blk = x_blk == cfg.mask_id
 
     if cfg.cfg_scale > 0.0:
         un_x = jnp.where(prompt_index, cfg.mask_id, x)
-        logits2 = forward_fn(jnp.concatenate([x, un_x], axis=0))
+        logits2 = window_forward_fn(
+            jnp.concatenate([x, un_x], axis=0), block_start
+        )
         cond, uncond = jnp.split(logits2, 2, axis=0)
         logits = uncond + (cfg.cfg_scale + 1.0) * (cond - uncond)
     else:
-        logits = forward_fn(x)
-    logits = logits.astype(jnp.float32)
+        logits = window_forward_fn(x, block_start)
+    logits = logits.astype(jnp.float32)           # (B, blk, V)
 
     if key is not None:
         key_tok, key_conf = jax.random.split(key)
@@ -106,22 +140,19 @@ def _denoise_step(
     if cfg.remasking == "low_confidence":
         x0_p = confidence_of(logits, x0)
     elif cfg.remasking == "random":
-        x0_p = jax.random.uniform(key_conf, x.shape, jnp.float32)
+        x0_p = jax.random.uniform(key_conf, x_blk.shape, jnp.float32)
     else:
         raise ValueError(
             f"unknown remasking {cfg.remasking!r}; "
             "expected 'low_confidence' or 'random'"
         )
 
-    # Freeze everything beyond the current block.
-    pos = jnp.arange(x.shape[1])
-    x0_p = jnp.where(pos[None, :] >= block_end, NEG_INF, x0_p)
-
-    x0 = jnp.where(mask_index, x0, x)
-    confidence = jnp.where(mask_index, x0_p, NEG_INF)
+    x0 = jnp.where(mask_blk, x0, x_blk)
+    confidence = jnp.where(mask_blk, x0_p, NEG_INF)
 
     transfer = select_top_k_dynamic(confidence, num_transfer)
-    return jnp.where(transfer, x0, x)
+    new_blk = jnp.where(transfer, x0, x_blk)
+    return jax.lax.dynamic_update_slice(x, new_blk, (0, block_start))
 
 
 def _block_key_schedule(key, num_blocks: int, spb: int):
@@ -137,11 +168,12 @@ def _block_key_schedule(key, num_blocks: int, spb: int):
 
 
 def _generate_scan(
-    forward_fn: ForwardFn,
+    forward_fn: Optional[ForwardFn],
     prompt: jax.Array,  # (B, P) int32 — no masks inside
     cfg: SemiARConfig,
     key: Optional[jax.Array],
     collect_states: bool,
+    window_forward_fn: Optional[WindowForwardFn] = None,
 ):
     """Shared nested-scan driver: outer `lax.scan` over blocks, inner over
     denoise steps. One traced block body regardless of `num_blocks` — the
@@ -149,6 +181,8 @@ def _generate_scan(
     XLA program size (and remote-compile time on a tunneled chip) by
     `num_blocks` for identical code."""
     b, p = prompt.shape
+    if window_forward_fn is None:
+        window_forward_fn = as_window_forward_fn(forward_fn, cfg.block_length)
     x = jnp.concatenate(
         [
             prompt.astype(jnp.int32),
@@ -184,7 +218,7 @@ def _generate_scan(
                 carry,
                 step_key if needs_key else None,
                 n_transfer,
-                forward_fn,
+                window_forward_fn,
                 prompt_index,
                 block_end,
                 cfg,
@@ -200,22 +234,31 @@ def _generate_scan(
 
 
 def generate(
-    forward_fn: ForwardFn,
+    forward_fn: Optional[ForwardFn],
     prompt: jax.Array,  # (B, P) int32 — no masks inside
     cfg: SemiARConfig,
     key: Optional[jax.Array] = None,
+    window_forward_fn: Optional[WindowForwardFn] = None,
 ) -> jax.Array:
     """Generate `(B, P + gen_length)` tokens. Deterministic at T=0 with
-    'low_confidence' remasking (the golden-parity configuration)."""
-    x, _ = _generate_scan(forward_fn, prompt, cfg, key, collect_states=False)
+    'low_confidence' remasking (the golden-parity configuration).
+
+    Pass `window_forward_fn` (position-windowed head) to skip the vocab
+    head outside the active block — exact, and the big batch-1 latency
+    lever; `forward_fn` alone still works (full head, sliced after)."""
+    x, _ = _generate_scan(
+        forward_fn, prompt, cfg, key, collect_states=False,
+        window_forward_fn=window_forward_fn,
+    )
     return x
 
 
 def generate_stepwise(
-    forward_fn: ForwardFn,
+    forward_fn: Optional[ForwardFn],
     prompt: jax.Array,  # (B, P)
     cfg: SemiARConfig,
     key: Optional[jax.Array] = None,
+    window_forward_fn: Optional[WindowForwardFn] = None,
 ) -> jax.Array:
     """Like `generate`, but returns the full denoising trajectory
     `(steps, B, P + gen_length)` — the token state after every step. Powers
@@ -223,20 +266,24 @@ def generate_stepwise(
     MASK/GEN token states, app.py:116-165). The trajectory comes out of the
     scans' stacked outputs, so it is still one XLA program; the final row
     equals `generate`'s output exactly."""
-    _, states = _generate_scan(forward_fn, prompt, cfg, key, collect_states=True)
+    _, states = _generate_scan(
+        forward_fn, prompt, cfg, key, collect_states=True,
+        window_forward_fn=window_forward_fn,
+    )
     # (num_blocks, spb, B, L) -> (steps, B, L), block-major like the old
     # per-block concatenation
     return states.reshape((-1,) + states.shape[2:])
 
 
 def run_block_eager(
-    forward_fn: ForwardFn,
     cfg: SemiARConfig,
     x: jax.Array,
     prompt_index: jax.Array,
     block_end: jax.Array,
     step_keys: jax.Array,
     transfers: jax.Array,
+    *,
+    window_forward_fn: WindowForwardFn,
 ) -> jax.Array:
     """One block of denoise steps as an eager `lax.scan`. `block_end` is a
     TRACED scalar so every block produces the same jaxpr. Callers that can
@@ -252,7 +299,7 @@ def run_block_eager(
                 carry,
                 step_key if needs_key else None,
                 n_transfer,
-                forward_fn,
+                window_forward_fn,
                 prompt_index,
                 block_end,
                 cfg,
@@ -265,12 +312,13 @@ def run_block_eager(
 
 
 def generate_with_early_stop(
-    forward_fn: ForwardFn,
+    forward_fn: Optional[ForwardFn],
     prompt: jax.Array,
     cfg: SemiARConfig,
     eot_token: int,
     key: Optional[jax.Array] = None,
     run_block: Optional[Callable] = None,
+    window_forward_fn: Optional[WindowForwardFn] = None,
 ) -> jax.Array:
     """`mmu_generate_fast` analog (modeling_mmada.py:484-556): after each
     block, stop if every row's block ends with EOT. The per-block scan stays
@@ -302,7 +350,13 @@ def generate_with_early_stop(
         # fallback: eager scan per block. NOT jax.jit — forward_fn closes
         # over model params, and jit would lower them as module constants
         # (pathological with remote compilation).
-        run_block = partial(run_block_eager, forward_fn)
+        if window_forward_fn is None:
+            window_forward_fn = as_window_forward_fn(
+                forward_fn, cfg.block_length
+            )
+        run_block = partial(
+            run_block_eager, window_forward_fn=window_forward_fn
+        )
 
     for block in range(cfg.num_blocks):
         block_start = p + block * cfg.block_length
