@@ -38,6 +38,7 @@ from mmada_tpu.ops.attention import (
     _rotate_half,  # noqa: F401  (re-export: pre-refactor API location)
     apply_rope,
     bidirectional_attention,
+    xla_attention,
 )
 from mmada_tpu.ops.quantization import QuantizedTensor, W8A8Tensor, maybe_matmul
 from mmada_tpu.ops.norms import layer_norm, rms_norm
@@ -323,22 +324,11 @@ def _dispatch_attention(
     )
 
 
-def _block(
-    cfg: LLaDAConfig,
-    policy: Policy,
-    x: jax.Array,          # (B, L, D)
-    lp: Params,            # one layer's params (no leading layer axis)
-    bias: Optional[jax.Array],
-    sin: jax.Array,
-    cos: jax.Array,
-    attn_impl: str,
-    mesh=None,
-    tp_axis: str = "tensor",
-) -> jax.Array:
-    b, l, d = x.shape
+def _qkv(cfg: LLaDAConfig, lp: Params, h: jax.Array):
+    """Project normed hidden states to per-head q/k/v `(B, H, L, D)`
+    (un-roped). Shared by the full forward and the KV-cached block step."""
+    b, l, d = h.shape
     nh, kvh, hd = cfg.n_heads, cfg.effective_n_kv_heads, cfg.head_dim
-
-    h = _norm(cfg, x, lp.get("attn_norm"))
     if cfg.block_type == "llama":
         q = maybe_matmul(h, lp["q_proj"])
         k = maybe_matmul(h, lp["k_proj"])
@@ -359,8 +349,48 @@ def _block(
     q = q.reshape(b, l, nh, hd).transpose(0, 2, 1, 3)
     k = k.reshape(b, l, kvh, hd).transpose(0, 2, 1, 3)
     v = v.reshape(b, l, kvh, hd).transpose(0, 2, 1, 3)
+    return q, k, v
 
-    if cfg.rope_full_precision:
+
+def _mlp(cfg: LLaDAConfig, lp: Params, x: jax.Array) -> jax.Array:
+    h = _norm(cfg, x, lp.get("ff_norm"))
+    if cfg.block_type == "llama":
+        # act(ff_proj(h)) * up_proj(h) — llama-style gated MLP
+        # (modeling_llada.py:924-930: ff_proj is the gate input).
+        h = _activation(cfg, maybe_matmul(h, lp["ff_proj"])) * maybe_matmul(h, lp["up_proj"])
+    else:
+        h = _activation(cfg, maybe_matmul(h, lp["ff_proj"]))
+    return x + maybe_matmul(h, lp["ff_out"])
+
+
+def _block(
+    cfg: LLaDAConfig,
+    policy: Policy,
+    x: jax.Array,          # (B, L, D)
+    lp: Params,            # one layer's params (no leading layer axis)
+    bias: Optional[jax.Array],
+    sin: jax.Array,
+    cos: jax.Array,
+    attn_impl: str,
+    mesh=None,
+    tp_axis: str = "tensor",
+    return_kv: bool = False,
+):
+    b, l, d = x.shape
+
+    h = _norm(cfg, x, lp.get("attn_norm"))
+    q, k, v = _qkv(cfg, lp, h)
+
+    kv = None
+    if return_kv:
+        # capture pass for the block-cached decode: rope must be applied
+        # here (not fused into the kernel) so the cached K is post-rope
+        q, k = apply_rope(q, k, sin, cos, full_precision=cfg.rope_full_precision)
+        att = _dispatch_attention(
+            q, k, v, bias, policy.softmax_dtype, attn_impl, mesh, tp_axis
+        )
+        kv = (k, v)
+    elif cfg.rope_full_precision:
         # rope rides into the attention dispatch: the Pallas one-pass kernel
         # rotates q/k tiles in VMEM (fp32), other paths run apply_rope
         att = _dispatch_attention(
@@ -374,16 +404,8 @@ def _block(
         )
     att = att.transpose(0, 2, 1, 3).reshape(b, l, d)
     x = x + maybe_matmul(att, lp["attn_out"])
-
-    h = _norm(cfg, x, lp.get("ff_norm"))
-    if cfg.block_type == "llama":
-        # act(ff_proj(h)) * up_proj(h) — llama-style gated MLP
-        # (modeling_llada.py:924-930: ff_proj is the gate input).
-        h = _activation(cfg, maybe_matmul(h, lp["ff_proj"])) * maybe_matmul(h, lp["up_proj"])
-    else:
-        h = _activation(cfg, maybe_matmul(h, lp["ff_proj"]))
-    x = x + maybe_matmul(h, lp["ff_out"])
-    return x
+    x = _mlp(cfg, lp, x)
+    return (x, kv) if return_kv else x
 
 
 def prepare_attention_bias(
@@ -496,7 +518,20 @@ def forward(
             x = x[:, p_start:p_stop]
 
     x = _norm(cfg, x, params["ln_f"])
+    logits = _head(params, cfg, x, logit_window, policy)
 
+    if output_hidden_states:
+        return logits, hidden
+    return logits
+
+
+def _head(
+    params: Params,
+    cfg: LLaDAConfig,
+    x: jax.Array,                                # normed hidden (B, L', D)
+    logit_window: Optional[tuple[int, int]],
+    policy: Policy,
+) -> jax.Array:
     head = params["wte"].T if cfg.weight_tying else params["ff_out"]
     if isinstance(head, (QuantizedTensor, W8A8Tensor)):
         if logit_window is not None:
@@ -513,10 +548,111 @@ def forward(
         logits = (x @ head.astype(x.dtype)).astype(policy.logits_dtype)
     if cfg.scale_logits:
         logits = logits * (1.0 / math.sqrt(cfg.d_model))
-
-    if output_hidden_states:
-        return logits, hidden
     return logits
+
+
+# --------------------------------------------------------------------------
+# Block-cached decode (Fast-dLLM-style DualCache for semi-AR sampling)
+# --------------------------------------------------------------------------
+
+def forward_kv_capture(
+    params: Params,
+    cfg: LLaDAConfig,
+    input_ids: jax.Array,          # (B, L) int32
+    policy: Policy = FP32,
+    remat: bool = False,
+    attn_impl: str = "auto",
+    mesh=None,
+    tp_axis: str = "tensor",
+):
+    """Run the backbone over the full sequence and return per-layer
+    post-RoPE K and V — `(k, v)`, each `(n_layers, B, kv_heads, L, head_dim)`
+    in the compute dtype. No vocab head (that is the expensive 134k-row
+    matmul the cached decode avoids re-running outside the block).
+
+    Cache semantics: a semi-AR sampler captures this once per BLOCK, then
+    runs `forward_kv_step` per denoise step with only the active block's
+    tokens as queries. Out-of-block K/V are frozen within a block — exact
+    for the suffix (still all [MASK]) and for committed earlier blocks
+    (tokens unchanged), approximate for their attention *responses* to the
+    block's intermediate commits. The no-bias (checkpoint-faithful)
+    attention path only.
+    """
+    x = params["wte"][input_ids].astype(policy.compute_dtype)
+    if cfg.input_emb_norm:
+        x = x * math.sqrt(cfg.d_model)
+    sin, cos = rope_sin_cos(x.shape[1], cfg.head_dim, cfg.rope_theta)
+
+    def body(carry, lp):
+        h, kv = _block(
+            cfg, policy, carry, lp, None, sin, cos, attn_impl,
+            mesh=mesh, tp_axis=tp_axis, return_kv=True,
+        )
+        return h, kv
+
+    if remat:
+        body = jax.checkpoint(body, prevent_cse=False)
+
+    _, (k_cache, v_cache) = jax.lax.scan(body, x, params["blocks"])
+    return k_cache, v_cache
+
+
+def forward_kv_step(
+    params: Params,
+    cfg: LLaDAConfig,
+    block_ids: jax.Array,          # (B, blk) int32 — the active block only
+    kv_cache,                      # from forward_kv_capture (same B)
+    block_start: jax.Array,        # traced scalar — block offset in the seq
+    policy: Policy = FP32,
+    logit_window: Optional[tuple[int, int]] = None,
+) -> jax.Array:
+    """Forward ONLY the active block's tokens against cached K/V.
+
+    Per layer: q/k/v are computed for the block's `blk` positions (RoPE at
+    their absolute offsets), the fresh block K/V overwrite their slice of
+    the cache, and the block's queries attend to the FULL sequence through
+    the result — rectangular attention `(blk queries × L keys)` via the XLA
+    einsum path (GSPMD-friendly; q_len ≠ kv_len is outside the Pallas
+    kernels' square tiling). MLP, final norm, and the vocab head run over
+    the block positions only. Returns `(B, blk, V|window)` logits.
+
+    Cost per step ≈ blk/L of the dense forward + O(blk·L) attention,
+    instead of the full O(L) forward the uncached sampler pays."""
+    k_cache, v_cache = kv_cache
+    seq_len = k_cache.shape[3]
+    blk = block_ids.shape[1]
+
+    x = params["wte"][block_ids].astype(policy.compute_dtype)
+    if cfg.input_emb_norm:
+        x = x * math.sqrt(cfg.d_model)
+
+    sin, cos = rope_sin_cos(seq_len, cfg.head_dim, cfg.rope_theta)
+    sin_blk = jax.lax.dynamic_slice_in_dim(sin, block_start, blk, axis=0)
+    cos_blk = jax.lax.dynamic_slice_in_dim(cos, block_start, blk, axis=0)
+
+    def body(carry, xs):
+        lp, kc, vc = xs
+        h = _norm(cfg, carry, lp.get("attn_norm"))
+        q, k, v = _qkv(cfg, lp, h)
+        q, k = apply_rope(
+            q, k, sin_blk, cos_blk, full_precision=cfg.rope_full_precision
+        )
+        k_full = jax.lax.dynamic_update_slice_in_dim(
+            kc, k.astype(kc.dtype), block_start, axis=2
+        )
+        v_full = jax.lax.dynamic_update_slice_in_dim(
+            vc, v.astype(vc.dtype), block_start, axis=2
+        )
+        att = xla_attention(
+            q, k_full, v_full, softmax_dtype=policy.softmax_dtype
+        )
+        att = att.transpose(0, 2, 1, 3).reshape(carry.shape)
+        h2 = carry + maybe_matmul(att, lp["attn_out"])
+        return _mlp(cfg, lp, h2), None
+
+    x, _ = jax.lax.scan(body, x, (params["blocks"], k_cache, v_cache))
+    x = _norm(cfg, x, params["ln_f"])
+    return _head(params, cfg, x, logit_window, policy)
 
 
 def param_count(params: Params) -> int:

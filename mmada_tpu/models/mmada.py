@@ -35,13 +35,18 @@ from mmada_tpu.sampling import text as text_sampling
 from mmada_tpu.sampling.schedules import cosine_schedule
 
 
-@functools.partial(jax.jit, static_argnames=("block_cfg",))
+@functools.partial(jax.jit, static_argnames=("block_cfg", "kv_cached"))
 def _early_stop_block(model, x, prompt_index, block_end, step_keys,
-                      transfers, block_cfg):
+                      transfers, block_cfg, kv_cached=False):
     """One early-stop denoise block, jitted once per (shape, settings):
     `model` is a pytree argument (weights stay runtime args, never HLO
     constants) and `block_end` is traced, so all blocks of all
     `mmu_generate_fast` calls share a single executable."""
+    if kv_cached:
+        return text_sampling.run_block_eager(
+            block_cfg, x, prompt_index, block_end, step_keys, transfers,
+            cache_fns=model._text_cache_fns(),
+        )
     return text_sampling.run_block_eager(
         block_cfg, x, prompt_index, block_end, step_keys, transfers,
         window_forward_fn=model._text_window_forward_fn(
@@ -143,6 +148,37 @@ class MMadaModel:
             return self.forward(tokens, logit_positions=(start, block_length))
         return fn
 
+    def _text_cache_fns(self):
+        """Block-KV-cached decode fns (Fast-dLLM-style DualCache, see
+        llada.forward_kv_capture/forward_kv_step): capture full-sequence
+        per-layer K/V once per block, then forward only the block's tokens
+        per denoise step. APPROXIMATE (out-of-block K/V frozen within a
+        block; exact at steps_per_block=1) — opt-in via the samplers'
+        `block_kv_cache=True`."""
+        if self.pipeline_axis is not None:
+            raise ValueError(
+                "block_kv_cache is not supported under pipeline serving"
+            )
+        if self.cfg.attention_bias_enabled:
+            raise ValueError(
+                "block_kv_cache supports only the no-bias "
+                "(checkpoint-faithful) attention path"
+            )
+
+        def capture(tokens):
+            return llada.forward_kv_capture(
+                self.params, self.cfg, tokens, policy=self.policy,
+                attn_impl=self.attn_impl, mesh=self.mesh,
+            )
+
+        def step(block_tokens, kv, block_start):
+            return llada.forward_kv_step(
+                self.params, self.cfg, block_tokens, kv, block_start,
+                policy=self.policy,
+            )
+
+        return capture, step
+
     def _window_forward_fn(self, num_tokens: int, window: tuple[int, int]):
         def fn(tokens, attention_mask):
             # vocab AND position windows: the head matmul runs only over the
@@ -157,12 +193,19 @@ class MMadaModel:
     # ---------------------------------------------------------------- text
     def generate(self, prompt, gen_length=128, steps=128, block_length=128,
                  temperature=0.0, cfg_scale=0.0, remasking="low_confidence",
-                 key=None):
+                 key=None, block_kv_cache=False):
+        """`block_kv_cache=True` switches to the approximate block-cached
+        decode (per-step forwards touch only the active block — the big
+        long-prompt latency lever; see `_text_cache_fns`)."""
         scfg = text_sampling.SemiARConfig(
             gen_length=gen_length, steps=steps, block_length=block_length,
             temperature=temperature, cfg_scale=cfg_scale, remasking=remasking,
             mask_id=self.vocab.mask_token_id,
         )
+        if block_kv_cache:
+            return text_sampling.generate(
+                None, prompt, scfg, key=key, cache_fns=self._text_cache_fns()
+            )
         return text_sampling.generate(
             None, prompt, scfg, key=key,
             window_forward_fn=self._text_window_forward_fn(block_length),
@@ -170,7 +213,8 @@ class MMadaModel:
 
     def generate_stepwise(self, prompt, gen_length=128, steps=128,
                           block_length=128, temperature=0.0, cfg_scale=0.0,
-                          remasking="low_confidence", key=None):
+                          remasking="low_confidence", key=None,
+                          block_kv_cache=False):
         """Full denoising trajectory (steps, B, P+gen_length) for per-step
         streaming visualization (reference app.py:116-165)."""
         scfg = text_sampling.SemiARConfig(
@@ -178,6 +222,10 @@ class MMadaModel:
             temperature=temperature, cfg_scale=cfg_scale, remasking=remasking,
             mask_id=self.vocab.mask_token_id,
         )
+        if block_kv_cache:
+            return text_sampling.generate_stepwise(
+                None, prompt, scfg, key=key, cache_fns=self._text_cache_fns()
+            )
         return text_sampling.generate_stepwise(
             None, prompt, scfg, key=key,
             window_forward_fn=self._text_window_forward_fn(block_length),
@@ -185,22 +233,26 @@ class MMadaModel:
 
     def mmu_generate(self, input_ids, max_new_tokens=128, steps=128,
                      block_length=128, temperature=0.0, cfg_scale=0.0,
-                     remasking="low_confidence", key=None):
+                     remasking="low_confidence", key=None,
+                     block_kv_cache=False):
         """Identical denoiser; prompt already contains the <|mmu|> image frame."""
         return self.generate(
             input_ids, gen_length=max_new_tokens, steps=steps,
             block_length=block_length, temperature=temperature,
             cfg_scale=cfg_scale, remasking=remasking, key=key,
+            block_kv_cache=block_kv_cache,
         )
 
     def mmu_generate_fast(self, input_ids, eot_token: int, max_new_tokens=128,
                           steps=128, block_length=128, temperature=0.0,
-                          cfg_scale=0.0, key=None):
+                          cfg_scale=0.0, key=None, block_kv_cache=False):
         scfg = text_sampling.SemiARConfig(
             gen_length=max_new_tokens, steps=steps, block_length=block_length,
             temperature=temperature, cfg_scale=cfg_scale,
             mask_id=self.vocab.mask_token_id,
         )
+        if block_kv_cache:
+            self._text_cache_fns()  # raise early on unsupported configs
 
         # model passes as a jit ARGUMENT through the module-level runner:
         # `block_end` is traced, so one executable serves every block of
@@ -210,7 +262,7 @@ class MMadaModel:
                       transfers):
             return _early_stop_block(
                 self, x, prompt_index, block_end, step_keys, transfers,
-                block_cfg,
+                block_cfg, kv_cached=block_kv_cache,
             )
 
         return text_sampling.generate_with_early_stop(

@@ -61,6 +61,65 @@ def as_window_forward_fn(forward_fn: ForwardFn, block_length: int) -> WindowForw
     return wfn
 
 
+# Block-KV-cache contract (Fast-dLLM-style DualCache; arXiv 2505.22618's
+# pattern, built here on llada.forward_kv_capture / forward_kv_step):
+#   CaptureFn: tokens (B, L) -> opaque per-layer KV pytree, run ONCE per
+#     block on the full sequence;
+#   CachedStepFn: (block_tokens (B, blk), kv, block_start) -> (B, blk, V)
+#     logits, run per denoise step over only the block's positions.
+# Out-of-block K/V are frozen within a block, so cached sampling is an
+# APPROXIMATION of the exact sampler (exact when steps_per_block == 1);
+# callers opt in explicitly (MMadaModel.generate(block_kv_cache=True)).
+CaptureFn = Callable[[jax.Array], object]
+CachedStepFn = Callable[[jax.Array, object, jax.Array], jax.Array]
+
+
+def _windowed_block_logits_fn(cfg: "SemiARConfig", window_forward_fn,
+                              prompt_index):
+    """Exact mode: every step runs the full-sequence forward (block-windowed
+    head). CFG doubles the batch with the prompt re-masked (generate.py:80-86)."""
+
+    def fn(x, x_blk, block_start):
+        if cfg.cfg_scale > 0.0:
+            un_x = jnp.where(prompt_index, cfg.mask_id, x)
+            logits2 = window_forward_fn(
+                jnp.concatenate([x, un_x], axis=0), block_start
+            )
+            cond, uncond = jnp.split(logits2, 2, axis=0)
+            return uncond + (cfg.cfg_scale + 1.0) * (cond - uncond)
+        return window_forward_fn(x, block_start)
+
+    return fn
+
+
+def _cached_block_logits_fn(cfg: "SemiARConfig", step_fn: CachedStepFn, kv):
+    """Cached mode: per-step forward touches only the block's tokens. For
+    CFG the capture already ran on [x; un_x] (doubled batch), and the
+    uncond row's block slice equals x's (prompt positions never lie inside
+    the generation region), so the step just doubles x_blk."""
+
+    def fn(x, x_blk, block_start):
+        if cfg.cfg_scale > 0.0:
+            logits2 = step_fn(
+                jnp.concatenate([x_blk, x_blk], axis=0), kv, block_start
+            )
+            cond, uncond = jnp.split(logits2, 2, axis=0)
+            return uncond + (cfg.cfg_scale + 1.0) * (cond - uncond)
+        return step_fn(x_blk, kv, block_start)
+
+    return fn
+
+
+def _capture_block_kv(cfg: "SemiARConfig", capture_fn: CaptureFn, x,
+                      prompt_index):
+    """Run the once-per-block capture; CFG captures cond and uncond rows in
+    one doubled batch so both caches exist for the block's steps."""
+    if cfg.cfg_scale > 0.0:
+        un_x = jnp.where(prompt_index, cfg.mask_id, x)
+        return capture_fn(jnp.concatenate([x, un_x], axis=0))
+    return capture_fn(x)
+
+
 def num_transfer_schedule(mask_counts: jax.Array, steps: int) -> jax.Array:
     """(B,) masked counts -> (B, steps) per-step commit counts: uniform split
     with the remainder spread over the first steps (generate.py:22-40)."""
@@ -100,8 +159,7 @@ def _denoise_step(
     x: jax.Array,              # (B, L) current tokens
     key: Optional[jax.Array],
     num_transfer: jax.Array,   # (B,) commits this step
-    window_forward_fn: WindowForwardFn,
-    prompt_index: jax.Array,   # (B, L) bool — original non-mask positions
+    block_logits_fn,           # (x, x_blk, block_start) -> (B, blk, V)
     block_end,                 # int or traced scalar — end of active block
     cfg: SemiARConfig,
 ) -> jax.Array:
@@ -112,22 +170,16 @@ def _denoise_step(
     to -inf) and positions before the block are fully committed by the
     transfer schedule, so only the active block's logits can ever change
     `x`. Restricting candidate/confidence/top-k to the block is therefore
-    exact — and lets the model skip the vocab head outside the block."""
+    exact — and lets the model skip the vocab head outside the block.
+    `block_logits_fn` supplies the (already CFG-combined) block logits —
+    either the exact full-sequence forward or the KV-cached block step."""
     b = x.shape[0]
     blk = cfg.block_length
     block_start = block_end - blk
     x_blk = jax.lax.dynamic_slice(x, (0, block_start), (b, blk))
     mask_blk = x_blk == cfg.mask_id
 
-    if cfg.cfg_scale > 0.0:
-        un_x = jnp.where(prompt_index, cfg.mask_id, x)
-        logits2 = window_forward_fn(
-            jnp.concatenate([x, un_x], axis=0), block_start
-        )
-        cond, uncond = jnp.split(logits2, 2, axis=0)
-        logits = uncond + (cfg.cfg_scale + 1.0) * (cond - uncond)
-    else:
-        logits = window_forward_fn(x, block_start)
+    logits = block_logits_fn(x, x_blk, block_start)
     logits = logits.astype(jnp.float32)           # (B, blk, V)
 
     if key is not None:
@@ -174,14 +226,19 @@ def _generate_scan(
     key: Optional[jax.Array],
     collect_states: bool,
     window_forward_fn: Optional[WindowForwardFn] = None,
+    cache_fns: Optional[tuple[CaptureFn, CachedStepFn]] = None,
 ):
     """Shared nested-scan driver: outer `lax.scan` over blocks, inner over
     denoise steps. One traced block body regardless of `num_blocks` — the
     old per-block Python loop unrolled the whole scan per block, multiplying
     XLA program size (and remote-compile time on a tunneled chip) by
-    `num_blocks` for identical code."""
+    `num_blocks` for identical code.
+
+    With `cache_fns` the block body first captures full-sequence K/V, then
+    every step forwards only the block's tokens (approximate, see the
+    CaptureFn contract)."""
     b, p = prompt.shape
-    if window_forward_fn is None:
+    if window_forward_fn is None and cache_fns is None:
         window_forward_fn = as_window_forward_fn(forward_fn, cfg.block_length)
     x = jnp.concatenate(
         [
@@ -212,14 +269,21 @@ def _generate_scan(
         block_mask = (block_slice == cfg.mask_id).sum(axis=1)
         transfers = num_transfer_schedule(block_mask, spb)  # (B, spb)
 
+        if cache_fns is not None:
+            kv = _capture_block_kv(cfg, cache_fns[0], x, prompt_index)
+            block_logits_fn = _cached_block_logits_fn(cfg, cache_fns[1], kv)
+        else:
+            block_logits_fn = _windowed_block_logits_fn(
+                cfg, window_forward_fn, prompt_index
+            )
+
         def step(carry, sinp):
             step_key, n_transfer = sinp
             x_next = _denoise_step(
                 carry,
                 step_key if needs_key else None,
                 n_transfer,
-                window_forward_fn,
-                prompt_index,
+                block_logits_fn,
                 block_end,
                 cfg,
             )
@@ -239,16 +303,18 @@ def generate(
     cfg: SemiARConfig,
     key: Optional[jax.Array] = None,
     window_forward_fn: Optional[WindowForwardFn] = None,
+    cache_fns: Optional[tuple[CaptureFn, CachedStepFn]] = None,
 ) -> jax.Array:
     """Generate `(B, P + gen_length)` tokens. Deterministic at T=0 with
     'low_confidence' remasking (the golden-parity configuration).
 
     Pass `window_forward_fn` (position-windowed head) to skip the vocab
     head outside the active block — exact, and the big batch-1 latency
-    lever; `forward_fn` alone still works (full head, sliced after)."""
+    lever; `forward_fn` alone still works (full head, sliced after).
+    `cache_fns` switches to the approximate block-KV-cached decode."""
     x, _ = _generate_scan(
         forward_fn, prompt, cfg, key, collect_states=False,
-        window_forward_fn=window_forward_fn,
+        window_forward_fn=window_forward_fn, cache_fns=cache_fns,
     )
     return x
 
@@ -259,6 +325,7 @@ def generate_stepwise(
     cfg: SemiARConfig,
     key: Optional[jax.Array] = None,
     window_forward_fn: Optional[WindowForwardFn] = None,
+    cache_fns: Optional[tuple[CaptureFn, CachedStepFn]] = None,
 ) -> jax.Array:
     """Like `generate`, but returns the full denoising trajectory
     `(steps, B, P + gen_length)` — the token state after every step. Powers
@@ -268,7 +335,7 @@ def generate_stepwise(
     equals `generate`'s output exactly."""
     _, states = _generate_scan(
         forward_fn, prompt, cfg, key, collect_states=True,
-        window_forward_fn=window_forward_fn,
+        window_forward_fn=window_forward_fn, cache_fns=cache_fns,
     )
     # (num_blocks, spb, B, L) -> (steps, B, L), block-major like the old
     # per-block concatenation
@@ -283,7 +350,8 @@ def run_block_eager(
     step_keys: jax.Array,
     transfers: jax.Array,
     *,
-    window_forward_fn: WindowForwardFn,
+    window_forward_fn: Optional[WindowForwardFn] = None,
+    cache_fns: Optional[tuple[CaptureFn, CachedStepFn]] = None,
 ) -> jax.Array:
     """One block of denoise steps as an eager `lax.scan`. `block_end` is a
     TRACED scalar so every block produces the same jaxpr. Callers that can
@@ -292,6 +360,14 @@ def run_block_eager(
     what makes blocks 2..N reuse block 1's executable."""
     needs_key = cfg.temperature > 0 or cfg.remasking == "random"
 
+    if cache_fns is not None:
+        kv = _capture_block_kv(cfg, cache_fns[0], x, prompt_index)
+        block_logits_fn = _cached_block_logits_fn(cfg, cache_fns[1], kv)
+    else:
+        block_logits_fn = _windowed_block_logits_fn(
+            cfg, window_forward_fn, prompt_index
+        )
+
     def step(carry, inp):
         step_key, n_transfer = inp
         return (
@@ -299,8 +375,7 @@ def run_block_eager(
                 carry,
                 step_key if needs_key else None,
                 n_transfer,
-                window_forward_fn,
-                prompt_index,
+                block_logits_fn,
                 block_end,
                 cfg,
             ),
@@ -319,6 +394,7 @@ def generate_with_early_stop(
     key: Optional[jax.Array] = None,
     run_block: Optional[Callable] = None,
     window_forward_fn: Optional[WindowForwardFn] = None,
+    cache_fns: Optional[tuple[CaptureFn, CachedStepFn]] = None,
 ) -> jax.Array:
     """`mmu_generate_fast` analog (modeling_mmada.py:484-556): after each
     block, stop if every row's block ends with EOT. The per-block scan stays
@@ -350,13 +426,16 @@ def generate_with_early_stop(
         # fallback: eager scan per block. NOT jax.jit — forward_fn closes
         # over model params, and jit would lower them as module constants
         # (pathological with remote compilation).
-        if window_forward_fn is None:
-            window_forward_fn = as_window_forward_fn(
-                forward_fn, cfg.block_length
+        if cache_fns is not None:
+            run_block = partial(run_block_eager, cache_fns=cache_fns)
+        else:
+            if window_forward_fn is None:
+                window_forward_fn = as_window_forward_fn(
+                    forward_fn, cfg.block_length
+                )
+            run_block = partial(
+                run_block_eager, window_forward_fn=window_forward_fn
             )
-        run_block = partial(
-            run_block_eager, window_forward_fn=window_forward_fn
-        )
 
     for block in range(cfg.num_blocks):
         block_start = p + block * cfg.block_length

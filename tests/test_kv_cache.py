@@ -1,0 +1,156 @@
+"""Block-KV-cached semi-AR decode (Fast-dLLM-style DualCache).
+
+Exactness contract: `forward_kv_step` on a FRESH cache must reproduce the
+full forward's block logits (the cache is only ever stale for steps after
+the first within a block). Hence:
+
+  * capture+step vs full-forward block slice — numerically close;
+  * `generate(block_kv_cache=True)` with steps_per_block == 1 — token-exact
+    vs the uncached sampler (every step sees a fresh cache);
+  * steps_per_block > 1 — approximate mode runs, fills every mask, and
+    keeps the prompt intact.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmada_tpu.core.vocab import tiny_layout
+from mmada_tpu.models import llada
+from mmada_tpu.models.mmada import MMadaModel
+
+
+def _model(block_type="llama", n_kv_heads=None, attention_layer_norm=False):
+    vl = tiny_layout()
+    cfg = llada.tiny_config(
+        vocab_size=vl.total_vocab_size,
+        block_type=block_type,
+        n_kv_heads=n_kv_heads,
+        attention_layer_norm=attention_layer_norm,
+    )
+    return MMadaModel.init(jax.random.key(0), cfg, vl), vl
+
+
+@pytest.mark.parametrize(
+    "block_type,n_kv_heads,qk_norm",
+    [("llama", None, False), ("llama", 2, False), ("llama", None, True),
+     ("sequential", None, False)],
+)
+def test_kv_step_matches_full_forward(block_type, n_kv_heads, qk_norm):
+    """Fresh-cache step == full forward sliced to the block, for MHA, GQA,
+    q/k-norm, and the fused sequential block."""
+    m, _ = _model(block_type, n_kv_heads, qk_norm)
+    tokens = jax.random.randint(jax.random.key(1), (2, 48), 3, 200)
+    block_start, blk = 32, 16
+
+    full = llada.forward(m.params, m.cfg, tokens)[:, block_start:block_start + blk]
+
+    kv = llada.forward_kv_capture(m.params, m.cfg, tokens)
+    stepped = llada.forward_kv_step(
+        m.params, m.cfg, tokens[:, block_start:block_start + blk], kv,
+        jnp.int32(block_start),
+    )
+    np.testing.assert_allclose(
+        np.asarray(stepped), np.asarray(full), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_kv_cache_shapes():
+    m, _ = _model()
+    tokens = jax.random.randint(jax.random.key(1), (2, 40), 3, 200)
+    k, v = llada.forward_kv_capture(m.params, m.cfg, tokens)
+    cfg = m.cfg
+    expect = (cfg.n_layers, 2, cfg.effective_n_kv_heads, 40, cfg.head_dim)
+    assert k.shape == expect and v.shape == expect
+
+
+def test_spb1_cached_equals_uncached():
+    """steps == num_blocks ⇒ one step per block ⇒ the cache is fresh at
+    every step ⇒ cached sampling must match the exact sampler token-wise."""
+    m, vl = _model()
+    prompt = jax.random.randint(jax.random.key(2), (2, 8), 3, 200)
+    kw = dict(gen_length=32, steps=2, block_length=16, temperature=0.0)
+    exact = m.generate(prompt, **kw)
+    cached = m.generate(prompt, **kw, block_kv_cache=True)
+    np.testing.assert_array_equal(np.asarray(exact), np.asarray(cached))
+
+
+def test_spb1_cached_equals_uncached_cfg():
+    """Same with classifier-free guidance (doubled-batch capture path)."""
+    m, vl = _model()
+    prompt = jax.random.randint(jax.random.key(3), (2, 8), 3, 200)
+    kw = dict(gen_length=32, steps=2, block_length=16, temperature=0.0,
+              cfg_scale=1.5)
+    exact = m.generate(prompt, **kw)
+    cached = m.generate(prompt, **kw, block_kv_cache=True)
+    np.testing.assert_array_equal(np.asarray(exact), np.asarray(cached))
+
+
+def test_cached_multi_step_completes():
+    """Approximate mode (steps_per_block > 1): every mask is filled and the
+    prompt survives untouched."""
+    m, vl = _model()
+    prompt = jax.random.randint(jax.random.key(4), (2, 8), 3, 200)
+    out = m.generate(prompt, gen_length=32, steps=8, block_length=16,
+                     temperature=0.0, block_kv_cache=True)
+    out = np.asarray(out)
+    assert out.shape == (2, 40)
+    np.testing.assert_array_equal(out[:, :8], np.asarray(prompt))
+    assert (out != vl.mask_token_id).all()
+
+
+def test_cached_stochastic_reproducible():
+    m, _ = _model()
+    prompt = jax.random.randint(jax.random.key(5), (2, 8), 3, 200)
+    kw = dict(gen_length=32, steps=8, block_length=16, temperature=1.0,
+              block_kv_cache=True, key=jax.random.key(7))
+    a, b = m.generate(prompt, **kw), m.generate(prompt, **kw)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_mmu_generate_fast_cached():
+    """Early-stop runner with kv_cached=True: jitted block path, spb=1
+    exactness vs the uncached early-stop runner."""
+    m, vl = _model()
+    prompt = jax.random.randint(jax.random.key(6), (2, 8), 3, 200)
+    kw = dict(eot_token=5, max_new_tokens=32, steps=2, block_length=16)
+    exact = m.mmu_generate_fast(prompt, **kw)
+    cached = m.mmu_generate_fast(prompt, **kw, block_kv_cache=True)
+    np.testing.assert_array_equal(np.asarray(exact), np.asarray(cached))
+
+
+def test_stepwise_cached_final_equals_generate():
+    m, _ = _model()
+    prompt = jax.random.randint(jax.random.key(8), (2, 8), 3, 200)
+    kw = dict(gen_length=32, steps=8, block_length=16, temperature=0.0,
+              block_kv_cache=True)
+    traj = m.generate_stepwise(prompt, **kw)
+    out = m.generate(prompt, **kw)
+    assert traj.shape[0] == 8
+    np.testing.assert_array_equal(np.asarray(traj[-1]), np.asarray(out))
+
+
+def test_quantized_cached_runs():
+    """int8 weight-only params through capture + step (maybe_matmul path)."""
+    from mmada_tpu.ops.quantization import quantize_llada_params
+
+    m, vl = _model()
+    qparams = quantize_llada_params(m.params)
+    qm = MMadaModel(cfg=m.cfg, params=qparams, vocab=m.vocab)
+    prompt = jax.random.randint(jax.random.key(9), (2, 8), 3, 200)
+    out = qm.generate(prompt, gen_length=32, steps=4, block_length=16,
+                      temperature=0.0, block_kv_cache=True)
+    assert np.asarray(out).shape == (2, 40)
+
+
+def test_cached_agreement_with_exact():
+    """Approximate mode should still mostly agree with the exact sampler at
+    T=0 on the generated span (staleness only spans within-block steps)."""
+    m, _ = _model()
+    prompt = jax.random.randint(jax.random.key(10), (2, 8), 3, 200)
+    kw = dict(gen_length=32, steps=8, block_length=16, temperature=0.0)
+    exact = np.asarray(m.generate(prompt, **kw))[:, 8:]
+    cached = np.asarray(m.generate(prompt, **kw, block_kv_cache=True))[:, 8:]
+    agreement = (exact == cached).mean()
+    assert agreement >= 0.5, f"agreement {agreement:.2f} suspiciously low"
