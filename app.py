@@ -56,7 +56,8 @@ class AppState:
     # ------------------------------------------------------------- tasks
     def generate_text(self, prompt, gen_length=128, steps=64,
                       block_length=32, temperature=1.0, cfg_scale=0.0,
-                      remasking="low_confidence", thinking=False, seed=0):
+                      remasking="low_confidence", thinking=False, seed=0,
+                      kv_cache=False):
         import jax
         import jax.numpy as jnp
 
@@ -70,6 +71,7 @@ class AppState:
                 gen_length=gen_length, steps=steps,
                 block_length=block_length, temperature=temperature,
                 cfg_scale=cfg_scale, remasking=remasking,
+                block_kv_cache=kv_cache,
             )
             fut = self.engine.submit_text(
                 np.asarray(ids[0], np.int32), settings, seed=seed
@@ -84,6 +86,7 @@ class AppState:
                     cfg_scale=cfg_scale, remasking=remasking,
                     key=jax.random.key(seed)
                     if (temperature > 0 or remasking == "random") else None,
+                    block_kv_cache=kv_cache,
                 )
         answer = np.asarray(out[0, len(ids[0]):])
         answer = answer[answer < self.vocab.text_vocab_size]
@@ -127,7 +130,7 @@ class AppState:
         return out
 
     def t2i(self, prompt, timesteps=15, guidance_scale=3.5,
-            temperature=1.0, seed=0):
+            temperature=1.0, seed=0, kv_cache=False):
         import jax
         import jax.numpy as jnp
 
@@ -144,6 +147,7 @@ class AppState:
             settings = T2ISettings(
                 timesteps=timesteps, guidance_scale=guidance_scale,
                 temperature=temperature, num_vq_tokens=num_vq,
+                block_kv_cache=kv_cache,
             )
             fut = self.engine.submit_t2i(
                 np.asarray(input_ids[0]), np.asarray(uncond_ids[0]), settings,
@@ -163,7 +167,7 @@ class AppState:
                     uncond_attention_mask=jnp.asarray(uncond_attn),
                     temperature=temperature, timesteps=timesteps,
                     guidance_scale=guidance_scale, num_vq_tokens=num_vq,
-                    key=jax.random.key(seed),
+                    key=jax.random.key(seed), block_kv_cache=kv_cache,
                 )
                 pixels = magvit2.decode_code(self.vq_params, self.vq_cfg, codes)
         arr = np.asarray((np.asarray(pixels[0]) + 1.0) * 127.5).clip(0, 255)
@@ -204,7 +208,7 @@ class AppState:
 
     def mmu(self, image_arr, question, max_new_tokens=128, steps=64,
             block_length=64, temperature=0.0, cfg_scale=0.0,
-            remasking="low_confidence", seed=0):
+            remasking="low_confidence", seed=0, kv_cache=False):
         if image_arr is None:
             return "(no image provided)"
         import jax
@@ -229,6 +233,7 @@ class AppState:
                 gen_length=max_new_tokens, steps=steps,
                 block_length=block_length, temperature=temperature,
                 cfg_scale=cfg_scale, remasking=remasking,
+                block_kv_cache=kv_cache,
             )
             fut = self.engine.submit_mmu(frame[0], settings, seed=seed)
             out = fut.result()[None]
@@ -239,6 +244,7 @@ class AppState:
                     steps=steps, block_length=block_length,
                     temperature=temperature, cfg_scale=cfg_scale,
                     remasking=remasking, key=jax.random.key(seed),
+                    block_kv_cache=kv_cache,
                 )
         answer = np.asarray(out[0, frame.shape[1]:])
         answer = answer[answer < self.vocab.text_vocab_size]
@@ -295,6 +301,7 @@ def run_http(state: AppState, port: int):
                         remasking=req.get("remasking", "low_confidence"),
                         thinking=bool(req.get("thinking", False)),
                         seed=int(req.get("seed", 0)),
+                        kv_cache=bool(req.get("kv_cache", False)),
                     )
                     self._reply({"text": text})
                 elif self.path == "/generate_stepwise":
@@ -316,6 +323,7 @@ def run_http(state: AppState, port: int):
                         guidance_scale=float(req.get("guidance_scale", 3.5)),
                         temperature=float(req.get("temperature", 1.0)),
                         seed=int(req.get("seed", 0)),
+                        kv_cache=bool(req.get("kv_cache", False)),
                     )
                     buf = io.BytesIO()
                     Image.fromarray(arr).save(buf, format="PNG")
@@ -355,6 +363,7 @@ def run_http(state: AppState, port: int):
                         cfg_scale=float(req.get("cfg_scale", 0.0)),
                         remasking=req.get("remasking", "low_confidence"),
                         seed=int(req.get("seed", 0)),
+                        kv_cache=bool(req.get("kv_cache", False)),
                     )
                     self._reply({"text": text})
                 else:

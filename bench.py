@@ -226,6 +226,25 @@ def main():
         lats.append(time.perf_counter() - t0)
     mmu_cached_p50 = sorted(lats)[1]
 
+    # cached t2i (+13.8% measured) is gated off by default: its remote
+    # compile alone is ~7 min on the tunneled chip
+    t2i_cached_img_s = None
+    if os.environ.get("BENCH_KV_T2I"):
+        @jax.jit
+        def run_t2i_cached(model, frame, uncond, key):
+            return model.t2i_generate(
+                frame, uncond_input_ids=uncond, temperature=1.0,
+                timesteps=timesteps, guidance_scale=3.5,
+                num_vq_tokens=num_vq, key=key, block_kv_cache=True,
+            )
+
+        sync(run_t2i_cached(model, frame, uncond, jax.random.key(20)))
+        t0 = time.perf_counter()
+        for i in range(runs):
+            out = run_t2i_cached(model, frame, uncond, jax.random.key(21 + i))
+        sync(out)
+        t2i_cached_img_s = batch * runs / (time.perf_counter() - t0)
+
     print(
         json.dumps(
             {
@@ -244,6 +263,8 @@ def main():
                                        "64 steps, batch 1",
                 "text_tokens_per_s_kv_cached": round(text_cached_tok_s, 2),
                 "mmu_p50_latency_s_kv_cached": round(mmu_cached_p50, 2),
+                **({"t2i_img_s_kv_cached": round(t2i_cached_img_s, 4)}
+                   if t2i_cached_img_s else {}),
                 "kv_cached_note": "opt-in approximate block-KV-cached "
                                   "decode (Fast-dLLM-style DualCache; "
                                   "exact at steps_per_block=1)",

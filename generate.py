@@ -26,6 +26,7 @@ def main(argv):
     block_length = int(cfg.get("block_length", gen_length))
     temperature = float(cfg.get("temperature", 0.0))
     cfg_scale = float(cfg.get("cfg_scale", 0.0))
+    kv_cache = bool(cfg.get("kv_cache", False))
     seed = int(cfg.get("seed", 0))
 
     tokenizer = build_text_tokenizer(cfg)
@@ -54,6 +55,7 @@ def main(argv):
         temperature=temperature,
         cfg_scale=cfg_scale,
         key=jax.random.key(seed) if temperature > 0 else None,
+        block_kv_cache=kv_cache,
     )
     answer = out[0, prompt.shape[1]:]
     # filter to the text vocab: sampled ids can land in the image/motion

@@ -29,6 +29,7 @@ def main(argv):
     steps = int(cfg.get("steps", max_new_tokens // 2))
     block_length = int(cfg.get("block_length", max_new_tokens))
     resolution = int(cfg.get_path("dataset.preprocessing.resolution", 512))
+    kv_cache = bool(cfg.get("kv_cache", False))
     seed = int(cfg.get("seed", 0))
 
     model, vq_params, vq_cfg, tokenizer, prompting, vocab = load_all(cfg)
@@ -76,6 +77,7 @@ def main(argv):
                 steps=steps,
                 block_length=block_length,
                 key=jax.random.key(seed),
+                block_kv_cache=kv_cache,
             )
         else:
             out = model.mmu_generate(
@@ -84,6 +86,7 @@ def main(argv):
                 steps=steps,
                 block_length=block_length,
                 key=jax.random.key(seed),
+                block_kv_cache=kv_cache,
             )
         answer_ids = np.asarray(out[0, frame.shape[1]:])
         answer_ids = answer_ids[answer_ids < vocab.text_vocab_size]

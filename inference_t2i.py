@@ -28,6 +28,7 @@ def main(argv):
     timesteps = int(cfg.get("generation_timesteps", 15))
     temperature = float(cfg.get("generation_temperature", 1.0))
     batch_size = int(cfg.get("batch_size", 1))
+    kv_cache = bool(cfg.get("kv_cache", False))
     seed = int(cfg.get("seed", 0))
     output_dir = cfg.get("output_dir", "t2i_outputs")
     prompts_file = cfg.get(
@@ -73,6 +74,7 @@ def main(argv):
             guidance_scale=guidance_scale,
             num_vq_tokens=num_vq_tokens,
             key=sub,
+            block_kv_cache=kv_cache,
         )
         pixels = magvit2.decode_code(vq_params, vq_cfg, codes)
         pixels = np.asarray(jnp.clip((pixels + 1.0) * 127.5, 0, 255)).astype(np.uint8)

@@ -564,6 +564,7 @@ def forward_kv_capture(
     attn_impl: str = "auto",
     mesh=None,
     tp_axis: str = "tensor",
+    drop_span: Optional[tuple[int, int]] = None,
 ):
     """Run the backbone over the full sequence and return per-layer
     post-RoPE K and V — `(k, v)`, each `(n_layers, B, kv_heads, L, head_dim)`
@@ -577,6 +578,13 @@ def forward_kv_capture(
     (tokens unchanged), approximate for their attention *responses* to the
     block's intermediate commits. The no-bias (checkpoint-faithful)
     attention path only.
+
+    `drop_span=(lo, hi)` (STATIC ints) removes that position range from
+    the returned cache — attention is permutation-invariant over keys, and
+    the span's K/V are recomputed fresh every step, so a sampler whose
+    span is static (MaskGIT t2i/t2m) never needs them cached. At the t2i
+    bench shape this is a 3x cache-memory cut (1536 -> 512 positions),
+    the difference between fitting HBM and OOM at batch 4 + CFG.
     """
     x = params["wte"][input_ids].astype(policy.compute_dtype)
     if cfg.input_emb_norm:
@@ -588,6 +596,12 @@ def forward_kv_capture(
             cfg, policy, carry, lp, None, sin, cos, attn_impl,
             mesh=mesh, tp_axis=tp_axis, return_kv=True,
         )
+        if drop_span is not None:
+            lo, hi = drop_span
+            kv = tuple(
+                jnp.concatenate([t[:, :, :lo], t[:, :, hi:]], axis=2)
+                for t in kv
+            )
         return h, kv
 
     if remat:
@@ -605,22 +619,27 @@ def forward_kv_step(
     block_start: jax.Array,        # traced scalar — block offset in the seq
     policy: Policy = FP32,
     logit_window: Optional[tuple[int, int]] = None,
+    cache_is_compact: bool = False,
+    attn_impl: str = "auto",
 ) -> jax.Array:
     """Forward ONLY the active block's tokens against cached K/V.
 
     Per layer: q/k/v are computed for the block's `blk` positions (RoPE at
     their absolute offsets), the fresh block K/V overwrite their slice of
-    the cache, and the block's queries attend to the FULL sequence through
-    the result — rectangular attention `(blk queries × L keys)` via the XLA
-    einsum path (GSPMD-friendly; q_len ≠ kv_len is outside the Pallas
-    kernels' square tiling). MLP, final norm, and the vocab head run over
-    the block positions only. Returns `(B, blk, V|window)` logits.
+    the cache (or, with `cache_is_compact` — a `drop_span` capture — are
+    concatenated to it: softmax attention is permutation-invariant over
+    keys), and the block's queries attend to the FULL sequence through the
+    result — rectangular attention `(blk queries × L keys)`, one-pass
+    Pallas when the span is ≥256 (the t2i/t2m cached decode) and XLA
+    einsum otherwise (small semi-AR blocks; also the GSPMD multi-device
+    path). MLP, final norm, and the vocab head run over the block
+    positions only. Returns `(B, blk, V|window)` logits.
 
     Cost per step ≈ blk/L of the dense forward + O(blk·L) attention,
     instead of the full O(L) forward the uncached sampler pays."""
     k_cache, v_cache = kv_cache
-    seq_len = k_cache.shape[3]
     blk = block_ids.shape[1]
+    seq_len = k_cache.shape[3] + (blk if cache_is_compact else 0)
 
     x = params["wte"][block_ids].astype(policy.compute_dtype)
     if cfg.input_emb_norm:
@@ -637,14 +656,19 @@ def forward_kv_step(
         q, k = apply_rope(
             q, k, sin_blk, cos_blk, full_precision=cfg.rope_full_precision
         )
-        k_full = jax.lax.dynamic_update_slice_in_dim(
-            kc, k.astype(kc.dtype), block_start, axis=2
-        )
-        v_full = jax.lax.dynamic_update_slice_in_dim(
-            vc, v.astype(vc.dtype), block_start, axis=2
-        )
-        att = xla_attention(
-            q, k_full, v_full, softmax_dtype=policy.softmax_dtype
+        if cache_is_compact:
+            k_full = jnp.concatenate([k.astype(kc.dtype), kc], axis=2)
+            v_full = jnp.concatenate([v.astype(vc.dtype), vc], axis=2)
+        else:
+            k_full = jax.lax.dynamic_update_slice_in_dim(
+                kc, k.astype(kc.dtype), block_start, axis=2
+            )
+            v_full = jax.lax.dynamic_update_slice_in_dim(
+                vc, v.astype(vc.dtype), block_start, axis=2
+            )
+        att = bidirectional_attention(
+            q, k_full, v_full, softmax_dtype=policy.softmax_dtype,
+            impl=attn_impl,
         )
         att = att.transpose(0, 2, 1, 3).reshape(carry.shape)
         h2 = carry + maybe_matmul(att, lp["attn_out"])

@@ -175,10 +175,16 @@ def _pallas_shape_eligible(q, k, bias) -> bool:
     callers that have already established a per-device context. Unaligned
     sequence lengths are allowed up to the one-pass tier's 4096 limit (the
     kernel pads internally and masks the padded keys); longer sequences
-    must be 128-aligned for the online/staged tiers."""
+    must be 128-aligned for the online/staged tiers. Rectangular shapes
+    (q_len != kv_len — the KV-cached span decode) run the one-pass tier
+    when the span is big enough to beat the XLA einsum."""
     seq_q, seq_k = q.shape[2], k.shape[2]
     head_dim = q.shape[-1]
-    if seq_q != seq_k or head_dim % 128 or seq_q < 256:
+    if head_dim % 128:
+        return False
+    if seq_q != seq_k:
+        return bias is None and seq_q >= 256 and 256 <= seq_k <= 4096
+    if seq_q < 256:
         return False
     if seq_q > 4096:
         return seq_q % 128 == 0

@@ -418,40 +418,55 @@ def flash_attention(
         # by ~9%; past ~2k the (block_q, L) fp32 score tile + rope tables
         # start crowding VMEM, so fall back to 256
         block_q = 512 if q.shape[2] <= 2048 else 256
-    b, h, l_in, d = q.shape
+    b, h, lq_in, d = q.shape
+    lk_in = k.shape[2]
     kvh = k.shape[1]
     rep = h // kvh
 
-    # Unaligned sequence lengths (serving prompts are arbitrary): pad L up
-    # to the 128 tile, mask the padded KEY columns in-kernel (finite min),
-    # and slice the padded QUERY rows off the output. Semantics match the
-    # unpadded kernel exactly; without this every non-multiple-of-128
-    # sequence (e.g. the 1194-token MMU frame) lost the kernel AND the
-    # fused rope to the XLA fallback.
-    l = -(-l_in // 128) * 128
-    valid_len = l_in if l != l_in else None
-    if valid_len is not None:
-        pad = ((0, 0), (0, 0), (0, l - l_in), (0, 0))
-        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
-        if bias is not None:
-            bias = jnp.pad(
-                bias, ((0, 0), (0, 0), (0, l - l_in), (0, l - l_in)),
-                constant_values=True if bias.dtype == jnp.bool_ else 0.0,
-            )
+    # Rectangular shapes (q_len != kv_len) are first-class: the KV-cached
+    # decode (llada.forward_kv_step) attends a span of fresh queries to the
+    # full cached sequence. The score tile is (block_q, Lk); only padded
+    # KEY columns need masking.
+    #
+    # Unaligned sequence lengths (serving prompts are arbitrary): pad each
+    # axis up to the 128 tile, mask the padded KEY columns in-kernel
+    # (finite min), and slice the padded QUERY rows off the output.
+    # Semantics match the unpadded kernel exactly; without this every
+    # non-multiple-of-128 sequence (e.g. the 1194-token MMU frame) lost
+    # the kernel AND the fused rope to the XLA fallback.
+    lq = -(-lq_in // 128) * 128
+    lk = -(-lk_in // 128) * 128
+    valid_len = lk_in if lk != lk_in else None
+    if lq != lq_in:
+        pad_q = ((0, 0), (0, 0), (0, lq - lq_in), (0, 0))
+        q = jnp.pad(q, pad_q)
         if rope_sin is not None:
-            rope_sin = jnp.pad(rope_sin, ((0, l - l_in), (0, 0)))
-            rope_cos = jnp.pad(rope_cos, ((0, l - l_in), (0, 0)))
+            rope_sin = jnp.pad(rope_sin, ((0, lq - lq_in), (0, 0)))
+            rope_cos = jnp.pad(rope_cos, ((0, lq - lq_in), (0, 0)))
+    if lk != lk_in:
+        pad_k = ((0, 0), (0, 0), (0, lk - lk_in), (0, 0))
+        k, v = jnp.pad(k, pad_k), jnp.pad(v, pad_k)
+    if bias is not None and (lq != lq_in or lk != lk_in):
+        bias = jnp.pad(
+            bias, ((0, 0), (0, 0), (0, lq - lq_in), (0, lk - lk_in)),
+            constant_values=True if bias.dtype == jnp.bool_ else 0.0,
+        )
+    if rope_sin is not None and lq != lk:
+        raise ValueError(
+            "fused rope requires square attention (one (L, D) table for "
+            "both q and k); rectangular callers pre-rotate"
+        )
 
-    block_q = _fit_block(block_q, l)
+    block_q = _fit_block(block_q, lq)
     scale = 1.0 / (d ** 0.5)
-    grid = (b, h, l // block_q)
+    grid = (b, h, lq // block_q)
 
     q_spec = pl.BlockSpec(
         (1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
         memory_space=pltpu.VMEM,
     )
     kv_spec = pl.BlockSpec(
-        (1, 1, l, d), lambda bi, hi, qi: (bi, hi // rep, 0, 0),
+        (1, 1, lk, d), lambda bi, hi, qi: (bi, hi // rep, 0, 0),
         memory_space=pltpu.VMEM,
     )
     out_spec = pl.BlockSpec(
@@ -459,20 +474,20 @@ def flash_attention(
         memory_space=pltpu.VMEM,
     )
     out_shape = jax.ShapeDtypeStruct(q.shape, q.dtype)
-    flops = 4 * b * h * l * l * d
+    flops = 4 * b * h * lq * lk * d
     cost = pl.CostEstimate(
         flops=flops,
         bytes_accessed=(q.size + k.size * rep + v.size * rep + q.size) * q.dtype.itemsize,
-        transcendentals=b * h * l * l,
+        transcendentals=b * h * lq * lk,
     )
 
     def unpad(out):
-        return out[:, :, :l_in, :] if valid_len is not None else out
+        return out[:, :, :lq_in, :] if lq != lq_in else out
 
     rope_args: tuple = ()
     rope_specs: list = []
     if rope_sin is not None:
-        assert rope_sin.shape == (l, d) and rope_cos.shape == (l, d)
+        assert rope_sin.shape == (lq, d) and rope_cos.shape == (lq, d)
         sin32 = rope_sin.astype(jnp.float32)
         cos32 = rope_cos.astype(jnp.float32)
         # q rotates per (block_q, D) tile; k is whole-in-VMEM so its tables
@@ -481,7 +496,7 @@ def flash_attention(
             (block_q, d), lambda bi, hi, qi: (qi, 0), memory_space=pltpu.VMEM
         )
         sk_spec = pl.BlockSpec(
-            (l, d), lambda bi, hi, qi: (0, 0), memory_space=pltpu.VMEM
+            (lq, d), lambda bi, hi, qi: (0, 0), memory_space=pltpu.VMEM
         )
         rope_args = (sin32, cos32, sin32, cos32)
         rope_specs = [sq_spec, sq_spec, sk_spec, sk_spec]
@@ -514,7 +529,7 @@ def flash_attention(
     bias_b = 0 if bias.shape[0] == 1 else None
     bias_h = 0 if bias.shape[1] == 1 else None
     b_spec = pl.BlockSpec(
-        (1, 1, block_q, l),
+        (1, 1, block_q, lk),
         lambda bi, hi, qi: (
             bias_b if bias_b is not None else bi,
             bias_h if bias_h is not None else hi,

@@ -47,14 +47,23 @@ def t2m_generate(
     cfg: MotionGITConfig,
     key: Optional[jax.Array] = None,
     attention_mask: Optional[jax.Array] = None,
+    cache_fns=None,
 ) -> jax.Array:
-    """Returns raw motion VQ codes `(B, num_motion_tokens)`."""
+    """Returns raw motion VQ codes `(B, num_motion_tokens)`.
+
+    `cache_fns` (MMadaModel._span_cache_fns) enables the KV-cached decode:
+    the static caption prefix's K/V are captured once and each step
+    forwards only the motion span (same approximation as t2i)."""
     b, l = input_ids.shape
     n = cfg.num_motion_tokens
     span_lo = l - (n + 1)  # motion span inside frame ending with <|eom|>
 
     x = input_ids.astype(jnp.int32)
     cur = x[:, span_lo:-1]  # offset-space tokens or mask_id
+
+    if cache_fns is not None:
+        capture_fn, step_fn = cache_fns
+        kv = capture_fn(x)
 
     if key is None:
         key = jax.random.key(0)
@@ -65,7 +74,11 @@ def t2m_generate(
         t, step_key = inp
         k_sample, k_mask = jax.random.split(step_key)
 
-        logits = forward_fn(x, attention_mask).astype(jnp.float32)  # (B, n, M)
+        if cache_fns is not None:
+            span_tok = jax.lax.dynamic_slice(x, (0, span_lo), (b, n))
+            logits = step_fn(span_tok, kv, span_lo).astype(jnp.float32)
+        else:
+            logits = forward_fn(x, attention_mask).astype(jnp.float32)  # (B, n, M)
 
         if cfg.greedy:
             sampled = jnp.argmax(logits, axis=-1)

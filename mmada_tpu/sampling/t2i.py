@@ -54,8 +54,16 @@ class MaskGITConfig:
 
 
 def _scan(forward_fn, input_ids, cfg, key, uncond_input_ids,
-          attention_mask, uncond_attention_mask):
-    """Run the MaskGIT loop; returns `(timesteps, B, n)` sampled VQ grids."""
+          attention_mask, uncond_attention_mask, cache_fns=None):
+    """Run the MaskGIT loop; returns `(timesteps, B, n)` sampled VQ grids.
+
+    `cache_fns=(capture_fn, step_fn)` (llada.forward_kv_capture /
+    forward_kv_step via MMadaModel._t2i_cache_fns) switches to the
+    KV-cached decode: the non-image positions' K/V — the text prompt,
+    <|soi|>, <|eoi|> — are captured ONCE (their *tokens* never change
+    across MaskGIT steps; only their attention responses to the evolving
+    image tokens do, which is the frozen approximation) and every step
+    forwards only the `n` image positions."""
     b, l = input_ids.shape
     n = cfg.num_vq_tokens
     img_lo = l - (n + 1)          # image span is [-(n+1), -1) inside the frame
@@ -76,6 +84,14 @@ def _scan(forward_fn, input_ids, cfg, key, uncond_input_ids,
     else:
         full_mask = attention_mask
 
+    if cache_fns is not None:
+        capture_fn, step_fn = cache_fns
+        if use_cfg:
+            uncond_x0 = jnp.concatenate([uncond_prefix, x[:, prompt_len:]], axis=1)
+            kv = capture_fn(jnp.concatenate([x, uncond_x0], axis=0))
+        else:
+            kv = capture_fn(x)
+
     if key is None:
         key = jax.random.key(0)
     step_keys = jax.random.split(key, cfg.timesteps)
@@ -85,14 +101,22 @@ def _scan(forward_fn, input_ids, cfg, key, uncond_input_ids,
         t, step_key = inp
         k_sample, k_mask = jax.random.split(step_key)
 
-        if use_cfg:
+        if cache_fns is not None:
+            # cond and uncond rows share the image span's tokens, so the
+            # cached step just doubles the span under CFG
+            img_tok = jax.lax.dynamic_slice(x, (0, img_lo), (b, n))
+            span_in = (jnp.concatenate([img_tok, img_tok], axis=0)
+                       if use_cfg else img_tok)
+            logits = step_fn(span_in, kv, img_lo)
+        elif use_cfg:
             uncond_x = jnp.concatenate([uncond_prefix, x[:, prompt_len:]], axis=1)
             model_in = jnp.concatenate([x, uncond_x], axis=0)
             logits = forward_fn(model_in, full_mask)
-            cond, uncond = jnp.split(logits, 2, axis=0)
-            logits = (1.0 + cfg.guidance_scale) * cond - cfg.guidance_scale * uncond
         else:
             logits = forward_fn(x, full_mask)
+        if use_cfg:
+            cond, uncond = jnp.split(logits, 2, axis=0)
+            logits = (1.0 + cfg.guidance_scale) * cond - cfg.guidance_scale * uncond
         logits = logits.astype(jnp.float32)        # (B, n, codebook)
 
         if cfg.greedy:
@@ -142,11 +166,12 @@ def t2i_generate(
     uncond_input_ids: Optional[jax.Array] = None,   # (B, L) empty-prompt frame
     attention_mask: Optional[jax.Array] = None,     # (B, L)
     uncond_attention_mask: Optional[jax.Array] = None,
+    cache_fns=None,
 ) -> jax.Array:
     """Returns raw VQ codes `(B, num_vq_tokens)` in [0, codebook_size)."""
     return _scan(
         forward_fn, input_ids, cfg, key, uncond_input_ids,
-        attention_mask, uncond_attention_mask,
+        attention_mask, uncond_attention_mask, cache_fns=cache_fns,
     )[-1]
 
 
@@ -158,10 +183,11 @@ def t2i_generate_stepwise(
     uncond_input_ids: Optional[jax.Array] = None,
     attention_mask: Optional[jax.Array] = None,
     uncond_attention_mask: Optional[jax.Array] = None,
+    cache_fns=None,
 ) -> jax.Array:
     """`(timesteps, B, n)` trajectory of committed VQ grids, for stepwise
     demo decoding (`t2i_generate_decoding_stepwise`, modeling_mmada.py:558-663)."""
     return _scan(
         forward_fn, input_ids, cfg, key, uncond_input_ids,
-        attention_mask, uncond_attention_mask,
+        attention_mask, uncond_attention_mask, cache_fns=cache_fns,
     )

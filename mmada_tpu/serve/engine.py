@@ -53,6 +53,7 @@ def _jit_text(model, prompts, settings, key):
         cfg_scale=settings.cfg_scale,
         remasking=settings.remasking,
         key=key if settings.stochastic else None,
+        block_kv_cache=settings.block_kv_cache,
     )
 
 
@@ -75,6 +76,7 @@ def _jit_text_per_row_keys(model, prompts, settings, keys):
             cfg_scale=settings.cfg_scale,
             remasking=settings.remasking,
             key=k,
+            block_kv_cache=settings.block_kv_cache,
         )[0]
 
     return jax.vmap(row, in_axes=(0, 0))(prompts, keys)
@@ -92,6 +94,7 @@ def _jit_t2i(model, frames, unconds, attns, uncond_attns, settings, key):
         guidance_scale=settings.guidance_scale,
         num_vq_tokens=settings.num_vq_tokens,
         key=key,
+        block_kv_cache=settings.block_kv_cache,
     )
 
 
@@ -103,6 +106,7 @@ class TextSettings:
     temperature: float = 0.0
     cfg_scale: float = 0.0
     remasking: str = "low_confidence"  # or 'random'
+    block_kv_cache: bool = False       # approximate cached decode (opt-in)
 
     @property
     def stochastic(self) -> bool:
@@ -116,6 +120,7 @@ class T2ISettings:
     guidance_scale: float = 3.5
     temperature: float = 1.0
     num_vq_tokens: int = 1024
+    block_kv_cache: bool = False       # approximate cached decode (opt-in)
 
 
 @dataclasses.dataclass

@@ -272,3 +272,59 @@ def test_flash_unaligned_bool_bias(rng):
     want = xla_attention(q, k, v, bias=allowed)
     got = flash_attention(q, k, v, bias=allowed, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+
+
+def test_flash_rectangular_matches_xla(rng):
+    """q_len != kv_len (the KV-cached span decode shape): span queries
+    against the full cached sequence."""
+    b, h, d = 2, 4, 128
+    q = jnp.asarray(rng.normal(size=(b, h, 256, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, 384, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, 384, d)), jnp.float32)
+    want = xla_attention(q, k, v)
+    got = flash_attention(q, k, v, block_q=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_flash_rectangular_gqa_unaligned(rng):
+    """Rectangular + GQA + both axes unaligned (padding on q rows and
+    masked padding on k columns)."""
+    b, h, kvh, d = 1, 8, 2, 128
+    q = jnp.asarray(rng.normal(size=(b, h, 200, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, kvh, 333, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, kvh, 333, d)), jnp.float32)
+    want = xla_attention(q, k, v)
+    got = flash_attention(q, k, v, block_q=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_flash_rectangular_bias(rng):
+    """Rectangular additive bias (B, 1, Lq, Lk) pads on both axes."""
+    b, h, d = 1, 2, 128
+    q = jnp.asarray(rng.normal(size=(b, h, 130, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, 300, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, 300, d)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(b, 1, 130, 300)), jnp.float32)
+    want = xla_attention(q, k, v, bias=bias)
+    got = flash_attention(q, k, v, bias=bias, block_q=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+
+
+def test_dispatch_rectangular_eligibility():
+    """auto dispatch: rectangular spans >=256 with kv<=4096 take the
+    one-pass kernel; smaller spans keep the XLA path."""
+    from mmada_tpu.ops.attention import _pallas_shape_eligible
+
+    def qkv(lq, lk, d=128):
+        q = jnp.zeros((1, 2, lq, d))
+        k = jnp.zeros((1, 2, lk, d))
+        return q, k
+
+    q, k = qkv(1024, 1536)
+    assert _pallas_shape_eligible(q, k, None)
+    q, k = qkv(64, 640)            # small semi-AR block -> XLA
+    assert not _pallas_shape_eligible(q, k, None)
+    q, k = qkv(1024, 8192)         # cached kv too long for one-pass
+    assert not _pallas_shape_eligible(q, k, None)
+    q, k = qkv(1024, 1536, d=64)   # head dim not tile-aligned
+    assert not _pallas_shape_eligible(q, k, None)

@@ -144,6 +144,87 @@ def test_quantized_cached_runs():
     assert np.asarray(out).shape == (2, 40)
 
 
+def _t2i_frame(m, vl, b=2, prompt_len=6, n=16):
+    key = jax.random.key(11)
+    soi, eoi = vl.special("<|soi|>"), vl.special("<|eoi|>")
+    prompt = jax.random.randint(key, (b, prompt_len), 3, 200)
+    frame = jnp.concatenate([
+        prompt,
+        jnp.full((b, 1), soi),
+        jnp.full((b, n), vl.mask_token_id),
+        jnp.full((b, 1), eoi),
+    ], axis=1).astype(jnp.int32)
+    uncond = frame.at[:, :prompt_len].set(vl.pad_token_id)
+    return frame, uncond
+
+
+def test_t2i_cached_single_step_exact():
+    """timesteps=1 ⇒ the cache is fresh for the only step ⇒ cached t2i
+    must match the exact sampler token-wise (greedy), with and without CFG."""
+    m, vl = _model()
+    frame, uncond = _t2i_frame(m, vl)
+    for gs in (0.0, 2.0):
+        kw = dict(uncond_input_ids=uncond if gs else None, timesteps=1,
+                  guidance_scale=gs, temperature=0.0, num_vq_tokens=16,
+                  greedy=True, key=jax.random.key(12))
+        exact = m.t2i_generate(frame, **kw)
+        cached = m.t2i_generate(frame, **kw, block_kv_cache=True)
+        np.testing.assert_array_equal(np.asarray(exact), np.asarray(cached))
+
+
+def test_t2i_cached_multi_step():
+    m, vl = _model()
+    frame, uncond = _t2i_frame(m, vl)
+    out = m.t2i_generate(
+        frame, uncond_input_ids=uncond, timesteps=4, guidance_scale=1.5,
+        temperature=0.0, num_vq_tokens=16, greedy=True,
+        key=jax.random.key(13), block_kv_cache=True,
+    )
+    out = np.asarray(out)
+    assert out.shape == (2, 16)
+    assert ((out >= 0) & (out < vl.image_codebook_size)).all()
+
+
+def test_t2m_cached_single_step_exact():
+    vl = tiny_layout().with_motion(codebook_size=32)
+    cfg = llada.tiny_config(vocab_size=vl.total_vocab_size)
+    m = MMadaModel.init(jax.random.key(0), cfg, vl)
+    som, eom = vl.special("<|som|>"), vl.special("<|eom|>")
+    n, b = 8, 2
+    prompt = jax.random.randint(jax.random.key(14), (b, 6), 3, 200)
+    frame = jnp.concatenate([
+        prompt, jnp.full((b, 1), som),
+        jnp.full((b, n), vl.mask_token_id),
+        jnp.full((b, 1), eom),
+    ], axis=1).astype(jnp.int32)
+    kw = dict(timesteps=1, temperature=0.0, num_motion_tokens=n,
+              greedy=True, key=jax.random.key(15))
+    exact = m.t2m_generate(frame, **kw)
+    cached = m.t2m_generate(frame, **kw, block_kv_cache=True)
+    np.testing.assert_array_equal(np.asarray(exact), np.asarray(cached))
+
+
+def test_engine_cached_settings():
+    """ServingEngine routes block_kv_cache settings through its jitted
+    executors (text spb=1 path must match the exact engine result)."""
+    from mmada_tpu.serve.engine import ServingEngine, TextSettings
+
+    m, vl = _model()
+    eng = ServingEngine(m, max_batch=2, max_wait_ms=1.0).start()
+    try:
+        prompt = np.asarray(
+            jax.random.randint(jax.random.key(20), (8,), 3, 200))
+        base = dict(gen_length=32, steps=2, block_length=16, temperature=0.0)
+        exact = eng.submit_text(
+            prompt, TextSettings(**base), seed=0).result()
+        cached = eng.submit_text(
+            prompt, TextSettings(**base, block_kv_cache=True), seed=0
+        ).result()
+        np.testing.assert_array_equal(np.asarray(exact), np.asarray(cached))
+    finally:
+        eng.stop()
+
+
 def test_cached_agreement_with_exact():
     """Approximate mode should still mostly agree with the exact sampler at
     T=0 on the generated span (staleness only spans within-block steps)."""
