@@ -57,7 +57,7 @@ class AppState:
     def generate_text(self, prompt, gen_length=128, steps=64,
                       block_length=32, temperature=1.0, cfg_scale=0.0,
                       remasking="low_confidence", thinking=False, seed=0,
-                      kv_cache=False):
+                      kv_cache=False, parallel_threshold=0.0):
         import jax
         import jax.numpy as jnp
 
@@ -71,7 +71,7 @@ class AppState:
                 gen_length=gen_length, steps=steps,
                 block_length=block_length, temperature=temperature,
                 cfg_scale=cfg_scale, remasking=remasking,
-                block_kv_cache=kv_cache,
+                block_kv_cache=kv_cache, parallel_threshold=parallel_threshold,
             )
             fut = self.engine.submit_text(
                 np.asarray(ids[0], np.int32), settings, seed=seed
@@ -87,6 +87,7 @@ class AppState:
                     key=jax.random.key(seed)
                     if (temperature > 0 or remasking == "random") else None,
                     block_kv_cache=kv_cache,
+                    parallel_threshold=parallel_threshold,
                 )
         answer = np.asarray(out[0, len(ids[0]):])
         answer = answer[answer < self.vocab.text_vocab_size]
@@ -208,7 +209,8 @@ class AppState:
 
     def mmu(self, image_arr, question, max_new_tokens=128, steps=64,
             block_length=64, temperature=0.0, cfg_scale=0.0,
-            remasking="low_confidence", seed=0, kv_cache=False):
+            remasking="low_confidence", seed=0, kv_cache=False,
+            parallel_threshold=0.0):
         if image_arr is None:
             return "(no image provided)"
         import jax
@@ -233,7 +235,7 @@ class AppState:
                 gen_length=max_new_tokens, steps=steps,
                 block_length=block_length, temperature=temperature,
                 cfg_scale=cfg_scale, remasking=remasking,
-                block_kv_cache=kv_cache,
+                block_kv_cache=kv_cache, parallel_threshold=parallel_threshold,
             )
             fut = self.engine.submit_mmu(frame[0], settings, seed=seed)
             out = fut.result()[None]
@@ -245,6 +247,7 @@ class AppState:
                     temperature=temperature, cfg_scale=cfg_scale,
                     remasking=remasking, key=jax.random.key(seed),
                     block_kv_cache=kv_cache,
+                    parallel_threshold=parallel_threshold,
                 )
         answer = np.asarray(out[0, frame.shape[1]:])
         answer = answer[answer < self.vocab.text_vocab_size]
@@ -302,6 +305,8 @@ def run_http(state: AppState, port: int):
                         thinking=bool(req.get("thinking", False)),
                         seed=int(req.get("seed", 0)),
                         kv_cache=bool(req.get("kv_cache", False)),
+                        parallel_threshold=float(
+                            req.get("parallel_threshold", 0.0)),
                     )
                     self._reply({"text": text})
                 elif self.path == "/generate_stepwise":
@@ -364,6 +369,8 @@ def run_http(state: AppState, port: int):
                         remasking=req.get("remasking", "low_confidence"),
                         seed=int(req.get("seed", 0)),
                         kv_cache=bool(req.get("kv_cache", False)),
+                        parallel_threshold=float(
+                            req.get("parallel_threshold", 0.0)),
                     )
                     self._reply({"text": text})
                 else:

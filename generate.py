@@ -27,6 +27,7 @@ def main(argv):
     temperature = float(cfg.get("temperature", 0.0))
     cfg_scale = float(cfg.get("cfg_scale", 0.0))
     kv_cache = bool(cfg.get("kv_cache", False))
+    parallel_threshold = float(cfg.get("parallel_threshold", 0.0))
     seed = int(cfg.get("seed", 0))
 
     tokenizer = build_text_tokenizer(cfg)
@@ -56,6 +57,7 @@ def main(argv):
         cfg_scale=cfg_scale,
         key=jax.random.key(seed) if temperature > 0 else None,
         block_kv_cache=kv_cache,
+        parallel_threshold=parallel_threshold,
     )
     answer = out[0, prompt.shape[1]:]
     # filter to the text vocab: sampled ids can land in the image/motion

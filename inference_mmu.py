@@ -30,6 +30,7 @@ def main(argv):
     block_length = int(cfg.get("block_length", max_new_tokens))
     resolution = int(cfg.get_path("dataset.preprocessing.resolution", 512))
     kv_cache = bool(cfg.get("kv_cache", False))
+    parallel_threshold = float(cfg.get("parallel_threshold", 0.0))
     seed = int(cfg.get("seed", 0))
 
     model, vq_params, vq_cfg, tokenizer, prompting, vocab = load_all(cfg)
@@ -78,6 +79,7 @@ def main(argv):
                 block_length=block_length,
                 key=jax.random.key(seed),
                 block_kv_cache=kv_cache,
+                parallel_threshold=parallel_threshold,
             )
         else:
             out = model.mmu_generate(
@@ -87,6 +89,7 @@ def main(argv):
                 block_length=block_length,
                 key=jax.random.key(seed),
                 block_kv_cache=kv_cache,
+                parallel_threshold=parallel_threshold,
             )
         answer_ids = np.asarray(out[0, frame.shape[1]:])
         answer_ids = answer_ids[answer_ids < vocab.text_vocab_size]

@@ -220,14 +220,18 @@ class MMadaModel:
     # ---------------------------------------------------------------- text
     def generate(self, prompt, gen_length=128, steps=128, block_length=128,
                  temperature=0.0, cfg_scale=0.0, remasking="low_confidence",
-                 key=None, block_kv_cache=False):
+                 key=None, block_kv_cache=False, parallel_threshold=0.0):
         """`block_kv_cache=True` switches to the approximate block-cached
         decode (per-step forwards touch only the active block — the big
-        long-prompt latency lever; see `_text_cache_fns`)."""
+        long-prompt latency lever; see `_text_cache_fns`).
+        `parallel_threshold` (0 = off) additionally commits every
+        candidate above that confidence per step and exits each block as
+        soon as it completes (SemiARConfig.parallel_threshold)."""
         scfg = text_sampling.SemiARConfig(
             gen_length=gen_length, steps=steps, block_length=block_length,
             temperature=temperature, cfg_scale=cfg_scale, remasking=remasking,
             mask_id=self.vocab.mask_token_id,
+            parallel_threshold=parallel_threshold,
         )
         if block_kv_cache:
             return text_sampling.generate(
@@ -261,22 +265,25 @@ class MMadaModel:
     def mmu_generate(self, input_ids, max_new_tokens=128, steps=128,
                      block_length=128, temperature=0.0, cfg_scale=0.0,
                      remasking="low_confidence", key=None,
-                     block_kv_cache=False):
+                     block_kv_cache=False, parallel_threshold=0.0):
         """Identical denoiser; prompt already contains the <|mmu|> image frame."""
         return self.generate(
             input_ids, gen_length=max_new_tokens, steps=steps,
             block_length=block_length, temperature=temperature,
             cfg_scale=cfg_scale, remasking=remasking, key=key,
             block_kv_cache=block_kv_cache,
+            parallel_threshold=parallel_threshold,
         )
 
     def mmu_generate_fast(self, input_ids, eot_token: int, max_new_tokens=128,
                           steps=128, block_length=128, temperature=0.0,
-                          cfg_scale=0.0, key=None, block_kv_cache=False):
+                          cfg_scale=0.0, key=None, block_kv_cache=False,
+                          parallel_threshold=0.0):
         scfg = text_sampling.SemiARConfig(
             gen_length=max_new_tokens, steps=steps, block_length=block_length,
             temperature=temperature, cfg_scale=cfg_scale,
             mask_id=self.vocab.mask_token_id,
+            parallel_threshold=parallel_threshold,
         )
         if block_kv_cache:
             self._text_cache_fns()  # raise early on unsupported configs

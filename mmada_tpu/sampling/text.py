@@ -138,6 +138,16 @@ class SemiARConfig:
     cfg_scale: float = 0.0
     remasking: str = "low_confidence"  # or 'random'
     mask_id: int = 126336
+    parallel_threshold: float = 0.0
+    """Confidence-parallel decoding (opt-in, 0 = off): each step commits
+    the scheduled top-k PLUS every candidate whose softmax confidence
+    clears this threshold, and the block's step loop becomes a
+    `lax.while_loop` that exits as soon as the block has no masks left.
+    Never slower than the exact schedule (the scheduled commits are the
+    floor; the step budget is the ceiling) and equals it exactly when the
+    threshold never fires (τ > 1). Approximate in the same sense as
+    MaskGIT itself — more tokens finalize per forward. Intended for
+    'low_confidence' remasking (the threshold compares probabilities)."""
 
     def __post_init__(self):
         if self.gen_length % self.block_length:
@@ -203,8 +213,66 @@ def _denoise_step(
     confidence = jnp.where(mask_blk, x0_p, NEG_INF)
 
     transfer = select_top_k_dynamic(confidence, num_transfer)
+    if cfg.parallel_threshold > 0.0:
+        # confidence-parallel decoding: ALSO commit every masked candidate
+        # above the threshold (scheduled top-k stays the progress floor).
+        # Committing a non-mask position is a no-op (x0 == x_blk there).
+        transfer = transfer | (confidence >= cfg.parallel_threshold)
     new_blk = jnp.where(transfer, x0, x_blk)
     return jax.lax.dynamic_update_slice(x, new_blk, (0, block_start))
+
+
+def _run_block_steps(cfg, x, block_logits_fn, block_end, step_keys,
+                     transfers, needs_key, collect_states):
+    """Inner per-block denoise loop. Normally a `lax.scan` over the fixed
+    step schedule; with `parallel_threshold` it becomes a `lax.while_loop`
+    that exits as soon as the block has no masks left — the forwards for
+    trailing no-op steps are never launched."""
+    if cfg.parallel_threshold > 0.0:
+        if collect_states:
+            raise ValueError(
+                "parallel_threshold has a data-dependent step count and "
+                "cannot collect a fixed-shape trajectory; use the exact "
+                "sampler for stepwise visualization"
+            )
+        b = x.shape[0]
+        spb = transfers.shape[1]
+
+        def cond(carry):
+            xc, it = carry
+            blk = jax.lax.dynamic_slice(
+                xc, (0, block_end - cfg.block_length), (b, cfg.block_length)
+            )
+            return jnp.logical_and(it < spb, jnp.any(blk == cfg.mask_id))
+
+        def body(carry):
+            xc, it = carry
+            xc = _denoise_step(
+                xc,
+                step_keys[it] if needs_key else None,
+                transfers[:, it],
+                block_logits_fn,
+                block_end,
+                cfg,
+            )
+            return xc, it + 1
+
+        x, _ = jax.lax.while_loop(cond, body, (x, jnp.int32(0)))
+        return x, None
+
+    def step(carry, sinp):
+        step_key, n_transfer = sinp
+        x_next = _denoise_step(
+            carry,
+            step_key if needs_key else None,
+            n_transfer,
+            block_logits_fn,
+            block_end,
+            cfg,
+        )
+        return x_next, (x_next if collect_states else None)
+
+    return jax.lax.scan(step, x, (step_keys, transfers.T))
 
 
 def _block_key_schedule(key, num_blocks: int, spb: int):
@@ -277,20 +345,10 @@ def _generate_scan(
                 cfg, window_forward_fn, prompt_index
             )
 
-        def step(carry, sinp):
-            step_key, n_transfer = sinp
-            x_next = _denoise_step(
-                carry,
-                step_key if needs_key else None,
-                n_transfer,
-                block_logits_fn,
-                block_end,
-                cfg,
-            )
-            return x_next, (x_next if collect_states else None)
-
-        x, states = jax.lax.scan(step, x, (step_keys, transfers.T))
-        return x, states
+        return _run_block_steps(
+            cfg, x, block_logits_fn, block_end, step_keys, transfers,
+            needs_key, collect_states,
+        )
 
     block_idx = jnp.arange(nb, dtype=jnp.int32)
     x, states = jax.lax.scan(block_body, x, (block_idx, block_keys))
@@ -368,21 +426,10 @@ def run_block_eager(
             cfg, window_forward_fn, prompt_index
         )
 
-    def step(carry, inp):
-        step_key, n_transfer = inp
-        return (
-            _denoise_step(
-                carry,
-                step_key if needs_key else None,
-                n_transfer,
-                block_logits_fn,
-                block_end,
-                cfg,
-            ),
-            None,
-        )
-
-    x, _ = jax.lax.scan(step, x, (step_keys, transfers.T))
+    x, _ = _run_block_steps(
+        cfg, x, block_logits_fn, block_end, step_keys, transfers,
+        needs_key, collect_states=False,
+    )
     return x
 
 

@@ -54,6 +54,7 @@ def _jit_text(model, prompts, settings, key):
         remasking=settings.remasking,
         key=key if settings.stochastic else None,
         block_kv_cache=settings.block_kv_cache,
+        parallel_threshold=settings.parallel_threshold,
     )
 
 
@@ -77,6 +78,7 @@ def _jit_text_per_row_keys(model, prompts, settings, keys):
             remasking=settings.remasking,
             key=k,
             block_kv_cache=settings.block_kv_cache,
+            parallel_threshold=settings.parallel_threshold,
         )[0]
 
     return jax.vmap(row, in_axes=(0, 0))(prompts, keys)
@@ -107,6 +109,7 @@ class TextSettings:
     cfg_scale: float = 0.0
     remasking: str = "low_confidence"  # or 'random'
     block_kv_cache: bool = False       # approximate cached decode (opt-in)
+    parallel_threshold: float = 0.0    # confidence-parallel commits (opt-in)
 
     @property
     def stochastic(self) -> bool:
