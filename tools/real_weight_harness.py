@@ -305,12 +305,41 @@ def main(argv):
         (c_text[:, rng_ids.shape[1]:] == text_out[:, rng_ids.shape[1]:]).mean()
     )
     t2i_agree = float((c_t2i == t2i_out).mean())
+
+    # confidence-parallel decoding at the recommended τ=0.9: agreement vs
+    # the exact sampler plus the wall-clock speedup actually realized on
+    # these weights (step count is data-dependent — time IS the metric)
+    par_fn = jax.jit(
+        lambda m, p: m.generate(p, gen_length=gen_len, steps=steps,
+                                block_length=block, temperature=0.0,
+                                parallel_threshold=0.9)
+    )
+    p_text = np.asarray(par_fn(model, rng_ids))       # compile
+    t0 = time.perf_counter()
+    np.asarray(par_fn(model, rng_ids))
+    par_dt = time.perf_counter() - t0
+    exact_fn = jax.jit(
+        lambda m, p: m.generate(p, gen_length=gen_len, steps=steps,
+                                block_length=block, temperature=0.0)
+    )
+    np.asarray(exact_fn(model, rng_ids))
+    t0 = time.perf_counter()
+    np.asarray(exact_fn(model, rng_ids))
+    exact_dt = time.perf_counter() - t0
+    par_agree = float(
+        (p_text[:, rng_ids.shape[1]:] == text_out[:, rng_ids.shape[1]:]).mean()
+    )
+
     report["stages"]["kv_cache_gate"] = {
         "ok": True,
         "text_decode_agreement": text_agree,
         "t2i_decode_agreement": t2i_agree,
         "promote_kv_cache": bool(text_agree >= 0.95 and t2i_agree >= 0.90),
         "thresholds": {"text": 0.95, "t2i": 0.90},
+        "parallel_tau": 0.9,
+        "parallel_text_agreement": par_agree,
+        "parallel_speedup_vs_exact": float(exact_dt / max(par_dt, 1e-9)),
+        "promote_parallel": bool(par_agree >= 0.95),
     }
 
     # -------------------------------------------------------------- 6. bench
