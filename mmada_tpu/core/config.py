@@ -209,15 +209,25 @@ def load_config(
     `python train.py config=path.yaml a.b=1` (training/utils.py:12-17)."""
     argv = list(cli_args if cli_args is not None else [])
     kv = [a for a in argv if "=" in a]
+    topology = None
     for item in kv:
         k, _, v = item.partition("=")
         if k == "config" and path is None:
             path = v
-    kv = [a for a in kv if not a.startswith("config=")]
+        elif k == "topology":
+            # topology fragment (configs/topologies/*.yaml) merged over the
+            # base config — the reference's `accelerate launch
+            # --config_file accelerate_configs/*.yaml` analog: the model/
+            # data config stays fixed while the launch topology swaps
+            topology = v
+    kv = [a for a in kv
+          if not (a.startswith("config=") or a.startswith("topology="))]
 
     cfg = Config()
     if path:
         cfg.merge(_load_yaml_with_base(path))
+    if topology:
+        cfg.merge(_load_yaml_with_base(topology))
     if overrides:
         cfg.merge(parse_overrides(overrides))
     if kv:

@@ -88,3 +88,21 @@ def test_initialize_distributed_single_process_is_safe():
     from mmada_tpu.core.mesh import initialize_distributed
 
     assert initialize_distributed() is False
+
+
+def test_topology_fragment_merge():
+    """`topology=configs/topologies/*.yaml` merges the launch topology over
+    the base config (the reference's `accelerate launch --config_file`
+    analog) while dotted CLI overrides still win last."""
+    from mmada_tpu.core.config import load_config
+
+    cfg = load_config(cli_args=[
+        "config=configs/tiny_test.yaml",
+        "topology=configs/topologies/v5e8_fsdp_tp.yaml",
+        "parallel.tensor=4",
+    ])
+    assert cfg.get_path("parallel.fsdp") == 4       # from the fragment
+    assert cfg.get_path("parallel.tensor") == 4     # CLI override wins
+    assert cfg.get_path("parallel.serving") == "auto"
+    # base config survives the merge
+    assert cfg.get_path("model.mmada.num_vq_tokens") is not None

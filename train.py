@@ -279,6 +279,17 @@ def main(argv):
     from mmada_tpu.training.trainer import Trainer
 
     cfg = load_config(cli_args=argv)
+    if cfg.get_path("distributed.initialize", False):
+        # multi-host topologies (configs/topologies/multihost_*.yaml):
+        # coordinator/process info comes from the TPU runtime metadata
+        # unless explicitly pinned in the config
+        from mmada_tpu.core.mesh import initialize_distributed
+
+        initialize_distributed(
+            coordinator_address=cfg.get_path("distributed.coordinator", None),
+            num_processes=cfg.get_path("distributed.num_processes", None),
+            process_id=cfg.get_path("distributed.process_id", None),
+        )
     if cfg.get_path("training.task") == "t2m":
         return train_t2m(cfg)
     model, vq_params, vq_cfg, tokenizer, prompting, vocab = load_all(cfg)
