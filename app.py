@@ -419,8 +419,11 @@ def run_gradio(state: AppState, port: int):  # pragma: no cover - optional dep
         with gr.Tab("Image Understanding"):
             img_in = gr.Image(label="Image", type="numpy")
             q = gr.Textbox(label="Question")
+            fast = gr.Checkbox(
+                label="Fast decode (block-KV cache — approximate)"
+            )
             a = gr.Textbox(label="Answer")
-            def _mmu_ui(i, qq):
+            def _mmu_ui(i, qq, f):
                 if i is None:
                     return "(no image provided)"
                 from PIL import Image as _Image
@@ -431,9 +434,9 @@ def run_gradio(state: AppState, port: int):  # pragma: no cover - optional dep
                     state.cfg.get_path("dataset.preprocessing.resolution", 512)
                 )
                 pixels = image_transform(_Image.fromarray(i), res)
-                return state.mmu(pixels, qq)
+                return state.mmu(pixels, qq, kv_cache=bool(f))
 
-            gr.Button("Ask").click(_mmu_ui, [img_in, q], a)
+            gr.Button("Ask").click(_mmu_ui, [img_in, q, fast], a)
     demo.launch(server_port=port)
 
 

@@ -555,6 +555,20 @@ def _head(
 # Block-cached decode (Fast-dLLM-style DualCache for semi-AR sampling)
 # --------------------------------------------------------------------------
 
+def _quantize_kv(t: jax.Array):
+    """Per-(batch, head, position) symmetric int8 quantization of a K/V
+    tensor `(B, H, L, D)` — one fp32 scale per 128-wide head vector.
+    Halves the cache's HBM footprint (the batch-8+CFG cached t2i fits
+    because of this); measured per-value error ~0.4% of the vector amax."""
+    amax = jnp.max(jnp.abs(t.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.round(t.astype(jnp.float32) / scale).astype(jnp.int8)
+    return q, scale
+
+
+def _dequantize_kv(q: jax.Array, scale: jax.Array, dtype) -> jax.Array:
+    return (q.astype(jnp.float32) * scale).astype(dtype)
+
 def forward_kv_capture(
     params: Params,
     cfg: LLaDAConfig,
@@ -565,6 +579,7 @@ def forward_kv_capture(
     mesh=None,
     tp_axis: str = "tensor",
     drop_span: Optional[tuple[int, int]] = None,
+    cache_dtype: Optional[str] = None,
 ):
     """Run the backbone over the full sequence and return per-layer
     post-RoPE K and V — `(k, v)`, each `(n_layers, B, kv_heads, L, head_dim)`
@@ -585,6 +600,10 @@ def forward_kv_capture(
     span is static (MaskGIT t2i/t2m) never needs them cached. At the t2i
     bench shape this is a 3x cache-memory cut (1536 -> 512 positions),
     the difference between fitting HBM and OOM at batch 4 + CFG.
+
+    `cache_dtype='int8'` stores the cache quantized (per-head-vector
+    scales, `_quantize_kv`) — another 2x HBM cut on top of `drop_span`;
+    `forward_kv_step` dequantizes per layer in the step.
     """
     x = params["wte"][input_ids].astype(policy.compute_dtype)
     if cfg.input_emb_norm:
@@ -602,6 +621,8 @@ def forward_kv_capture(
                 jnp.concatenate([t[:, :, :lo], t[:, :, hi:]], axis=2)
                 for t in kv
             )
+        if cache_dtype == "int8":
+            kv = tuple(_quantize_kv(t) for t in kv)
         return h, kv
 
     if remat:
@@ -638,8 +659,10 @@ def forward_kv_step(
     Cost per step ≈ blk/L of the dense forward + O(blk·L) attention,
     instead of the full O(L) forward the uncached sampler pays."""
     k_cache, v_cache = kv_cache
+    quantized = isinstance(k_cache, tuple)
+    cache_len = (k_cache[0] if quantized else k_cache).shape[3]
     blk = block_ids.shape[1]
-    seq_len = k_cache.shape[3] + (blk if cache_is_compact else 0)
+    seq_len = cache_len + (blk if cache_is_compact else 0)
 
     x = params["wte"][block_ids].astype(policy.compute_dtype)
     if cfg.input_emb_norm:
@@ -651,6 +674,9 @@ def forward_kv_step(
 
     def body(carry, xs):
         lp, kc, vc = xs
+        if quantized:
+            kc = _dequantize_kv(*kc, dtype=carry.dtype)
+            vc = _dequantize_kv(*vc, dtype=carry.dtype)
         h = _norm(cfg, carry, lp.get("attn_norm"))
         q, k, v = _qkv(cfg, lp, h)
         q, k = apply_rope(

@@ -35,6 +35,12 @@ from mmada_tpu.sampling import text as text_sampling
 from mmada_tpu.sampling.schedules import cosine_schedule
 
 
+def _cache_dtype(block_kv_cache):
+    """Sampler flag -> cache dtype: False/True = compute dtype, 'int8' =
+    quantized cache (llada._quantize_kv; 2x less cache HBM)."""
+    return "int8" if block_kv_cache == "int8" else None
+
+
 @functools.partial(jax.jit, static_argnames=("block_cfg", "kv_cached"))
 def _early_stop_block(model, x, prompt_index, block_end, step_keys,
                       transfers, block_cfg, kv_cached=False):
@@ -45,7 +51,7 @@ def _early_stop_block(model, x, prompt_index, block_end, step_keys,
     if kv_cached:
         return text_sampling.run_block_eager(
             block_cfg, x, prompt_index, block_end, step_keys, transfers,
-            cache_fns=model._text_cache_fns(),
+            cache_fns=model._text_cache_fns(_cache_dtype(kv_cached)),
         )
     return text_sampling.run_block_eager(
         block_cfg, x, prompt_index, block_end, step_keys, transfers,
@@ -148,7 +154,7 @@ class MMadaModel:
             return self.forward(tokens, logit_positions=(start, block_length))
         return fn
 
-    def _text_cache_fns(self):
+    def _text_cache_fns(self, cache_dtype=None):
         """Block-KV-cached decode fns (Fast-dLLM-style DualCache, see
         llada.forward_kv_capture/forward_kv_step): capture full-sequence
         per-layer K/V once per block, then forward only the block's tokens
@@ -169,6 +175,7 @@ class MMadaModel:
             return llada.forward_kv_capture(
                 self.params, self.cfg, tokens, policy=self.policy,
                 attn_impl=self.attn_impl, mesh=self.mesh,
+                cache_dtype=cache_dtype,
             )
 
         def step(block_tokens, kv, block_start):
@@ -179,7 +186,8 @@ class MMadaModel:
 
         return capture, step
 
-    def _span_cache_fns(self, window: tuple[int, int], num_tokens: int):
+    def _span_cache_fns(self, window: tuple[int, int], num_tokens: int,
+                        cache_dtype=None):
         """Cache fns whose step evaluates the head over the given vocab
         window only (image / motion logits) — for the MaskGIT samplers,
         where the cached span is the image/motion token run and the frozen
@@ -195,6 +203,7 @@ class MMadaModel:
                 self.params, self.cfg, tokens, policy=self.policy,
                 attn_impl=self.attn_impl, mesh=self.mesh,
                 drop_span=(lo, lo + num_tokens),
+                cache_dtype=cache_dtype,
             )
 
         def step(span_tokens, kv, span_start):
@@ -235,7 +244,8 @@ class MMadaModel:
         )
         if block_kv_cache:
             return text_sampling.generate(
-                None, prompt, scfg, key=key, cache_fns=self._text_cache_fns()
+                None, prompt, scfg, key=key,
+                cache_fns=self._text_cache_fns(_cache_dtype(block_kv_cache)),
             )
         return text_sampling.generate(
             None, prompt, scfg, key=key,
@@ -255,7 +265,8 @@ class MMadaModel:
         )
         if block_kv_cache:
             return text_sampling.generate_stepwise(
-                None, prompt, scfg, key=key, cache_fns=self._text_cache_fns()
+                None, prompt, scfg, key=key,
+                cache_fns=self._text_cache_fns(_cache_dtype(block_kv_cache)),
             )
         return text_sampling.generate_stepwise(
             None, prompt, scfg, key=key,
@@ -330,7 +341,8 @@ class MMadaModel:
             attention_mask=attention_mask,
             uncond_attention_mask=uncond_attention_mask,
             cache_fns=(self._span_cache_fns(self.vocab.image_window,
-                                               num_vq_tokens)
+                                               num_vq_tokens,
+                                               _cache_dtype(block_kv_cache))
                        if block_kv_cache else None),
         )
 
@@ -355,7 +367,8 @@ class MMadaModel:
         fwd = self._window_forward_fn(num_motion_tokens, window)
         return motion_sampling.t2m_generate(
             fwd, input_ids, mcfg, key=key, attention_mask=attention_mask,
-            cache_fns=(self._span_cache_fns(window, num_motion_tokens)
+            cache_fns=(self._span_cache_fns(window, num_motion_tokens,
+                                               _cache_dtype(block_kv_cache))
                        if block_kv_cache else None),
         )
 

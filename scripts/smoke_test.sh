@@ -8,8 +8,13 @@ cd "$(dirname "$0")/.."
 
 PY="python"
 
-echo "== unit tests =="
-$PY -m pytest tests/ -x -q
+if [[ "${SMOKE_FULL:-}" == "1" ]]; then
+  # the suite has grown past 10 minutes; it is its own documented gate
+  # (`python -m pytest tests/ -x -q`), so the smoke default drives the
+  # pipeline surfaces only. SMOKE_FULL=1 restores the all-in-one run.
+  echo "== unit tests =="
+  $PY -m pytest tests/ -x -q
+fi
 
 echo "== tiny multi-task training (4 steps + validation hook) =="
 $PY - <<'PYEOF'

@@ -204,6 +204,59 @@ def test_t2m_cached_single_step_exact():
     np.testing.assert_array_equal(np.asarray(exact), np.asarray(cached))
 
 
+def test_int8_cache_close_to_fp32_cache():
+    """Quantized (int8) cache: step logits stay close to the full-precision
+    cache's (per-head-vector scales bound the error), and the cache leaves
+    really are int8 at half the bytes."""
+    m, _ = _model()
+    tokens = jax.random.randint(jax.random.key(30), (2, 48), 3, 200)
+    block_start, blk = 32, 16
+
+    kv = llada.forward_kv_capture(m.params, m.cfg, tokens)
+    kv8 = llada.forward_kv_capture(m.params, m.cfg, tokens,
+                                   cache_dtype="int8")
+    assert kv8[0][0].dtype == jnp.int8 and kv8[1][0].dtype == jnp.int8
+    assert kv8[0][0].nbytes * 4 == kv[0].nbytes  # fp32 ref -> 4x bytes
+
+    ref = llada.forward_kv_step(
+        m.params, m.cfg, tokens[:, block_start:block_start + blk], kv,
+        jnp.int32(block_start),
+    )
+    got = llada.forward_kv_step(
+        m.params, m.cfg, tokens[:, block_start:block_start + blk], kv8,
+        jnp.int32(block_start),
+    )
+    ref, got = np.asarray(ref), np.asarray(got)
+    # int8 K/V perturbs logits slightly; argmax should essentially agree
+    agree = (ref.argmax(-1) == got.argmax(-1)).mean()
+    assert agree >= 0.95, f"int8-cache argmax agreement {agree:.3f}"
+    denom = np.abs(ref).mean()
+    assert np.abs(ref - got).mean() / denom < 0.05
+
+
+def test_int8_cache_generate_completes():
+    m, vl = _model()
+    prompt = jax.random.randint(jax.random.key(31), (2, 8), 3, 200)
+    out = np.asarray(m.generate(prompt, gen_length=32, steps=8,
+                                block_length=16, temperature=0.0,
+                                block_kv_cache="int8"))
+    assert out.shape == (2, 40)
+    np.testing.assert_array_equal(out[:, :8], np.asarray(prompt))
+    assert (out != vl.mask_token_id).all()
+
+
+def test_int8_cache_t2i_completes():
+    m, vl = _model()
+    frame, uncond = _t2i_frame(m, vl)
+    out = np.asarray(m.t2i_generate(
+        frame, uncond_input_ids=uncond, timesteps=4, guidance_scale=1.5,
+        temperature=0.0, num_vq_tokens=16, greedy=True,
+        key=jax.random.key(32), block_kv_cache="int8",
+    ))
+    assert out.shape == (2, 16)
+    assert ((out >= 0) & (out < vl.image_codebook_size)).all()
+
+
 def test_engine_cached_settings():
     """ServingEngine routes block_kv_cache settings through its jitted
     executors (text spb=1 path must match the exact engine result)."""
