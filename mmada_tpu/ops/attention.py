@@ -91,6 +91,84 @@ def apply_rope(
     return q.astype(dtype), k.astype(dtype)
 
 
+_INTERPRET = False  # test hook: run the kernel tiers in interpret mode
+
+
+def _pallas_tiers(q, k, v, bias, rope_sin, rope_cos):
+    """Kernel tier dispatch (shapes are static — jit-safe control flow)."""
+    from mmada_tpu.ops.flash_attention import (
+        flash_attention,
+        flash_attention_online,
+        flash_attention_staged,
+    )
+
+    has_rope = rope_sin is not None
+    if q.shape[2] > 4096:
+        # one-pass kernel's (block_q, L) score tile outgrows VMEM.
+        # Online variant keeps K/V whole in VMEM (fine to ~16k); the
+        # staged variant streams K/V AND bias per (block_q, block_k)
+        # tile, so biased or very long sequences are unbounded. These
+        # tiers still require 128-aligned L (the one-pass tier pads
+        # internally; long-context callers control their shapes).
+        if q.shape[2] % 128:
+            if has_rope:
+                q, k = apply_rope(q, k, rope_sin, rope_cos)
+            return xla_attention(q, k, v, bias=bias)
+        if has_rope:
+            q, k = apply_rope(q, k, rope_sin, rope_cos)
+        if bias is not None or q.shape[2] > 16384:
+            return flash_attention_staged(q, k, v, bias=bias,
+                                          interpret=_INTERPRET)
+        return flash_attention_online(q, k, v, bias=bias,
+                                      interpret=_INTERPRET)
+    return flash_attention(
+        q, k, v, bias=bias,
+        rope_sin=rope_sin if has_rope else None,
+        rope_cos=rope_cos if has_rope else None,
+        interpret=_INTERPRET,
+    )
+
+
+@jax.custom_vjp
+def _pallas_attention(q, k, v, bias, rope_sin, rope_cos):
+    """Differentiable Pallas attention: kernel forward, XLA-recompute
+    backward. `pallas_call` has no reverse-mode rule, so without this a
+    training step whose shapes are kernel-eligible (any 8B seq after the
+    unaligned-length support) fails linearization. The backward recomputes
+    attention with the XLA reference — mathematically the kernels' exact
+    function (fp32 softmax, same rope) and the same cost the fully-XLA
+    training step paid before; the forward keeps the kernel win."""
+    return _pallas_tiers(q, k, v, bias, rope_sin, rope_cos)
+
+
+def _pallas_attention_fwd(q, k, v, bias, rope_sin, rope_cos):
+    out = _pallas_tiers(q, k, v, bias, rope_sin, rope_cos)
+    return out, (q, k, v, bias, rope_sin, rope_cos)
+
+
+def _pallas_attention_bwd(res, ct):
+    q, k, v, bias, rope_sin, rope_cos = res
+
+    def ref(q_, k_, v_):
+        qq, kk = q_, k_
+        if rope_sin is not None:
+            qq, kk = apply_rope(q_, k_, rope_sin, rope_cos)
+        return xla_attention(qq, kk, v_, bias=bias,
+                             softmax_dtype=jnp.float32)
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    dq, dk, dv = vjp(ct)
+    # bias is mask-derived and rope tables are position functions — no
+    # gradient flows to either
+    return (dq, dk, dv,
+            None if bias is None else jnp.zeros_like(bias),
+            None if rope_sin is None else jnp.zeros_like(rope_sin),
+            None if rope_cos is None else jnp.zeros_like(rope_cos))
+
+
+_pallas_attention.defvjp(_pallas_attention_fwd, _pallas_attention_bwd)
+
+
 def bidirectional_attention(
     q: jax.Array,
     k: jax.Array,
@@ -104,45 +182,21 @@ def bidirectional_attention(
     """Dispatch to the configured attention implementation.
 
     impl: 'auto' | 'xla' | 'pallas'. 'auto' picks pallas on TPU when shapes
-    are tile-aligned, else xla.
+    are tile-aligned, else xla. The pallas path is differentiable
+    (`_pallas_attention`: kernel forward, XLA-recompute backward).
 
     When `rope_sin`/`rope_cos` are given, q/k arrive UN-roped and the
     rotation happens here: fused into the one-pass Pallas kernel when that
     tier is selected (fp32 math in VMEM, ~5% forward saving at flagship
     shapes), or as the standalone fp32 `apply_rope` pass otherwise.
     """
-    has_rope = rope_sin is not None
     if impl == "pallas" or (impl == "auto" and _pallas_eligible(q, k, bias)):
-        from mmada_tpu.ops.flash_attention import (
-            flash_attention,
-            flash_attention_online,
-            flash_attention_staged,
-        )
-
-        if q.shape[2] > 4096:
-            # one-pass kernel's (block_q, L) score tile outgrows VMEM.
-            # Online variant keeps K/V whole in VMEM (fine to ~16k); the
-            # staged variant streams K/V AND bias per (block_q, block_k)
-            # tile, so biased or very long sequences are unbounded. These
-            # tiers still require 128-aligned L (the one-pass tier pads
-            # internally; long-context callers control their shapes).
-            if q.shape[2] % 128:
-                if has_rope:
-                    q, k = apply_rope(q, k, rope_sin, rope_cos)
-                return xla_attention(
-                    q, k, v, bias=bias, softmax_dtype=softmax_dtype
-                )
-            if has_rope:
-                q, k = apply_rope(q, k, rope_sin, rope_cos)
-            if bias is not None or q.shape[2] > 16384:
-                return flash_attention_staged(q, k, v, bias=bias)
-            return flash_attention_online(q, k, v, bias=bias)
-        return flash_attention(
-            q, k, v, bias=bias,
-            rope_sin=rope_sin if has_rope else None,
-            rope_cos=rope_cos if has_rope else None,
-        )
-    if has_rope:
+        if bias is not None and bias.dtype == jnp.bool_:
+            # float form up-front so the custom-vjp residuals carry one
+            # consistent dtype (the kernels do this conversion anyway)
+            bias = jnp.where(bias, 0.0, NEG_INF).astype(jnp.float32)
+        return _pallas_attention(q, k, v, bias, rope_sin, rope_cos)
+    if rope_sin is not None:
         q, k = apply_rope(q, k, rope_sin, rope_cos)
     return xla_attention(q, k, v, bias=bias, softmax_dtype=softmax_dtype)
 
