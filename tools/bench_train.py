@@ -1,0 +1,97 @@
+"""On-chip training-step throughput at the stage-1 operating shape.
+
+The reference's only training-perf instrument is the (unpublished)
+`samples/sec/gpu` wandb log (train_mmada.py:665-674). This prints the
+analogous number for one chip: fwd+bwd+update over the stage-1 multi-task
+batch shape (7 t2i + 2 lm + 6 mmu rows = batch 15, seq 388) at flagship
+width, remat on, bf16 params, SGD (optimizer choice does not affect the
+fwd/bwd that dominates).
+
+    python tools/bench_train.py            # 8 layers (fits one chip)
+    python tools/bench_train.py layers=16
+
+Measured (v5e, 8L): 18.3 samples/s round 1 (XLA attention) -> 21.4 with
+the differentiable Pallas forward (BASELINE.md round-2c).
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def main(argv):
+    args = dict(a.split("=", 1) for a in argv if "=" in a)
+    n_layers = int(args.get("layers", 8))
+    batch, seq = int(args.get("batch", 15)), int(args.get("seq", 388))
+    steps = int(args.get("steps", 8))
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from mmada_tpu.core.precision import BF16
+    from mmada_tpu.core.vocab import MMADA_8B
+    from mmada_tpu.models import llada
+    from mmada_tpu.models.mmada import MMadaModel
+
+    cfg = llada.LLaDAConfig(
+        d_model=4096, n_heads=32, n_layers=n_layers, mlp_hidden_size=12288,
+        vocab_size=MMADA_8B.total_vocab_size,
+        embedding_size=MMADA_8B.total_vocab_size,
+        max_sequence_length=2048, rope_theta=500000.0,
+    )
+    params = jax.jit(
+        lambda k: llada.init_params(k, cfg, dtype=jnp.bfloat16)
+    )(jax.random.key(0))
+
+    def sync(x):
+        return float(jax.device_get(x.sum()))
+
+    sync(params["ln_f"])
+
+    ids = jax.random.randint(jax.random.key(1), (batch, seq), 3, 100000, jnp.int32)
+    labels = jax.random.randint(jax.random.key(2), (batch, seq), 3, 100000, jnp.int32)
+    masked = jax.random.bernoulli(jax.random.key(3), 0.5, (batch, seq))
+
+    opt = optax.sgd(1e-4)
+    opt_state = jax.jit(opt.init)(params)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, ids, labels, masked):
+        def loss_fn(p):
+            m = MMadaModel(cfg=cfg, params=p, vocab=MMADA_8B,
+                           policy=BF16, remat=True)
+            logits = m.forward(ids).astype(jnp.float32)
+            ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+            return (ce * masked).sum() / masked.sum()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return loss, optax.apply_updates(params, updates), opt_state
+
+    t0 = time.time()
+    loss, params, opt_state = step(params, opt_state, ids, labels, masked)
+    sync(loss)
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    for _ in range(steps):
+        loss, params, opt_state = step(params, opt_state, ids, labels, masked)
+    sync(loss)
+    dt = time.time() - t0
+
+    print(json.dumps({
+        "train_samples_per_s": round(batch * steps / dt, 2),
+        "step_ms": round(1000 * dt / steps, 1),
+        "layers": n_layers, "batch": batch, "seq": seq,
+        "compile_s": round(compile_s, 1),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
