@@ -257,6 +257,8 @@ class AppState:
 def run_http(state: AppState, port: int):
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+    from mmada_tpu.core.config import parse_kv_cache
+
     from PIL import Image
 
     class Handler(BaseHTTPRequestHandler):
@@ -304,7 +306,7 @@ def run_http(state: AppState, port: int):
                         remasking=req.get("remasking", "low_confidence"),
                         thinking=bool(req.get("thinking", False)),
                         seed=int(req.get("seed", 0)),
-                        kv_cache=bool(req.get("kv_cache", False)),
+                        kv_cache=parse_kv_cache(req.get("kv_cache", False)),
                         parallel_threshold=float(
                             req.get("parallel_threshold", 0.0)),
                     )
@@ -328,7 +330,7 @@ def run_http(state: AppState, port: int):
                         guidance_scale=float(req.get("guidance_scale", 3.5)),
                         temperature=float(req.get("temperature", 1.0)),
                         seed=int(req.get("seed", 0)),
-                        kv_cache=bool(req.get("kv_cache", False)),
+                        kv_cache=parse_kv_cache(req.get("kv_cache", False)),
                     )
                     buf = io.BytesIO()
                     Image.fromarray(arr).save(buf, format="PNG")
@@ -368,7 +370,7 @@ def run_http(state: AppState, port: int):
                         cfg_scale=float(req.get("cfg_scale", 0.0)),
                         remasking=req.get("remasking", "low_confidence"),
                         seed=int(req.get("seed", 0)),
-                        kv_cache=bool(req.get("kv_cache", False)),
+                        kv_cache=parse_kv_cache(req.get("kv_cache", False)),
                         parallel_threshold=float(
                             req.get("parallel_threshold", 0.0)),
                     )

@@ -26,7 +26,8 @@ def main(argv):
     block_length = int(cfg.get("block_length", gen_length))
     temperature = float(cfg.get("temperature", 0.0))
     cfg_scale = float(cfg.get("cfg_scale", 0.0))
-    kv_cache = bool(cfg.get("kv_cache", False))
+    from mmada_tpu.core.config import parse_kv_cache
+    kv_cache = parse_kv_cache(cfg.get("kv_cache", False))
     parallel_threshold = float(cfg.get("parallel_threshold", 0.0))
     seed = int(cfg.get("seed", 0))
 

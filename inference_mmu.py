@@ -29,7 +29,8 @@ def main(argv):
     steps = int(cfg.get("steps", max_new_tokens // 2))
     block_length = int(cfg.get("block_length", max_new_tokens))
     resolution = int(cfg.get_path("dataset.preprocessing.resolution", 512))
-    kv_cache = bool(cfg.get("kv_cache", False))
+    from mmada_tpu.core.config import parse_kv_cache
+    kv_cache = parse_kv_cache(cfg.get("kv_cache", False))
     parallel_threshold = float(cfg.get("parallel_threshold", 0.0))
     seed = int(cfg.get("seed", 0))
 

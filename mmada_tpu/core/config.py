@@ -241,6 +241,24 @@ def get_config() -> Config:
     return load_config(cli_args=sys.argv[1:])
 
 
+def parse_kv_cache(value):
+    """CLI/HTTP `kv_cache` values -> False | True | "int8".
+
+    `bool("int8")` is True, which would silently downgrade the quantized
+    cache to the full-precision one — every serving surface routes the
+    flag through here instead."""
+    if isinstance(value, str):
+        v = value.strip().lower()
+        if v == "int8":
+            return "int8"
+        if v in ("1", "true", "yes", "on"):
+            return True
+        if v in ("0", "false", "no", "off", ""):
+            return False
+        raise ValueError(f"kv_cache must be true/false/int8, got {value!r}")
+    return "int8" if value == "int8" else bool(value)
+
+
 def parse_structured(cls, cfg: Mapping[str, Any]):
     """Config section → dataclass instance, ignoring unknown keys
     (the reference's `models/misc.py:parse_structured` contract)."""

@@ -448,8 +448,9 @@ def forward(
     tp_axis: str = "tensor",
 ):
     """Compute logits `(B, L, V)` (or `(B, L, window)` with `logit_window`;
-    `logit_positions=(start, stop)` additionally restricts the head to that
-    position span, returning `(B, stop-start, ...)`).
+    `logit_positions=(start, length)` additionally restricts the head to
+    that position span, returning `(B, length, ...)`; `start` may be a
+    Python int or a traced scalar).
 
     Equivalent to `LLaDAModel.forward` (modeling_llada.py:1161-1366) minus
     the KV-cache/causal paths that MDM forbids.
@@ -507,15 +508,11 @@ def forward(
         # denoise loops only consume a contiguous span's logits (the image /
         # motion window, or the semi-AR current block): slice the hidden
         # states BEFORE the final norm and vocab-head matmul, skipping their
-        # FLOPs and HBM traffic for the positions outside the span. Static
-        # form: (start, stop) Python ints = [start, stop). Dynamic form: a
-        # TRACED start with a static LENGTH — (start_array, length) — for
-        # spans that move inside a scan (the semi-AR block loop).
-        p_start, p_stop = logit_positions
-        if isinstance(p_start, jax.Array):
-            x = jax.lax.dynamic_slice_in_dim(x, p_start, p_stop, axis=1)
-        else:
-            x = x[:, p_start:p_stop]
+        # FLOPs and HBM traffic for the positions outside the span. One
+        # convention for both forms — (start, LENGTH), where start may be a
+        # Python int or a traced scalar (spans that move inside a scan).
+        p_start, p_len = logit_positions
+        x = jax.lax.dynamic_slice_in_dim(x, p_start, p_len, axis=1)
 
     x = _norm(cfg, x, params["ln_f"])
     logits = _head(params, cfg, x, logit_window, policy)

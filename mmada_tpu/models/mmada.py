@@ -154,13 +154,7 @@ class MMadaModel:
             return self.forward(tokens, logit_positions=(start, block_length))
         return fn
 
-    def _text_cache_fns(self, cache_dtype=None):
-        """Block-KV-cached decode fns (Fast-dLLM-style DualCache, see
-        llada.forward_kv_capture/forward_kv_step): capture full-sequence
-        per-layer K/V once per block, then forward only the block's tokens
-        per denoise step. APPROXIMATE (out-of-block K/V frozen within a
-        block; exact at steps_per_block=1) — opt-in via the samplers'
-        `block_kv_cache=True`."""
+    def _validate_kv_cache_support(self):
         if self.pipeline_axis is not None:
             raise ValueError(
                 "block_kv_cache is not supported under pipeline serving"
@@ -170,6 +164,15 @@ class MMadaModel:
                 "block_kv_cache supports only the no-bias "
                 "(checkpoint-faithful) attention path"
             )
+
+    def _text_cache_fns(self, cache_dtype=None):
+        """Block-KV-cached decode fns (Fast-dLLM-style DualCache, see
+        llada.forward_kv_capture/forward_kv_step): capture full-sequence
+        per-layer K/V once per block, then forward only the block's tokens
+        per denoise step. APPROXIMATE (out-of-block K/V frozen within a
+        block; exact at steps_per_block=1) — opt-in via the samplers'
+        `block_kv_cache=True`."""
+        self._validate_kv_cache_support()
 
         def capture(tokens):
             return llada.forward_kv_capture(
@@ -195,7 +198,7 @@ class MMadaModel:
         static (`L - num_tokens - 1`), so the capture drops it from the
         cache entirely (compact form — 3x less cache HBM at the t2i bench
         shape) and the step concatenates its fresh K/V instead."""
-        self._text_cache_fns()  # shared pipeline/bias validation
+        self._validate_kv_cache_support()
 
         def capture(tokens):
             lo = tokens.shape[1] - (num_tokens + 1)
@@ -222,7 +225,7 @@ class MMadaModel:
             seq_len = tokens.shape[1]
             return self.forward(
                 tokens, attention_mask=attention_mask, logit_window=window,
-                logit_positions=(seq_len - (num_tokens + 1), seq_len - 1),
+                logit_positions=(seq_len - (num_tokens + 1), num_tokens),
             )
         return fn
 
@@ -297,7 +300,7 @@ class MMadaModel:
             parallel_threshold=parallel_threshold,
         )
         if block_kv_cache:
-            self._text_cache_fns()  # raise early on unsupported configs
+            self._validate_kv_cache_support()  # raise before the block loop
 
         # model passes as a jit ARGUMENT through the module-level runner:
         # `block_end` is traced, so one executable serves every block of

@@ -109,11 +109,9 @@ def _pallas_tiers(q, k, v, bias, rope_sin, rope_cos):
         # staged variant streams K/V AND bias per (block_q, block_k)
         # tile, so biased or very long sequences are unbounded. These
         # tiers still require 128-aligned L (the one-pass tier pads
-        # internally; long-context callers control their shapes).
-        if q.shape[2] % 128:
-            if has_rope:
-                q, k = apply_rope(q, k, rope_sin, rope_cos)
-            return xla_attention(q, k, v, bias=bias)
+        # internally; long-context callers control their shapes; the
+        # unaligned case is routed to XLA at dispatch level so the
+        # caller's softmax_dtype is honored there).
         if has_rope:
             q, k = apply_rope(q, k, rope_sin, rope_cos)
         if bias is not None or q.shape[2] > 16384:
@@ -190,7 +188,12 @@ def bidirectional_attention(
     tier is selected (fp32 math in VMEM, ~5% forward saving at flagship
     shapes), or as the standalone fp32 `apply_rope` pass otherwise.
     """
-    if impl == "pallas" or (impl == "auto" and _pallas_eligible(q, k, bias)):
+    kernel_wanted = impl == "pallas" or (
+        impl == "auto" and _pallas_eligible(q, k, bias)
+    )
+    if kernel_wanted and q.shape[2] > 4096 and q.shape[2] % 128:
+        kernel_wanted = False  # no 128-aligned tier exists past the one-pass range
+    if kernel_wanted:
         if bias is not None and bias.dtype == jnp.bool_:
             # float form up-front so the custom-vjp residuals carry one
             # consistent dtype (the kernels do this conversion anyway)

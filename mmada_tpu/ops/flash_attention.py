@@ -451,7 +451,10 @@ def flash_attention(
             bias, ((0, 0), (0, 0), (0, lq - lq_in), (0, lk - lk_in)),
             constant_values=True if bias.dtype == jnp.bool_ else 0.0,
         )
-    if rope_sin is not None and lq != lk:
+    if rope_sin is not None and lq_in != lk_in:
+        # compare INPUT lengths: rectangular q/k that pad up to the same
+        # tile must still be rejected, or trailing real keys would be
+        # rotated by the zero-padded table rows
         raise ValueError(
             "fused rope requires square attention (one (L, D) table for "
             "both q and k); rectangular callers pre-rotate"

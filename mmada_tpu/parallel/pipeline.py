@@ -64,7 +64,7 @@ def pipeline_forward(
     num_microbatches: Optional[int] = None,
     policy: Policy = FP32,
     logit_window: Optional[tuple[int, int]] = None,
-    logit_positions: Optional[tuple[int, int]] = None,
+    logit_positions: Optional[tuple[int, int]] = None,  # (start, length)
 ):
     """Logits equal to `llada.forward` (no bias path), computed with the
     block stack pipeline-parallel over `axis_name`. B must divide
@@ -150,8 +150,9 @@ def pipeline_forward(
 
     if logit_positions is not None:
         # same head-FLOP skip as llada.forward: only the consumed span
-        p_start, p_stop = logit_positions
-        x = x[:, p_start:p_stop]
+        # ((start, length) — llada.forward's shared convention)
+        p_start, p_len = logit_positions
+        x = jax.lax.dynamic_slice_in_dim(x, p_start, p_len, axis=1)
     x = llada._norm(cfg, x, params["ln_f"])
     head = params["wte"].T if cfg.weight_tying else params["ff_out"]
     if logit_window is not None:

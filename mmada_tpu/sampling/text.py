@@ -150,6 +150,13 @@ class SemiARConfig:
     'low_confidence' remasking (the threshold compares probabilities)."""
 
     def __post_init__(self):
+        if self.parallel_threshold > 0.0 and self.remasking != "low_confidence":
+            raise ValueError(
+                "parallel_threshold compares softmax confidences; with "
+                f"remasking={self.remasking!r} the per-step score is "
+                "uniform noise and the threshold would commit tokens by "
+                "coin-flip"
+            )
         if self.gen_length % self.block_length:
             raise ValueError("gen_length must be divisible by block_length")
         nb = self.gen_length // self.block_length

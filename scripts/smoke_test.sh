@@ -8,6 +8,9 @@ cd "$(dirname "$0")/.."
 
 PY="python"
 
+if [[ "${SMOKE_FULL:-}" != "1" ]]; then
+  echo "(unit suite skipped — run 'python -m pytest tests/ -x -q' separately or set SMOKE_FULL=1)"
+fi
 if [[ "${SMOKE_FULL:-}" == "1" ]]; then
   # the suite has grown past 10 minutes; it is its own documented gate
   # (`python -m pytest tests/ -x -q`), so the smoke default drives the

@@ -106,3 +106,19 @@ def test_topology_fragment_merge():
     assert cfg.get_path("parallel.serving") == "auto"
     # base config survives the merge
     assert cfg.get_path("model.mmada.num_vq_tokens") is not None
+
+
+def test_parse_kv_cache_flag():
+    """bool("int8") is True — the serving surfaces must route the flag
+    through parse_kv_cache so the quantized cache is actually reachable."""
+    from mmada_tpu.core.config import parse_kv_cache
+
+    assert parse_kv_cache("int8") == "int8"
+    assert parse_kv_cache("true") is True
+    assert parse_kv_cache("false") is False
+    assert parse_kv_cache(True) is True
+    assert parse_kv_cache(False) is False
+    assert parse_kv_cache("int8") != True or parse_kv_cache("int8") == "int8"
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        parse_kv_cache("quantized")

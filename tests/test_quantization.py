@@ -84,13 +84,13 @@ def test_position_windowed_head():
     params = llada.init_params(jax.random.key(0), cfg)
     ids = jnp.arange(16, dtype=jnp.int32)[None] % 100
     full = llada.forward(params, cfg, ids)
-    span = llada.forward(params, cfg, ids, logit_positions=(4, 12))
+    span = llada.forward(params, cfg, ids, logit_positions=(4, 8))
     np.testing.assert_array_equal(np.asarray(span), np.asarray(full[:, 4:12]))
 
     qparams = Q.quantize_llada_params(params)
     qfull = llada.forward(qparams, cfg, ids, logit_window=(32, 96))
     qspan = llada.forward(
-        qparams, cfg, ids, logit_window=(32, 96), logit_positions=(4, 12)
+        qparams, cfg, ids, logit_window=(32, 96), logit_positions=(4, 8)
     )
     np.testing.assert_array_equal(np.asarray(qspan), np.asarray(qfull[:, 4:12]))
 
