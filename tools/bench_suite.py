@@ -143,11 +143,48 @@ def bench_stochastic_serving(model):
           f"({solo*8/b8:.2f}x)", file=sys.stderr)
 
 
+def bench_cached(model):
+    """Opt-in fast-decode modes at the same operating points (PARITY.md
+    'block-KV-cached decode' / 'confidence-parallel decoding')."""
+    prompt = jnp.zeros((1, 64), jnp.int32) + 5
+
+    @jax.jit
+    def run_kv(model, prompt):
+        return model.generate(prompt, gen_length=512, steps=256,
+                              block_length=64, temperature=0.0,
+                              block_kv_cache=True)
+
+    sync(run_kv(model, prompt))
+    t0 = time.perf_counter()
+    sync(run_kv(model, prompt))
+    emit("text tok/s kv-cached (gen512 steps256 block64, 16L proxy)",
+         512 / (time.perf_counter() - t0), "tokens/sec")
+
+    prefix = jnp.zeros((1, 1064), jnp.int32) + 5
+
+    @jax.jit
+    def run_mmu_kv(model, prompt):
+        return model.mmu_generate(prompt, max_new_tokens=128, steps=64,
+                                  block_length=128, temperature=0.0,
+                                  block_kv_cache=True)
+
+    sync(run_mmu_kv(model, prefix))
+    lat = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        sync(run_mmu_kv(model, prefix))
+        lat.append(time.perf_counter() - t0)
+    emit("MMU p50 kv-cached (1064-token prefix, 128 new, 16L proxy)",
+         float(np.median(lat)), "seconds")
+
+
 def main():
     model = build_model()
     bench_text(model)
     bench_mmu(model)
     bench_stochastic_serving(model)
+    if "cached" in sys.argv or os.environ.get("BENCH_CACHED"):
+        bench_cached(model)
     return 0
 
 
