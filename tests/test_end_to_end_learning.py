@@ -107,3 +107,48 @@ def test_overfit_lm_then_generate_recovers_answer():
     )
     match = (np.asarray(out)[0, 4:] == seq[0, 4:]).mean()
     assert match > 0.8, f"recovered only {match:.0%} of memorized continuation"
+
+
+def test_trained_model_fast_decode_agreement():
+    """Quality evidence for the opt-in fast-decode modes on a model with
+    real confidence structure (random weights are margin-starved): after
+    overfitting, the kv-cached decode, the confidence-parallel decode,
+    and their combination all recover the same memorized continuation the
+    exact sampler does."""
+    cfg = llada.tiny_config(
+        vocab_size=VOCAB.total_vocab_size, d_model=64, n_heads=4,
+        n_layers=2, mlp_hidden_size=128,
+    )
+    cfg = dataclasses.replace(cfg, mask_token_id=VOCAB.mask_token_id)
+    model = MMadaModel(
+        cfg=cfg, params=llada.init_params(jax.random.key(1), cfg), vocab=VOCAB
+    )
+    seq = np.asarray([[1, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 2]])
+
+    sc = StepConfig(
+        batch_size_t2i=0, batch_size_lm=1, batch_size_mmu=0, max_seq_length=0
+    )
+    opt = optimizers.adamw(3e-3, params_for_mask=model.params)
+    state = TrainState.create(model.params, opt)
+    step = jax.jit(make_train_step(model, opt, sc))
+    batch = {
+        "lm_input_ids": jnp.asarray(seq),
+        "lm_labels": jnp.asarray(seq),
+    }
+    for i in range(800):
+        state, _ = step(state, batch, jax.random.key(i))
+
+    trained = dataclasses.replace(model, params=state.params)
+    prompt = jnp.asarray(seq[:, :4])
+    kw = dict(gen_length=12, steps=12, block_length=6, temperature=0.0)
+    exact = np.asarray(trained.generate(prompt, **kw))
+
+    for label, extra in [
+        ("kv", dict(block_kv_cache=True)),
+        ("kv-int8", dict(block_kv_cache="int8")),
+        ("parallel", dict(parallel_threshold=0.9)),
+        ("kv+parallel", dict(block_kv_cache=True, parallel_threshold=0.9)),
+    ]:
+        out = np.asarray(trained.generate(prompt, **kw, **extra))
+        agree = (out[0, 4:] == exact[0, 4:]).mean()
+        assert agree >= 0.9, f"{label}: agreement {agree:.0%} vs exact"
