@@ -150,3 +150,24 @@ def test_malformed_body_is_500_not_crash(server):
     assert e.value.code == 500
     # server still alive
     test_health(server)
+
+
+def test_generate_kv_cache_modes(server):
+    """kv_cache accepts true AND "int8" at the socket (bool("int8") would
+    silently downgrade the quantized cache — core.config.parse_kv_cache);
+    deterministic requests agree across modes on the confident tiny model
+    or at minimum return well-formed text."""
+    base = {"prompt": "hi", "gen_length": 16, "steps": 2,
+            "block_length": 8, "temperature": 0.0}
+    exact = post("/generate", base)
+    cached = post("/generate", {**base, "kv_cache": True})
+    int8 = post("/generate", {**base, "kv_cache": "int8"})
+    assert "text" in exact and "text" in cached and "text" in int8
+    # steps == num_blocks -> fresh cache every step -> bf16-cached output
+    # must equal the exact sampler's
+    assert cached["text"] == exact["text"]
+    import urllib.error
+
+    import pytest as _pytest
+    with _pytest.raises(urllib.error.HTTPError):
+        post("/generate", {**base, "kv_cache": "quantized"})
