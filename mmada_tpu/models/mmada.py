@@ -324,16 +324,19 @@ class MMadaModel:
                      temperature=1.0, timesteps=18, guidance_scale=0.0,
                      noise_schedule=cosine_schedule, num_vq_tokens=1024,
                      key=None, greedy=False, stepwise=False,
-                     block_kv_cache=False):
+                     block_kv_cache=False, cache_refresh_every=0):
         """`block_kv_cache=True`: capture the static text prompt's K/V once
         and forward only the image span per MaskGIT step (approximate;
-        exact at timesteps=1 — see `_span_cache_fns`)."""
+        exact at timesteps=1 — see `_span_cache_fns`).
+        `cache_refresh_every=N` re-captures every N steps — the
+        staleness/quality knob for the cached mode."""
         mcfg = t2i_sampling.MaskGITConfig(
             timesteps=timesteps, temperature=temperature,
             guidance_scale=guidance_scale, noise_schedule=noise_schedule,
             mask_id=self.vocab.mask_token_id, num_vq_tokens=num_vq_tokens,
             codebook_size=self.vocab.image_codebook_size,
             text_vocab_size=self.vocab.image_offset, greedy=greedy,
+            cache_refresh_every=cache_refresh_every,
         )
         fwd = self._window_forward_fn(num_vq_tokens, self.vocab.image_window)
         gen = (t2i_sampling.t2i_generate_stepwise if stepwise

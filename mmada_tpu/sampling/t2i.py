@@ -51,6 +51,12 @@ class MaskGITConfig:
     codebook_size: int = 8192
     text_vocab_size: int = 126464   # fused-id offset of the image window
     greedy: bool = False            # argmax instead of categorical (parity/tests)
+    cache_refresh_every: int = 0
+    """KV-cached decode only: re-capture the out-of-span K/V every N steps
+    (0 = capture once for all timesteps). The prompt's TOKENS never change,
+    but its K/V responses to the committed image tokens do — refreshing is
+    the staleness/quality knob (each refresh costs one full-sequence
+    forward; the text semi-AR sampler refreshes per block naturally)."""
 
 
 def _scan(forward_fn, input_ids, cfg, key, uncond_input_ids,
@@ -86,20 +92,37 @@ def _scan(forward_fn, input_ids, cfg, key, uncond_input_ids,
 
     if cache_fns is not None:
         capture_fn, step_fn = cache_fns
-        if use_cfg:
-            uncond_x0 = jnp.concatenate([uncond_prefix, x[:, prompt_len:]], axis=1)
-            kv = capture_fn(jnp.concatenate([x, uncond_x0], axis=0))
-        else:
-            kv = capture_fn(x)
+
+        def capture(xc):
+            if use_cfg:
+                un = jnp.concatenate([uncond_prefix, xc[:, prompt_len:]], axis=1)
+                return capture_fn(jnp.concatenate([xc, un], axis=0))
+            return capture_fn(xc)
+
+        kv = capture(x)
+        refresh = cfg.cache_refresh_every
 
     if key is None:
         key = jax.random.key(0)
     step_keys = jax.random.split(key, cfg.timesteps)
 
     def step(carry, inp):
-        x, cur, temperature = carry
+        if cache_fns is not None and cfg.cache_refresh_every > 0:
+            x, cur, temperature, kv_c = carry
+        else:
+            x, cur, temperature = carry
+            kv_c = kv if cache_fns is not None else None
         t, step_key = inp
         k_sample, k_mask = jax.random.split(step_key)
+
+        if cache_fns is not None and cfg.cache_refresh_every > 0:
+            t_i = t.astype(jnp.int32)
+            kv_c = jax.lax.cond(
+                jnp.logical_and(t_i > 0, t_i % refresh == 0),
+                lambda xc, old: capture(xc),
+                lambda xc, old: old,
+                x, kv_c,
+            )
 
         if cache_fns is not None:
             # cond and uncond rows share the image span's tokens, so the
@@ -107,7 +130,7 @@ def _scan(forward_fn, input_ids, cfg, key, uncond_input_ids,
             img_tok = jax.lax.dynamic_slice(x, (0, img_lo), (b, n))
             span_in = (jnp.concatenate([img_tok, img_tok], axis=0)
                        if use_cfg else img_tok)
-            logits = step_fn(span_in, kv, img_lo)
+            logits = step_fn(span_in, kv_c, img_lo)
         elif use_cfg:
             uncond_x = jnp.concatenate([uncond_prefix, x[:, prompt_len:]], axis=1)
             model_in = jnp.concatenate([x, uncond_x], axis=0)
@@ -149,12 +172,15 @@ def _scan(forward_fn, input_ids, cfg, key, uncond_input_ids,
         new_cur = jnp.where(masking, cfg.mask_id, sampled)
         new_img = jnp.where(masking, cfg.mask_id, sampled + cfg.text_vocab_size)
         x = jax.lax.dynamic_update_slice(x, new_img, (0, img_lo))
+        if cache_fns is not None and cfg.cache_refresh_every > 0:
+            return (x, new_cur, temperature, kv_c), sampled
         return (x, new_cur, temperature), sampled
 
     ts = jnp.arange(cfg.timesteps, dtype=jnp.float32)
-    _, sampled_steps = jax.lax.scan(
-        step, (x, cur, jnp.float32(cfg.temperature)), (ts, step_keys)
-    )
+    carry0 = (x, cur, jnp.float32(cfg.temperature))
+    if cache_fns is not None and cfg.cache_refresh_every > 0:
+        carry0 = carry0 + (kv,)
+    _, sampled_steps = jax.lax.scan(step, carry0, (ts, step_keys))
     return sampled_steps
 
 

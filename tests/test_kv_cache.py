@@ -288,3 +288,22 @@ def test_cached_agreement_with_exact():
     cached = np.asarray(m.generate(prompt, **kw, block_kv_cache=True))[:, 8:]
     agreement = (exact == cached).mean()
     assert agreement >= 0.5, f"agreement {agreement:.2f} suspiciously low"
+
+
+def test_t2i_cached_refresh_every():
+    """cache_refresh_every re-captures mid-sampling (kv rides the scan
+    carry through a lax.cond); refresh=1 recaptures EVERY step, making
+    the decode exact vs the uncached sampler at any timestep count."""
+    m, vl = _model()
+    frame, uncond = _t2i_frame(m, vl)
+    kw = dict(uncond_input_ids=uncond, timesteps=4, guidance_scale=1.5,
+              temperature=0.0, num_vq_tokens=16, greedy=True,
+              key=jax.random.key(40))
+    exact = m.t2i_generate(frame, **kw)
+    refreshed = m.t2i_generate(frame, **kw, block_kv_cache=True,
+                               cache_refresh_every=1)
+    np.testing.assert_array_equal(np.asarray(exact), np.asarray(refreshed))
+    # and a mid-cadence run completes with valid codes
+    out = np.asarray(m.t2i_generate(frame, **kw, block_kv_cache=True,
+                                    cache_refresh_every=2))
+    assert ((out >= 0) & (out < vl.image_codebook_size)).all()
