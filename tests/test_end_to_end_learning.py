@@ -72,6 +72,16 @@ def test_overfit_t2i_then_generate_recovers_targets():
     match = (np.asarray(codes) == images).mean()
     assert match > 0.9, f"recovered only {match:.0%} of memorized image tokens"
 
+    # cached decode on the trained model also recovers the memorized image
+    # (quality evidence for the t2i approximation where confidence is real)
+    cached = trained.t2i_generate(
+        jnp.asarray(gen_frames), temperature=0.0, greedy=True, timesteps=8,
+        guidance_scale=0.0, num_vq_tokens=n_img, key=jax.random.key(99),
+        block_kv_cache=True,
+    )
+    cmatch = (np.asarray(cached) == images).mean()
+    assert cmatch > 0.9, f"cached decode recovered only {cmatch:.0%}"
+
 
 @pytest.mark.slow
 def test_overfit_lm_then_generate_recovers_answer():
