@@ -356,7 +356,7 @@ class MMadaModel:
     def t2m_generate(self, input_ids, attention_mask=None, temperature=1.0,
                      timesteps=18, noise_schedule=cosine_schedule,
                      num_motion_tokens=256, key=None, greedy=False,
-                     block_kv_cache=False):
+                     block_kv_cache=False, cache_refresh_every=0):
         if self.vocab.motion_codebook_size == 0:
             raise ValueError("vocab has no motion window; use vocab.with_motion()")
         mcfg = motion_sampling.MotionGITConfig(
@@ -365,6 +365,7 @@ class MMadaModel:
             num_motion_tokens=num_motion_tokens,
             motion_vocab_size=self.vocab.motion_codebook_size,
             motion_offset=self.vocab.motion_offset, greedy=greedy,
+            cache_refresh_every=cache_refresh_every,
         )
         window = (
             self.vocab.motion_offset,

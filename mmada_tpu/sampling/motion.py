@@ -39,6 +39,7 @@ class MotionGITConfig:
     motion_vocab_size: int = 512
     motion_offset: int = 134656          # text_vocab + image codebook
     greedy: bool = False
+    cache_refresh_every: int = 0         # cached decode: re-capture every N steps
 
 
 def t2m_generate(
@@ -64,19 +65,33 @@ def t2m_generate(
     if cache_fns is not None:
         capture_fn, step_fn = cache_fns
         kv = capture_fn(x)
+        refresh = cfg.cache_refresh_every
 
     if key is None:
         key = jax.random.key(0)
     step_keys = jax.random.split(key, cfg.timesteps)
 
     def step(carry, inp):
-        x, cur = carry
+        if cache_fns is not None and cfg.cache_refresh_every > 0:
+            x, cur, kv_c = carry
+        else:
+            x, cur = carry
+            kv_c = kv if cache_fns is not None else None
         t, step_key = inp
         k_sample, k_mask = jax.random.split(step_key)
 
+        if cache_fns is not None and cfg.cache_refresh_every > 0:
+            t_i = t.astype(jnp.int32)
+            kv_c = jax.lax.cond(
+                jnp.logical_and(t_i > 0, t_i % refresh == 0),
+                lambda xc, old: capture_fn(xc),
+                lambda xc, old: old,
+                x, kv_c,
+            )
+
         if cache_fns is not None:
             span_tok = jax.lax.dynamic_slice(x, (0, span_lo), (b, n))
-            logits = step_fn(span_tok, kv, span_lo).astype(jnp.float32)
+            logits = step_fn(span_tok, kv_c, span_lo).astype(jnp.float32)
         else:
             logits = forward_fn(x, attention_mask).astype(jnp.float32)  # (B, n, M)
 
@@ -112,8 +127,12 @@ def t2m_generate(
 
         new_cur = jnp.where(masking, cfg.mask_id, sampled_off)
         x = jax.lax.dynamic_update_slice(x, new_cur, (0, span_lo))
+        if cache_fns is not None and cfg.cache_refresh_every > 0:
+            return (x, new_cur, kv_c), sampled_vq
         return (x, new_cur), sampled_vq
 
     ts = jnp.arange(cfg.timesteps, dtype=jnp.float32)
-    (_, _), sampled_steps = jax.lax.scan(step, (x, cur), (ts, step_keys))
+    carry0 = (x, cur) if not (cache_fns is not None
+                              and cfg.cache_refresh_every > 0) else (x, cur, kv)
+    _, sampled_steps = jax.lax.scan(step, carry0, (ts, step_keys))
     return sampled_steps[-1]

@@ -97,6 +97,7 @@ def _jit_t2i(model, frames, unconds, attns, uncond_attns, settings, key):
         num_vq_tokens=settings.num_vq_tokens,
         key=key,
         block_kv_cache=settings.block_kv_cache,
+        cache_refresh_every=settings.cache_refresh_every,
     )
 
 
@@ -124,6 +125,7 @@ class T2ISettings:
     temperature: float = 1.0
     num_vq_tokens: int = 1024
     block_kv_cache: bool = False       # approximate cached decode (opt-in)
+    cache_refresh_every: int = 0       # cached-mode staleness knob
 
 
 @dataclasses.dataclass
