@@ -35,6 +35,16 @@ class AppState:
         self.cfg = cfg
         self.lock = threading.Lock()
         self.engine = None  # set by start_engine() in HTTP mode
+        # deployment-wide fast-decode defaults (serving.* config section);
+        # per-request fields still override
+        from mmada_tpu.core.config import parse_kv_cache
+
+        self.default_kv_cache = parse_kv_cache(
+            cfg.get_path("serving.kv_cache", False)
+        )
+        self.default_parallel_threshold = float(
+            cfg.get_path("serving.parallel_threshold", 0.0)
+        )
 
     def start_engine(self):
         """Route text/mmu/t2i requests through the batched ServingEngine:
@@ -306,9 +316,11 @@ def run_http(state: AppState, port: int):
                         remasking=req.get("remasking", "low_confidence"),
                         thinking=bool(req.get("thinking", False)),
                         seed=int(req.get("seed", 0)),
-                        kv_cache=parse_kv_cache(req.get("kv_cache", False)),
+                        kv_cache=parse_kv_cache(
+                            req.get("kv_cache", state.default_kv_cache)),
                         parallel_threshold=float(
-                            req.get("parallel_threshold", 0.0)),
+                            req.get("parallel_threshold",
+                                    state.default_parallel_threshold)),
                     )
                     self._reply({"text": text})
                 elif self.path == "/generate_stepwise":
@@ -330,7 +342,8 @@ def run_http(state: AppState, port: int):
                         guidance_scale=float(req.get("guidance_scale", 3.5)),
                         temperature=float(req.get("temperature", 1.0)),
                         seed=int(req.get("seed", 0)),
-                        kv_cache=parse_kv_cache(req.get("kv_cache", False)),
+                        kv_cache=parse_kv_cache(
+                            req.get("kv_cache", state.default_kv_cache)),
                     )
                     buf = io.BytesIO()
                     Image.fromarray(arr).save(buf, format="PNG")
@@ -370,9 +383,11 @@ def run_http(state: AppState, port: int):
                         cfg_scale=float(req.get("cfg_scale", 0.0)),
                         remasking=req.get("remasking", "low_confidence"),
                         seed=int(req.get("seed", 0)),
-                        kv_cache=parse_kv_cache(req.get("kv_cache", False)),
+                        kv_cache=parse_kv_cache(
+                            req.get("kv_cache", state.default_kv_cache)),
                         parallel_threshold=float(
-                            req.get("parallel_threshold", 0.0)),
+                            req.get("parallel_threshold",
+                                    state.default_parallel_threshold)),
                     )
                     self._reply({"text": text})
                 else:

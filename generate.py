@@ -27,7 +27,9 @@ def main(argv):
     temperature = float(cfg.get("temperature", 0.0))
     cfg_scale = float(cfg.get("cfg_scale", 0.0))
     from mmada_tpu.core.config import parse_kv_cache
-    kv_cache = parse_kv_cache(cfg.get("kv_cache", False))
+    kv_cache = parse_kv_cache(
+        cfg.get("kv_cache", cfg.get_path("serving.kv_cache", False))
+    )
     parallel_threshold = float(cfg.get("parallel_threshold", 0.0))
     seed = int(cfg.get("seed", 0))
 

@@ -30,7 +30,9 @@ def main(argv):
     block_length = int(cfg.get("block_length", max_new_tokens))
     resolution = int(cfg.get_path("dataset.preprocessing.resolution", 512))
     from mmada_tpu.core.config import parse_kv_cache
-    kv_cache = parse_kv_cache(cfg.get("kv_cache", False))
+    kv_cache = parse_kv_cache(
+        cfg.get("kv_cache", cfg.get_path("serving.kv_cache", False))
+    )
     parallel_threshold = float(cfg.get("parallel_threshold", 0.0))
     seed = int(cfg.get("seed", 0))
 

@@ -29,7 +29,9 @@ def main(argv):
     temperature = float(cfg.get("generation_temperature", 1.0))
     batch_size = int(cfg.get("batch_size", 1))
     from mmada_tpu.core.config import parse_kv_cache
-    kv_cache = parse_kv_cache(cfg.get("kv_cache", False))
+    kv_cache = parse_kv_cache(
+        cfg.get("kv_cache", cfg.get_path("serving.kv_cache", False))
+    )
     seed = int(cfg.get("seed", 0))
     output_dir = cfg.get("output_dir", "t2i_outputs")
     prompts_file = cfg.get(
