@@ -30,7 +30,10 @@ def main(argv):
     kv_cache = parse_kv_cache(
         cfg.get("kv_cache", cfg.get_path("serving.kv_cache", False))
     )
-    parallel_threshold = float(cfg.get("parallel_threshold", 0.0))
+    parallel_threshold = float(cfg.get(
+        "parallel_threshold",
+        cfg.get_path("serving.parallel_threshold", 0.0),
+    ))
     seed = int(cfg.get("seed", 0))
 
     tokenizer = build_text_tokenizer(cfg)

@@ -307,3 +307,46 @@ def test_t2i_cached_refresh_every():
     out = np.asarray(m.t2i_generate(frame, **kw, block_kv_cache=True,
                                     cache_refresh_every=2))
     assert ((out >= 0) & (out < vl.image_codebook_size)).all()
+
+
+def test_t2m_cached_refresh_runs():
+    vl = tiny_layout().with_motion(codebook_size=32)
+    cfg = llada.tiny_config(vocab_size=vl.total_vocab_size)
+    m = MMadaModel.init(jax.random.key(0), cfg, vl)
+    som, eom = vl.special("<|som|>"), vl.special("<|eom|>")
+    n, b = 8, 2
+    prompt = jax.random.randint(jax.random.key(50), (b, 6), 3, 200)
+    frame = jnp.concatenate([
+        prompt, jnp.full((b, 1), som),
+        jnp.full((b, n), vl.mask_token_id),
+        jnp.full((b, 1), eom),
+    ], axis=1).astype(jnp.int32)
+    out = np.asarray(m.t2m_generate(
+        frame, timesteps=4, temperature=0.0, num_motion_tokens=n,
+        greedy=True, key=jax.random.key(51), block_kv_cache=True,
+        cache_refresh_every=2,
+    ))
+    assert out.shape == (b, n)
+    assert ((out >= 0) & (out < vl.motion_codebook_size)).all()
+
+
+def test_engine_stochastic_per_row_keys_with_cache():
+    """Per-row-key stochastic batching composes with the cached decode
+    (vmap over the cached generate): each row's output is bit-identical
+    to its solo run regardless of batch composition."""
+    from mmada_tpu.serve.engine import TextSettings, _jit_text_per_row_keys
+
+    m, _ = _model()
+    settings = TextSettings(gen_length=16, steps=4, block_length=8,
+                            temperature=1.0, block_kv_cache=True)
+    prompt = np.asarray(jax.random.randint(jax.random.key(60), (8,), 3, 200))
+
+    def keys(seeds):
+        return jax.vmap(jax.random.key)(jnp.asarray(seeds, jnp.uint32))
+
+    solo = np.asarray(_jit_text_per_row_keys(
+        m, jnp.asarray(prompt)[None], settings, keys([7])))[0]
+    batch = np.asarray(_jit_text_per_row_keys(
+        m, jnp.repeat(jnp.asarray(prompt)[None], 4, 0), settings,
+        keys([3, 7, 11, 13])))
+    np.testing.assert_array_equal(batch[1], solo)
