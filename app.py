@@ -67,7 +67,13 @@ class AppState:
     def generate_text(self, prompt, gen_length=128, steps=64,
                       block_length=32, temperature=1.0, cfg_scale=0.0,
                       remasking="low_confidence", thinking=False, seed=0,
-                      kv_cache=False, parallel_threshold=0.0):
+                      kv_cache=None, parallel_threshold=None):
+        # None -> deployment-wide serving.* defaults (covers every
+        # frontend: HTTP, gradio, direct API use)
+        if kv_cache is None:
+            kv_cache = self.default_kv_cache
+        if parallel_threshold is None:
+            parallel_threshold = self.default_parallel_threshold
         import jax
         import jax.numpy as jnp
 
@@ -141,7 +147,9 @@ class AppState:
         return out
 
     def t2i(self, prompt, timesteps=15, guidance_scale=3.5,
-            temperature=1.0, seed=0, kv_cache=False):
+            temperature=1.0, seed=0, kv_cache=None):
+        if kv_cache is None:
+            kv_cache = self.default_kv_cache
         import jax
         import jax.numpy as jnp
 
@@ -219,8 +227,12 @@ class AppState:
 
     def mmu(self, image_arr, question, max_new_tokens=128, steps=64,
             block_length=64, temperature=0.0, cfg_scale=0.0,
-            remasking="low_confidence", seed=0, kv_cache=False,
-            parallel_threshold=0.0):
+            remasking="low_confidence", seed=0, kv_cache=None,
+            parallel_threshold=None):
+        if kv_cache is None:
+            kv_cache = self.default_kv_cache
+        if parallel_threshold is None:
+            parallel_threshold = self.default_parallel_threshold
         if image_arr is None:
             return "(no image provided)"
         import jax
@@ -316,11 +328,11 @@ def run_http(state: AppState, port: int):
                         remasking=req.get("remasking", "low_confidence"),
                         thinking=bool(req.get("thinking", False)),
                         seed=int(req.get("seed", 0)),
-                        kv_cache=parse_kv_cache(
-                            req.get("kv_cache", state.default_kv_cache)),
-                        parallel_threshold=float(
-                            req.get("parallel_threshold",
-                                    state.default_parallel_threshold)),
+                        kv_cache=(parse_kv_cache(req["kv_cache"])
+                                  if "kv_cache" in req else None),
+                        parallel_threshold=(
+                            float(req["parallel_threshold"])
+                            if "parallel_threshold" in req else None),
                     )
                     self._reply({"text": text})
                 elif self.path == "/generate_stepwise":
@@ -342,8 +354,8 @@ def run_http(state: AppState, port: int):
                         guidance_scale=float(req.get("guidance_scale", 3.5)),
                         temperature=float(req.get("temperature", 1.0)),
                         seed=int(req.get("seed", 0)),
-                        kv_cache=parse_kv_cache(
-                            req.get("kv_cache", state.default_kv_cache)),
+                        kv_cache=(parse_kv_cache(req["kv_cache"])
+                                  if "kv_cache" in req else None),
                     )
                     buf = io.BytesIO()
                     Image.fromarray(arr).save(buf, format="PNG")
@@ -383,11 +395,11 @@ def run_http(state: AppState, port: int):
                         cfg_scale=float(req.get("cfg_scale", 0.0)),
                         remasking=req.get("remasking", "low_confidence"),
                         seed=int(req.get("seed", 0)),
-                        kv_cache=parse_kv_cache(
-                            req.get("kv_cache", state.default_kv_cache)),
-                        parallel_threshold=float(
-                            req.get("parallel_threshold",
-                                    state.default_parallel_threshold)),
+                        kv_cache=(parse_kv_cache(req["kv_cache"])
+                                  if "kv_cache" in req else None),
+                        parallel_threshold=(
+                            float(req["parallel_threshold"])
+                            if "parallel_threshold" in req else None),
                     )
                     self._reply({"text": text})
                 else:
@@ -451,7 +463,7 @@ def run_gradio(state: AppState, port: int):  # pragma: no cover - optional dep
                     state.cfg.get_path("dataset.preprocessing.resolution", 512)
                 )
                 pixels = image_transform(_Image.fromarray(i), res)
-                return state.mmu(pixels, qq, kv_cache=bool(f))
+                return state.mmu(pixels, qq, kv_cache=True if f else None)
 
             gr.Button("Ask").click(_mmu_ui, [img_in, q, fast], a)
     demo.launch(server_port=port)

@@ -71,16 +71,18 @@ def t2m_generate(
         key = jax.random.key(0)
     step_keys = jax.random.split(key, cfg.timesteps)
 
+    cached = cache_fns is not None
+
     def step(carry, inp):
-        if cache_fns is not None and cfg.cache_refresh_every > 0:
+        if cached:
             x, cur, kv_c = carry
         else:
             x, cur = carry
-            kv_c = kv if cache_fns is not None else None
+            kv_c = None
         t, step_key = inp
         k_sample, k_mask = jax.random.split(step_key)
 
-        if cache_fns is not None and cfg.cache_refresh_every > 0:
+        if cached and cfg.cache_refresh_every > 0:
             t_i = t.astype(jnp.int32)
             kv_c = jax.lax.cond(
                 jnp.logical_and(t_i > 0, t_i % refresh == 0),
@@ -127,12 +129,11 @@ def t2m_generate(
 
         new_cur = jnp.where(masking, cfg.mask_id, sampled_off)
         x = jax.lax.dynamic_update_slice(x, new_cur, (0, span_lo))
-        if cache_fns is not None and cfg.cache_refresh_every > 0:
+        if cached:
             return (x, new_cur, kv_c), sampled_vq
         return (x, new_cur), sampled_vq
 
     ts = jnp.arange(cfg.timesteps, dtype=jnp.float32)
-    carry0 = (x, cur) if not (cache_fns is not None
-                              and cfg.cache_refresh_every > 0) else (x, cur, kv)
+    carry0 = (x, cur, kv) if cached else (x, cur)
     _, sampled_steps = jax.lax.scan(step, carry0, (ts, step_keys))
     return sampled_steps[-1]

@@ -106,16 +106,21 @@ def _scan(forward_fn, input_ids, cfg, key, uncond_input_ids,
         key = jax.random.key(0)
     step_keys = jax.random.split(key, cfg.timesteps)
 
+    # kv always rides the carry in cached mode (a loop-invariant carry
+    # costs nothing when refresh is off, and one carry shape removes the
+    # refresh-vs-not branching everywhere below)
+    cached = cache_fns is not None
+
     def step(carry, inp):
-        if cache_fns is not None and cfg.cache_refresh_every > 0:
+        if cached:
             x, cur, temperature, kv_c = carry
         else:
             x, cur, temperature = carry
-            kv_c = kv if cache_fns is not None else None
+            kv_c = None
         t, step_key = inp
         k_sample, k_mask = jax.random.split(step_key)
 
-        if cache_fns is not None and cfg.cache_refresh_every > 0:
+        if cached and cfg.cache_refresh_every > 0:
             t_i = t.astype(jnp.int32)
             kv_c = jax.lax.cond(
                 jnp.logical_and(t_i > 0, t_i % refresh == 0),
@@ -172,13 +177,13 @@ def _scan(forward_fn, input_ids, cfg, key, uncond_input_ids,
         new_cur = jnp.where(masking, cfg.mask_id, sampled)
         new_img = jnp.where(masking, cfg.mask_id, sampled + cfg.text_vocab_size)
         x = jax.lax.dynamic_update_slice(x, new_img, (0, img_lo))
-        if cache_fns is not None and cfg.cache_refresh_every > 0:
+        if cached:
             return (x, new_cur, temperature, kv_c), sampled
         return (x, new_cur, temperature), sampled
 
     ts = jnp.arange(cfg.timesteps, dtype=jnp.float32)
     carry0 = (x, cur, jnp.float32(cfg.temperature))
-    if cache_fns is not None and cfg.cache_refresh_every > 0:
+    if cached:
         carry0 = carry0 + (kv,)
     _, sampled_steps = jax.lax.scan(step, carry0, (ts, step_keys))
     return sampled_steps

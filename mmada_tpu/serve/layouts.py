@@ -19,10 +19,10 @@ Usage (the returned executable must be used for the calls — the plain
 jit cache compiles for default layouts and would copy the pinned arrays
 back):
 
-    compiled, model = compile_with_pinned_layouts(
+    compiled, (model, prompt) = compile_with_pinned_layouts(
         lambda m, p: m.generate(p, ..., block_kv_cache=True), model, prompt
     )
-    out = compiled(model, prompt)
+    out = compiled(model, prompt)   # the RE-LAID model/prompt, not the originals
 
 The re-layout runs leaf-by-leaf and deletes each original buffer before
 materializing the next (double residency of 8 GB params OOMs a 16 GB
@@ -53,14 +53,24 @@ def layouts_supported() -> bool:
     return _AUTO is not None
 
 
+def _sync(y):
+    # block_until_ready does NOT block on the tunneled axon platform (see
+    # CLAUDE.md); a host fetch of one element forces completion everywhere
+    jax.device_get(y[(0,) * y.ndim] if y.ndim else y)
+
+
 def _relayout_tree(tree: Any, formats: Any, delete_originals: bool) -> Any:
     leaves, treedef = jax.tree.flatten(tree)
     fmt_leaves = jax.tree.flatten(formats)[0]
+    if len(leaves) != len(fmt_leaves):
+        raise ValueError(
+            f"format tree has {len(fmt_leaves)} leaves for {len(leaves)} arrays"
+        )
     out = []
     for x, f in zip(leaves, fmt_leaves):
         y = jax.device_put(x, f)
         if delete_originals:
-            y.block_until_ready()
+            _sync(y)
             x.delete()
         out.append(y)
     return jax.tree.unflatten(treedef, out)
@@ -91,7 +101,13 @@ def compile_with_pinned_layouts(
     compiled = jitted.lower(*abstract).compile()
     in_fmt = (compiled.input_formats if hasattr(compiled, "input_formats")
               else compiled.input_layouts)
-    arg_fmts = in_fmt[0] if isinstance(in_fmt, tuple) and len(in_fmt) == 2 else in_fmt
+    # (args, kwargs) pair vs a flat per-arg sequence: detect by the kwargs
+    # dict, NOT by len == 2 (a flat tuple for a 2-arg fn also has len 2)
+    if (isinstance(in_fmt, tuple) and len(in_fmt) == 2
+            and isinstance(in_fmt[1], dict)):
+        arg_fmts = in_fmt[0]
+    else:
+        arg_fmts = in_fmt
     pinned = tuple(
         _relayout_tree(a, f, delete_originals)
         for a, f in zip(example_args, arg_fmts)

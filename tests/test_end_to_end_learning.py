@@ -119,6 +119,7 @@ def test_overfit_lm_then_generate_recovers_answer():
     assert match > 0.8, f"recovered only {match:.0%} of memorized continuation"
 
 
+@pytest.mark.slow
 def test_trained_model_fast_decode_agreement():
     """Quality evidence for the opt-in fast-decode modes on a model with
     real confidence structure (random weights are margin-starved): after

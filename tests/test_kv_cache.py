@@ -309,6 +309,29 @@ def test_t2i_cached_refresh_every():
     assert ((out >= 0) & (out < vl.image_codebook_size)).all()
 
 
+def test_t2m_cached_refresh_exact_at_one():
+    """Motion refresh=1 re-captures before every step -> cached t2m must
+    equal the uncached sampler token-exactly (the same pin the t2i
+    refresh path has; guards the independently-plumbed motion cond)."""
+    vl = tiny_layout().with_motion(codebook_size=32)
+    cfg = llada.tiny_config(vocab_size=vl.total_vocab_size)
+    m = MMadaModel.init(jax.random.key(0), cfg, vl)
+    som, eom = vl.special("<|som|>"), vl.special("<|eom|>")
+    n, b = 8, 2
+    prompt = jax.random.randint(jax.random.key(52), (b, 6), 3, 200)
+    frame = jnp.concatenate([
+        prompt, jnp.full((b, 1), som),
+        jnp.full((b, n), vl.mask_token_id),
+        jnp.full((b, 1), eom),
+    ], axis=1).astype(jnp.int32)
+    kw = dict(timesteps=4, temperature=0.0, num_motion_tokens=n,
+              greedy=True, key=jax.random.key(53))
+    exact = m.t2m_generate(frame, **kw)
+    refreshed = m.t2m_generate(frame, **kw, block_kv_cache=True,
+                               cache_refresh_every=1)
+    np.testing.assert_array_equal(np.asarray(exact), np.asarray(refreshed))
+
+
 def test_t2m_cached_refresh_runs():
     vl = tiny_layout().with_motion(codebook_size=32)
     cfg = llada.tiny_config(vocab_size=vl.total_vocab_size)
