@@ -1,11 +1,14 @@
-"""On-chip training-step throughput at the stage-1 operating shape.
+"""On-chip training-step throughput + MFU at the stage-1 operating shape.
 
 The reference's only training-perf instrument is the (unpublished)
 `samples/sec/gpu` wandb log (train_mmada.py:665-674). This prints the
-analogous number for one chip: fwd+bwd+update over the stage-1 multi-task
+analogous number for one chip — fwd+bwd+update over the stage-1 multi-task
 batch shape (7 t2i + 2 lm + 6 mmu rows = batch 15, seq 388) at flagship
 width, remat on, bf16 params, SGD (optimizer choice does not affect the
-fwd/bwd that dominates).
+fwd/bwd that dominates) — plus model-FLOPs accounting:
+
+  train_mfu            — useful FLOPs (3x forward matmuls) / v5e bf16 peak
+  hw_tflops_per_s      — including the remat recompute forward
 
     python tools/bench_train.py            # 8 layers (fits one chip)
     python tools/bench_train.py layers=16
@@ -33,15 +36,21 @@ def main(argv):
     import jax.numpy as jnp
     import optax
 
+    if args.get("cpu") == "1":  # tiny-dim harness check off-chip
+        jax.config.update("jax_platforms", "cpu")
+
     from mmada_tpu.core.precision import BF16
     from mmada_tpu.core.vocab import MMADA_8B
     from mmada_tpu.models import llada
     from mmada_tpu.models.mmada import MMadaModel
 
     cfg = llada.LLaDAConfig(
-        d_model=4096, n_heads=32, n_layers=n_layers, mlp_hidden_size=12288,
-        vocab_size=MMADA_8B.total_vocab_size,
-        embedding_size=MMADA_8B.total_vocab_size,
+        d_model=int(args.get("d_model", 4096)),
+        n_heads=int(args.get("heads", 32)),
+        n_layers=n_layers,
+        mlp_hidden_size=int(args.get("mlp", 12288)),
+        vocab_size=int(args.get("vocab", MMADA_8B.total_vocab_size)),
+        embedding_size=int(args.get("vocab", MMADA_8B.total_vocab_size)),
         max_sequence_length=2048, rope_theta=500000.0,
     )
     params = jax.jit(
@@ -84,11 +93,18 @@ def main(argv):
     sync(loss)
     dt = time.time() - t0
 
+    from mmada_tpu.utils.flops import V5E_BF16_PEAK, train_step_flops
+
+    useful, hardware = train_step_flops(cfg, batch, seq, remat=True)
+    step_s = dt / steps
     print(json.dumps({
         "train_samples_per_s": round(batch * steps / dt, 2),
-        "step_ms": round(1000 * dt / steps, 1),
+        "step_ms": round(1000 * step_s, 1),
         "layers": n_layers, "batch": batch, "seq": seq,
         "compile_s": round(compile_s, 1),
+        "model_tflops_per_s": round(useful / step_s / 1e12, 1),
+        "train_mfu_vs_bf16_peak": round(useful / step_s / V5E_BF16_PEAK, 3),
+        "hw_tflops_per_s_incl_remat": round(hardware / step_s / 1e12, 1),
     }))
     return 0
 
