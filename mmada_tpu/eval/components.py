@@ -72,3 +72,67 @@ def build_eval_batches(cfg, word_vectorizer, batch_size=None):
     )
     items = [ds[i] for i in range(len(ds))]
     return (collate_eval_items(b) for b in batched(iter(items), batch_size))
+
+
+def synthetic_evaluator(mv_cfg, seed: int = 3, hidden: int = 8,
+                        out_dim: int = 6):
+    """Tiny random-weight EvaluatorWrapper matching a MotionVQConfig's pose
+    width — for zero-egress dry runs of the full t2m metric pipeline
+    (sampler -> VQ decode -> evaluator embeddings -> FID/R-precision).
+    Metrics from it are NOT comparable to published numbers; it proves the
+    plumbing, exactly like RandomWordVectorizer."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mmada_tpu.eval.t2m_evaluator import EvaluatorWrapper
+
+    rng = np.random.default_rng(seed)
+
+    def lin(i, o):
+        return jnp.asarray(rng.normal(size=(o, i)).astype(np.float32) * 0.1)
+
+    def gru(d):
+        return {
+            "w_ih_f": lin(d, 3 * hidden), "w_hh_f": lin(hidden, 3 * hidden),
+            "b_ih_f": jnp.zeros(3 * hidden), "b_hh_f": jnp.zeros(3 * hidden),
+            "w_ih_b": lin(d, 3 * hidden), "w_hh_b": lin(hidden, 3 * hidden),
+            "b_ih_b": jnp.zeros(3 * hidden), "b_hh_b": jnp.zeros(3 * hidden),
+        }
+
+    def outnet():
+        return {
+            "fc1_w": lin(2 * hidden, hidden), "fc1_b": jnp.zeros(hidden),
+            "ln_w": jnp.ones(hidden), "ln_b": jnp.zeros(hidden),
+            "fc2_w": lin(hidden, out_dim), "fc2_b": jnp.zeros(out_dim),
+        }
+
+    move_out = out_dim
+    return EvaluatorWrapper(
+        text_params={
+            "pos_emb_w": lin(15, 12), "pos_emb_b": jnp.zeros(12),
+            "input_emb_w": lin(12, hidden), "input_emb_b": jnp.zeros(hidden),
+            "gru": gru(hidden), "out": outnet(),
+            "hidden": jnp.zeros((2, 1, hidden)),
+        },
+        motion_params={
+            "input_emb_w": lin(move_out, hidden),
+            "input_emb_b": jnp.zeros(hidden),
+            "gru": gru(hidden), "out": outnet(),
+            "hidden": jnp.zeros((2, 1, hidden)),
+        },
+        movement_params={
+            "conv1": {
+                "w": jnp.asarray(
+                    rng.normal(size=(4, mv_cfg.pose_dim - 4, 5)
+                               ).astype(np.float32) * 0.1),
+                "b": jnp.zeros(5),
+            },
+            "conv2": {
+                "w": jnp.asarray(
+                    rng.normal(size=(4, 5, move_out)).astype(np.float32) * 0.1),
+                "b": jnp.zeros(move_out),
+            },
+            "out_w": lin(move_out, move_out), "out_b": jnp.zeros(move_out),
+        },
+        unit_length=2 ** mv_cfg.down_t,
+    )

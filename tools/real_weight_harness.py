@@ -27,6 +27,13 @@ Stages (each recorded with pass/fail in the artifact):
                    int8 and W8A8 forwards + greedy decodes on the chip;
                    applies the thresholds of tools/quant_gate.py and
                    writes the promote decision.
+  5c. image_quality — CLIP-score (+ImageReward when mounted) over the
+                   decoded stage-4 t2i tokens (clip_dir= transformers
+                   CLIPModel layout); the dryrun drives the same decode →
+                   score path with a tiny VQGAN + synthetic embedders.
+  5d. t2m_eval   — FID/R-precision/diversity metrics via eval_t2m.py
+                   (motion_root= split_file= evaluator_dir=); dryrun runs
+                   evaluate_mmada_t2m end-to-end on tiny components.
   6. bench       — (run_bench=1) bench.py with the promoted scheme.
 
 Dry run (synthetic tiny checkpoint, CPU): `python tools/real_weight_harness.py dryrun=1`
@@ -339,6 +346,152 @@ def main(argv):
         "parallel_speedup_vs_exact": float(exact_dt / max(par_dt, 1e-9)),
         "promote_parallel": bool(par_agree >= 0.95),
     }
+
+    # ------------------------------------------------ 5c. image quality
+    # stage-4 `quantative_images` analog (train_mmada_stage4.py:1008-1115):
+    # decode the stage-4 t2i tokens -> CLIP-score (+ImageReward when a
+    # reward model is mounted). Real mode needs clip_dir= (transformers
+    # CLIPModel layout) and vq_dir=; the dryrun drives the same decode ->
+    # score path with a tiny VQGAN + deterministic synthetic embedders, so
+    # quality metrics land the same day real scorer weights do.
+    try:
+        from mmada_tpu.eval.image_quality import ImageQualityScorer, load_scorer
+        from mmada_tpu.models import magvit2
+
+        prompts = ["a synthetic validation prompt"]
+        if dryrun:
+            vq_cfg2 = magvit2.tiny_vqgan()
+            vq_params2 = magvit2.init_magvit2(jax.random.key(1), vq_cfg2)
+            side = int(np.sqrt(n_vq))
+            pixels = np.asarray(magvit2.decode_code(
+                vq_params2, vq_cfg2, jnp.asarray(t2i_out % vq_cfg2.codebook_size),
+                shape=(side, side),
+            ))
+
+            def _embed_images(px):
+                flat = np.asarray(px).reshape(len(px), -1)
+                rng_m = np.random.default_rng(7)
+                proj = rng_m.normal(size=(flat.shape[1], 16)).astype(np.float32)
+                return flat @ proj
+
+            def _embed_texts(texts):
+                rng_m = np.random.default_rng(11)
+                return np.stack([
+                    rng_m.normal(size=16).astype(np.float32)
+                    + len(t) for t in texts
+                ])
+
+            scorer = ImageQualityScorer(_embed_images, _embed_texts)
+        else:
+            scorer = load_scorer(args.get("clip_dir"))
+            pixels = None
+            if vq_dir and scorer.available:
+                from mmada_tpu.checkpoints.magvit_import import load_magvit2
+
+                vq_cfg2 = magvit2.magvit2_default()
+                vq_params2 = load_magvit2(vq_dir, vq_cfg2)
+                side = int(np.sqrt(n_vq))
+                pixels = np.asarray(magvit2.decode_code(
+                    vq_params2, vq_cfg2, jnp.asarray(t2i_out), shape=(side, side)
+                ))
+        if scorer.available and pixels is not None:
+            q = scorer.quantitative_images(pixels, prompts[: len(pixels)])
+            report["stages"]["image_quality"] = {
+                "ok": bool(np.isfinite(q.get("clip_score_mean", np.nan))),
+                **{k: v for k, v in q.items() if not isinstance(v, list)},
+                "synthetic_scorer": dryrun,
+            }
+        else:
+            report["stages"]["image_quality"] = {
+                "ok": None,
+                "skipped": "no clip_dir/vq_dir scorer available",
+            }
+    except Exception as e:
+        report["stages"]["image_quality"] = {"ok": False, "error": repr(e)}
+
+    # ---------------------------------------------------- 5d. t2m metrics
+    # eval_t2m stack (FID/R-precision/diversity/matching) in the same
+    # one-command path. Real mode: motion_root= split_file= evaluator_dir=
+    # run eval_t2m.py for the full dataset metrics. Dryrun: tiny t2m model
+    # + synthetic evaluator through evaluate_mmada_t2m end-to-end.
+    try:
+        if dryrun:
+            from mmada_tpu.core.vocab import tiny_layout
+            from mmada_tpu.eval.components import synthetic_evaluator
+            from mmada_tpu.eval.t2m_eval import (
+                T2MEvalConfig, collate_eval_items, evaluate_mmada_t2m,
+            )
+            from mmada_tpu.models import motion_vq
+            from mmada_tpu.prompting.universal import (
+                ByteTokenizer, SpecialIds, UniversalPrompting,
+            )
+
+            mvocab = tiny_layout(
+                text_vocab_size=256, image_codebook_size=32,
+                motion_codebook_size=16, motion_special=2,
+            )
+            mcfg = llada.tiny_config(vocab_size=mvocab.total_vocab_size)
+            mcfg = dataclasses.replace(
+                mcfg, mask_token_id=mvocab.mask_token_id
+            )
+            t2m_model = MMadaModel(
+                cfg=mcfg,
+                params=llada.init_params(jax.random.key(5), mcfg),
+                vocab=mvocab,
+            )
+            sp = SpecialIds(
+                soi=230, eoi=231, t2i=232, mmu=233, r2i=234, t2m=235,
+                som=236, eom=237, pad=mvocab.pad_token_id, bos=1, eos=2,
+            )
+            prompting = UniversalPrompting(
+                ByteTokenizer(), sp, max_text_len=8, cond_dropout_prob=0.0
+            )
+            mv_cfg = motion_vq.tiny_motion_cfg()
+            mv_params = motion_vq.init_motion_vq(jax.random.key(1), mv_cfg)
+            rng_m = np.random.default_rng(3)
+            items = [{
+                "word_embs": rng_m.normal(size=(5, 12)).astype(np.float32),
+                "pos_onehot": rng_m.normal(size=(5, 15)).astype(np.float32),
+                "cap_len": 5, "caption": f"motion {i}",
+                "motion": rng_m.normal(
+                    size=(16, mv_cfg.pose_dim)).astype(np.float32),
+                "m_len": 16,
+            } for i in range(6)]
+            results = evaluate_mmada_t2m(
+                t2m_model, mv_params, mv_cfg,
+                synthetic_evaluator(mv_cfg), prompting,
+                [collate_eval_items(items)],
+                T2MEvalConfig(num_motion_tokens=4, timesteps=2,
+                              diversity_times=4),
+            )
+            report["stages"]["t2m_eval"] = {
+                "ok": bool(np.isfinite(results["fid"])),
+                "fid": float(results["fid"]),
+                "r_precision_top1": float(results["r_precision_top1"]),
+                "synthetic_components": True,
+            }
+        elif args.get("motion_root"):
+            r = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(__file__), "..", "eval_t2m.py"),
+                 "config=configs/t2m_instruct.yaml",
+                 f"dataset.motion_root={args['motion_root']}",
+                 f"dataset.split_file={args.get('split_file', '')}",
+                 f"eval.evaluator_dir={args.get('evaluator_dir', '')}",
+                 f"model.mmada.pretrained_model_path={model_dir}"],
+                capture_output=True, text=True, timeout=7200,
+            )
+            report["stages"]["t2m_eval"] = {
+                "ok": r.returncode == 0,
+                "results": json.loads(r.stdout) if r.returncode == 0 else None,
+                "stderr_tail": r.stderr[-500:] if r.returncode else None,
+            }
+        else:
+            report["stages"]["t2m_eval"] = {
+                "ok": None, "skipped": "no motion_root",
+            }
+    except Exception as e:
+        report["stages"]["t2m_eval"] = {"ok": False, "error": repr(e)}
 
     # -------------------------------------------------------------- 6. bench
     if run_bench:
