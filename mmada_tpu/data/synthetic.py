@@ -1,0 +1,127 @@
+"""Structured synthetic data: learnable flows for on-chip proxy training.
+
+The zero-egress environment has no real corpora, and the plain
+`dataset.synthetic` smoke flows (train.py) are *unlearnable* (random-noise
+images) — fine for smoke tests, useless for producing a model whose greedy
+top-1 margins separate. These flows are deterministic and low-entropy, so
+a mid-scale model trained on them becomes *confident*, which is exactly
+what the fast-decode/quantization promotion gates need (QUANT_r02.json's
+"margin starvation" note): on random weights argmax agreement is
+uninformative; on a model trained here it is a real promote/demote signal.
+
+Design:
+  * `pattern_image(k, res)` — procedural image for pattern id k
+    (stripes/checker/rings with k-derived geometry+colors), identical
+    across epochs. Through ANY fixed VQ encoder (including the random-init
+    MAGVIT-v2 used here) each pattern maps to one fixed code grid, so
+    caption -> codes is a deterministic, memorizable mapping.
+  * captions name the pattern in words ("pattern zero four two") — the
+    ByteTokenizer spells them out character-level.
+  * `sentence(i)` — templated text bank; given a few characters of
+    context the rest of the sentence is deterministic.
+
+Flow dicts match the Trainer.prepare_batch contract
+(t2i/mmu: {"images", "input_ids"}; lm: {"input_ids"}).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_DIGITS = ["zero", "one", "two", "three", "four", "five", "six", "seven",
+           "eight", "nine"]
+
+_ADJ = ["red", "blue", "green", "small", "large", "quiet", "bright",
+        "heavy"]
+_NOUN = ["fox", "river", "stone", "cloud", "lantern", "engine", "garden",
+         "window"]
+_VERB = ["crosses", "watches", "follows", "carries", "circles", "guards",
+         "paints", "measures"]
+
+
+def caption_for(k: int) -> str:
+    digits = " ".join(_DIGITS[int(c)] for c in f"{k:03d}")
+    return f"pattern {digits}"
+
+
+def pattern_image(k: int, resolution: int) -> np.ndarray:
+    """Deterministic (H, W, 3) float32 image in [-1, 1] for pattern id k."""
+    rng = np.random.default_rng(1000 + k)
+    yy, xx = np.mgrid[0:resolution, 0:resolution].astype(np.float32)
+    yy, xx = yy / resolution, xx / resolution
+    kind = k % 3
+    period = 2 + (k // 3) % 6
+    angle = (k * 37) % 180 / 180.0 * np.pi
+    u = xx * np.cos(angle) + yy * np.sin(angle)
+    if kind == 0:       # stripes
+        field = np.sin(2 * np.pi * period * u)
+    elif kind == 1:     # checkerboard
+        v = -xx * np.sin(angle) + yy * np.cos(angle)
+        field = np.sign(np.sin(2 * np.pi * period * u)
+                        * np.sin(2 * np.pi * period * v))
+    else:               # rings
+        r = np.sqrt((xx - 0.5) ** 2 + (yy - 0.5) ** 2)
+        field = np.sin(2 * np.pi * period * 2 * r)
+    c0 = rng.uniform(-1, 1, size=3).astype(np.float32)
+    c1 = rng.uniform(-1, 1, size=3).astype(np.float32)
+    w = ((field + 1.0) / 2.0)[..., None]
+    return (c0 * (1 - w) + c1 * w).astype(np.float32)
+
+
+def sentence(i: int) -> str:
+    a = _ADJ[i % len(_ADJ)]
+    n1 = _NOUN[(i // 8) % len(_NOUN)]
+    v = _VERB[(i // 64) % len(_VERB)]
+    n2 = _NOUN[(3 * i + 1) % len(_NOUN)]
+    digits = " ".join(_DIGITS[int(c)] for c in f"{i:03d}")
+    return f"story {digits} : the {a} {n1} {v} the {n2} ."
+
+
+class PatternBank:
+    """Pre-rendered pattern images (rendering 512px floats per step would
+    dominate host time)."""
+
+    def __init__(self, n_patterns: int, resolution: int):
+        self.n = n_patterns
+        self.images = np.stack(
+            [pattern_image(k, resolution) for k in range(n_patterns)]
+        )
+        self.captions = [caption_for(k) for k in range(n_patterns)]
+
+    def batches(self, batch_size: int, seed: int = 0):
+        rng = np.random.default_rng(seed)
+        while True:
+            ks = rng.integers(0, self.n, size=batch_size)
+            yield {
+                "images": self.images[ks],
+                "input_ids": [self.captions[k] for k in ks],
+            }
+
+
+def text_batches(batch_size: int, n_sentences: int = 64, seed: int = 1):
+    rng = np.random.default_rng(seed)
+    bank = [sentence(i) for i in range(n_sentences)]
+    while True:
+        idx = rng.integers(0, n_sentences, size=batch_size)
+        yield {"input_ids": [bank[i] for i in idx]}
+
+
+def build_structured_flows(cfg) -> dict:
+    """Flows dict for CombinedLoader from `dataset.synthetic_structured`."""
+    tr = cfg.training
+    res = cfg.get_path("dataset.preprocessing.resolution", 256)
+    n_patterns = cfg.get_path("dataset.n_patterns", 32)
+    n_sentences = cfg.get_path("dataset.n_sentences", 64)
+    flows = {}
+    bank = None
+    if tr.get("batch_size_t2i") or tr.get("batch_size_mmu"):
+        bank = PatternBank(n_patterns, res)
+    if tr.get("batch_size_t2i"):
+        flows["t2i_flow"] = bank.batches(tr.batch_size_t2i, seed=2)
+    if tr.get("batch_size_lm"):
+        flows["lm_flow"] = text_batches(
+            tr.batch_size_lm, n_sentences=n_sentences, seed=3
+        )
+    if tr.get("batch_size_mmu"):
+        flows["mmu_flow"] = bank.batches(tr.batch_size_mmu, seed=4)
+    return flows

@@ -144,6 +144,19 @@ def build_model(cfg: Config, vocab: VocabLayout) -> MMadaModel:
             arch = dataclasses.replace(arch, mask_token_id=vocab.mask_token_id)
         else:
             arch = llada.llada_8b(vocab.total_vocab_size)
+            overrides = m.get("arch")
+            if overrides:
+                # mid-scale proxies: flagship traits (fused vocab, llama
+                # block, RoPE 500k) at reduced width/depth — e.g.
+                # configs/proxy_160m.yaml for the on-chip gate-evidence run
+                arch = dataclasses.replace(
+                    arch,
+                    **{k: overrides[k] for k in (
+                        "d_model", "n_heads", "n_kv_heads", "n_layers",
+                        "mlp_hidden_size", "max_sequence_length",
+                        "rope_theta", "weight_tying",
+                    ) if overrides.get(k) is not None},
+                )
         if "tie_word_embeddings" in m:
             # only honored for random init: a pretrained checkpoint's own
             # config decides whether an ff_out head exists in its weights

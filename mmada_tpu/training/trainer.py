@@ -163,11 +163,18 @@ class Trainer:
         cfg.save(os.path.join(out_dir, "config.yaml"))
 
     # -------------------------------------------------------------- data
+    _encode_fn = None
+
     def encode_images(self, images: np.ndarray) -> np.ndarray:
-        """pixels (B, H, W, C) -> fused image token ids."""
-        codes = magvit2.get_code(
-            self.vq_params, self.vq_cfg, jnp.asarray(images)
-        )
+        """pixels (B, H, W, C) -> fused image token ids. Jitted once: the
+        eager conv stack is fine on CPU but op-by-op dispatch through the
+        remote-TPU tunnel would dominate step time."""
+        if self._encode_fn is None:
+            vq_cfg = self.vq_cfg
+            self._encode_fn = jax.jit(
+                lambda p, x: magvit2.get_code(p, vq_cfg, x)
+            )
+        codes = self._encode_fn(self.vq_params, jnp.asarray(images))
         return np.asarray(codes) + self.model.vocab.image_offset
 
     def prepare_batch(self, raw: dict) -> dict:

@@ -25,6 +25,16 @@ def build_dataloader(cfg):
     res = cfg.get_path("dataset.preprocessing.resolution", 256)
     flows = {}
 
+    if cfg.get_path("dataset.synthetic_structured"):
+        # deterministic LEARNABLE flows (pattern images + templated text)
+        # for on-chip proxy training — data/synthetic.py
+        from mmada_tpu.data.synthetic import build_structured_flows
+
+        return CombinedLoader(
+            build_structured_flows(cfg),
+            cfg.get_path("dataset.combined_loader_mode", "max_size_cycle"),
+        )
+
     if cfg.get_path("dataset.synthetic"):
         def synth_images(batch):
             rng = np.random.default_rng(0)
