@@ -446,11 +446,18 @@ def forward(
     output_hidden_states: bool = False,
     mesh=None,
     tp_axis: str = "tensor",
+    return_normed_hidden: bool = False,
 ):
     """Compute logits `(B, L, V)` (or `(B, L, window)` with `logit_window`;
     `logit_positions=(start, length)` additionally restricts the head to
     that position span, returning `(B, length, ...)`; `start` may be a
     Python int or a traced scalar).
+
+    `return_normed_hidden=True` stops after the final norm and returns the
+    `(B, L, D)` hidden states WITHOUT the vocab-head matmul — the
+    position-chunked training loss (training/losses.chunked_weighted_ce)
+    applies the head per chunk so the `(B, L, 134k)` logits tensor never
+    materializes.
 
     Equivalent to `LLaDAModel.forward` (modeling_llada.py:1161-1366) minus
     the KV-cache/causal paths that MDM forbids.
@@ -515,6 +522,8 @@ def forward(
         x = jax.lax.dynamic_slice_in_dim(x, p_start, p_len, axis=1)
 
     x = _norm(cfg, x, params["ln_f"])
+    if return_normed_hidden:
+        return (x, hidden) if output_hidden_states else x
     logits = _head(params, cfg, x, logit_window, policy)
 
     if output_hidden_states:

@@ -135,6 +135,26 @@ class MMadaModel:
             remat=self.remat, attn_impl=self.attn_impl, mesh=self.mesh,
         )
 
+    def forward_hidden(self, input_ids, attention_mask=None):
+        """Post-final-norm hidden states `(B, L, D)` — the vocab head is
+        NOT applied. Training-loss path (chunked CE) only; pipeline
+        serving keeps the fused head."""
+        if self.pipeline_axis is not None:
+            raise ValueError("forward_hidden is a training path; pipeline "
+                             "sharding is inference-only")
+        return llada.forward(
+            self.params, self.cfg, input_ids,
+            attention_mask=attention_mask, policy=self.policy,
+            remat=self.remat, attn_impl=self.attn_impl, mesh=self.mesh,
+            return_normed_hidden=True,
+        )
+
+    def apply_head(self, normed_hidden, logit_window=None):
+        """Vocab-head matmul on (a chunk of) normed hidden states."""
+        return llada._head(
+            self.params, self.cfg, normed_hidden, logit_window, self.policy
+        )
+
     def _text_forward_fn(self):
         def fn(tokens):
             return self.forward(tokens)

@@ -80,6 +80,51 @@ def answer_loss(logits, labels, masked_indices, p_mask, answer_lengths) -> jax.A
     ).sum() / labels.shape[0]
 
 
+def chunked_weighted_ce(
+    model,
+    normed_hidden: jax.Array,   # (B, L, D) post-final-norm
+    labels: jax.Array,          # (B, L) int, IGNORE_ID to skip
+    weights: jax.Array,         # (T, B, L) fp32 per-task position weights
+    chunk_size: int,
+) -> jax.Array:
+    """Σ_pos weights[t] · CE_pos for each task t, applying the vocab head
+    one position-chunk at a time inside a rematerialized scan.
+
+    Every loss in this module is linear in per-position CE, so the whole
+    multi-task objective reduces to T weighted sums — which means the
+    `(B, L, V)` logits tensor (7 GB fp32 at batch 12 × seq 1090 × the
+    fused 134,656 vocab, doubled again by the log_softmax backward) never
+    needs to exist. Peak extra memory is one `(B, chunk, V)` tile in each
+    direction; the backward recomputes each chunk's logits
+    (jax.checkpoint), the same trade the layer scan already makes.
+    """
+    t = weights.shape[0]
+    b, l, d = normed_hidden.shape
+    pad = (-l) % chunk_size
+    if pad:
+        normed_hidden = jnp.pad(normed_hidden, ((0, 0), (0, pad), (0, 0)))
+        labels = jnp.pad(labels, ((0, 0), (0, pad)),
+                         constant_values=IGNORE_ID)
+        weights = jnp.pad(weights, ((0, 0), (0, 0), (0, pad)))
+    nc = (l + pad) // chunk_size
+    hs = normed_hidden.reshape(b, nc, chunk_size, d).transpose(1, 0, 2, 3)
+    ls = labels.reshape(b, nc, chunk_size).transpose(1, 0, 2)
+    ws = weights.reshape(t, b, nc, chunk_size).transpose(2, 0, 1, 3)
+
+    def body(acc, xs):
+        h_c, l_c, w_c = xs
+
+        def f(h_c):
+            logits = model.apply_head(h_c)
+            ce, _ = masked_cross_entropy(logits, l_c)
+            return jnp.einsum("tbc,bc->t", w_c, ce)
+
+        return acc + jax.checkpoint(f)(h_c), None
+
+    sums, _ = jax.lax.scan(body, jnp.zeros((t,), jnp.float32), (hs, ls, ws))
+    return sums
+
+
 def forward_process(
     model,
     input_ids: jax.Array,        # (Bt+Bl+Bm, L) fused tokens, corrupted
@@ -94,14 +139,27 @@ def forward_process(
     t2i_masks: Optional[jax.Array] = None,
     answer_lengths_lm: Optional[jax.Array] = None,
     lm_loss_mode: str = "llada",
+    loss_chunk: int = 0,
 ):
     """Returns (logits, loss_t2i, loss_lm, loss_mmu). Segment sizes are
-    Python ints (static) so slicing stays shape-stable under jit."""
+    Python ints (static) so slicing stays shape-stable under jit.
+
+    `loss_chunk > 0` switches to the position-chunked head (logits are
+    never materialized; the returned logits slot is None) — identical loss
+    values, bounded memory at the fused-vocab width."""
     bt, bl, bm = batch_size_t2i, batch_size_lm, batch_size_mmu
     attention_mask = None
     if t2i_masks is not None and bt > 0:
         pad = jnp.ones((bl + bm, input_ids.shape[1]), t2i_masks.dtype)
         attention_mask = jnp.concatenate([t2i_masks, pad], axis=0)
+
+    if loss_chunk:
+        return _forward_process_chunked(
+            model, input_ids, labels, attention_mask,
+            bt, bl, bm, max_seq_length,
+            p_mask_lm, p_mask_mmu, answer_lengths,
+            answer_lengths_lm, lm_loss_mode, loss_chunk,
+        )
 
     logits = model.forward(input_ids, attention_mask=attention_mask)
     logits = logits.astype(jnp.float32)
@@ -126,6 +184,61 @@ def forward_process(
         ) if bm else zero
     )
     return logits, loss_t2i, loss_lm, loss_mmu
+
+
+def _forward_process_chunked(
+    model, input_ids, labels, attention_mask,
+    bt, bl, bm, max_seq_length,
+    p_mask_lm, p_mask_mmu, answer_lengths,
+    answer_lengths_lm, lm_loss_mode, loss_chunk,
+):
+    """Chunked-head variant of forward_process: build the three tasks'
+    per-position weight fields (all logits-independent), then one
+    chunked_weighted_ce pass. Weight algebra mirrors t2i_loss / lm_loss /
+    answer_loss exactly (verified by tests/test_training.py equivalence)."""
+    b, l = input_ids.shape
+    valid = labels != IGNORE_ID
+    masked = input_ids == model.vocab.mask_token_id
+    weights = jnp.zeros((3, b, l), jnp.float32)
+
+    if bt:
+        pos_in_span = jnp.arange(l) >= (max_seq_length + 1)
+        span_valid = valid[:bt] & pos_in_span[None, :]
+        denom = jnp.maximum(span_valid.sum(), 1)
+        weights = weights.at[0, :bt].set(span_valid / denom)
+
+    lm_factor = jnp.float32(1.0)
+    if bl:
+        active = masked[bt:bt + bl] & valid[bt:bt + bl]
+        base = jnp.where(active, 1.0 / p_mask_lm, 0.0)
+        if answer_lengths_lm is None:
+            w1 = base / (bl * l)
+        elif lm_loss_mode == "reference_stage3":
+            # loss = (Σ ce/p / (B·L)) · (Σ 1/len / B): the second factor is
+            # logits-independent — fold it in after the sum
+            w1 = base / (bl * l)
+            inv_len = jnp.where(active, 1.0 / answer_lengths_lm, 0.0)
+            lm_factor = inv_len.sum() / bl
+        else:
+            w1 = jnp.where(active, base / answer_lengths_lm, 0.0) / bl
+        weights = weights.at[1, bt:bt + bl].set(w1)
+
+    if bm:
+        active = masked[bt + bl:] & valid[bt + bl:]
+        w2 = jnp.where(
+            active, 1.0 / (p_mask_mmu * answer_lengths), 0.0
+        ) / bm
+        weights = weights.at[2, bt + bl:].set(w2)
+
+    hidden = model.forward_hidden(input_ids, attention_mask=attention_mask)
+    sums = chunked_weighted_ce(model, hidden, labels, weights, loss_chunk)
+    zero = jnp.float32(0.0)
+    return (
+        None,
+        sums[0] if bt else zero,
+        sums[1] * lm_factor if bl else zero,
+        sums[2] if bm else zero,
+    )
 
 
 def t2m_loss(logits, labels, masked_indices, p_mask, answer_lengths) -> jax.Array:

@@ -64,6 +64,8 @@ class StepConfig:
     mask_schedule: Callable = cosine_schedule
     lm_loss_mode: str = "llada"
     use_chat_lm: bool = False    # stage-3: lm rows carry prompt masks
+    loss_chunk: int = 0          # >0: position-chunked vocab head (the
+                                 # (B,L,134k) logits never materialize)
     log_param_grad_norms: bool = False  # per-weight-kind grad norms
                                         # (train_mmada.py:976-981 analog)
     skip_nonfinite_updates: bool = True  # drop a poison batch's update on
@@ -156,6 +158,7 @@ def make_train_step(
             t2i_masks=prepared.get("t2i_masks"),
             answer_lengths_lm=prepared.get("answer_lengths_lm"),
             lm_loss_mode=sc.lm_loss_mode,
+            loss_chunk=sc.loss_chunk,
         )
         loss = (
             sc.t2i_coeff * loss_t2i

@@ -84,6 +84,7 @@ class Trainer:
                 cfg.get_path("mask_schedule.schedule", "cosine")
             ),
             lm_loss_mode=tr.get("lm_loss_mode", "llada"),
+            loss_chunk=tr.get("loss_chunk", 0),
             use_chat_lm=tr.get("use_chat_lm", False),
             skip_nonfinite_updates=tr.get("skip_nonfinite_updates", True),
             log_param_grad_norms=tr.get("log_param_grad_norms", False),

@@ -303,3 +303,101 @@ def test_nonfinite_batch_skipped_on_device():
         model, opt, dc.replace(sc, skip_nonfinite_updates=False)))
     state3, _ = unguarded(bad_state, batch, jax.random.key(2))
     assert np.isnan(np.asarray(state3.params["blocks"]["q_proj"])).any()
+
+
+def test_chunked_loss_matches_unchunked():
+    """forward_process(loss_chunk>0) — the position-chunked vocab head that
+    never materializes (B, L, V) logits — must produce identical losses
+    to the full-logits path, for every lm mode, including an L that does
+    not divide the chunk size. Gradients must match too (the chunked path
+    is a rematerialized scan)."""
+    model = tiny_model()
+    rng = np.random.default_rng(7)
+    bt, bl, bm, Lseq, msl = 2, 2, 2, 21, 6
+    b = bt + bl + bm
+    ids = jnp.asarray(rng.integers(3, 200, size=(b, Lseq)))
+    mask_pos = rng.random((b, Lseq)) < 0.4
+    ids = jnp.where(jnp.asarray(mask_pos), VOCAB.mask_token_id, ids)
+    labels = jnp.full((b, Lseq), L.IGNORE_ID)
+    span = slice(msl + 1, Lseq - 1)
+    labels = labels.at[:bt, span].set(
+        jnp.asarray(rng.integers(0, 64, size=(bt, Lseq - msl - 2)))
+        + VOCAB.image_offset
+    )
+    labels = labels.at[bt:].set(
+        jnp.asarray(rng.integers(3, 200, size=(bl + bm, Lseq)))
+    )
+    p_lm = jnp.full((bl, Lseq), 0.5)
+    p_mmu = jnp.full((bm, Lseq), 0.4)
+    ans = jnp.full((bm, Lseq), 5.0)
+    ans_lm = jnp.full((bl, Lseq), 3.0)
+
+    for mode, alm in (("llada", None), ("llada", ans_lm),
+                      ("reference_stage3", ans_lm)):
+        kw = dict(
+            batch_size_t2i=bt, batch_size_lm=bl, batch_size_mmu=bm,
+            max_seq_length=msl, p_mask_lm=p_lm, p_mask_mmu=p_mmu,
+            answer_lengths=ans, answer_lengths_lm=alm, lm_loss_mode=mode,
+        )
+        _, t0, l0, m0 = L.forward_process(model, ids, labels, **kw)
+        none_logits, t1, l1, m1 = L.forward_process(
+            model, ids, labels, loss_chunk=8, **kw
+        )
+        assert none_logits is None
+        np.testing.assert_allclose(float(t0), float(t1), rtol=2e-5)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=2e-5)
+        np.testing.assert_allclose(float(m0), float(m1), rtol=2e-5)
+
+    def loss_of(params, chunk):
+        m = dataclasses.replace(model, params=params)
+        _, t, l_, mm = L.forward_process(
+            m, ids, labels, loss_chunk=chunk,
+            batch_size_t2i=bt, batch_size_lm=bl, batch_size_mmu=bm,
+            max_seq_length=msl, p_mask_lm=p_lm, p_mask_mmu=p_mmu,
+            answer_lengths=ans,
+        )
+        return t + l_ + mm
+
+    g0 = jax.grad(lambda p: loss_of(p, 0))(model.params)
+    g1 = jax.grad(lambda p: loss_of(p, 8))(model.params)
+    for a, b_ in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_train_step_chunked_loss_runs():
+    """End-to-end train step with loss_chunk on (the proxy-training
+    configuration) — finite loss, params update."""
+    import optax
+
+    model = tiny_model()
+    sc = StepConfig(
+        batch_size_t2i=2, batch_size_lm=1, batch_size_mmu=1,
+        max_seq_length=6, loss_chunk=8,
+    )
+    rng = np.random.default_rng(0)
+    n_img = 8
+    l_total = sc.max_seq_length + 1 + n_img + 1
+    t2i_ids = rng.integers(3, 250, size=(2, l_total))
+    t2i_ids[:, sc.max_seq_length + 1:-1] = (
+        rng.integers(0, 64, size=(2, n_img)) + VOCAB.image_offset
+    )
+    lm_ids = rng.integers(3, 250, size=(1, l_total))
+    mmu_ids = rng.integers(3, 250, size=(1, l_total))
+    mmu_prompt = np.zeros((1, l_total), np.int64)
+    mmu_prompt[:, :4] = 1
+    batch = {
+        "t2i_input_ids": jnp.asarray(t2i_ids),
+        "t2i_masks": jnp.ones((2, l_total), jnp.int32),
+        "lm_input_ids": jnp.asarray(lm_ids),
+        "lm_labels": jnp.asarray(lm_ids),
+        "mmu_input_ids": jnp.asarray(mmu_ids),
+        "mmu_labels": jnp.asarray(np.where(mmu_prompt == 1, -100, mmu_ids)),
+        "mmu_prompt_masks": jnp.asarray(mmu_prompt),
+    }
+    opt = optimizers.adamw(1e-3, params_for_mask=model.params)
+    state = TrainState.create(model.params, opt)
+    step = jax.jit(make_train_step(model, opt, sc))
+    state2, metrics = step(state, batch, jax.random.key(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state2.step) == 1
