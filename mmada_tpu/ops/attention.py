@@ -141,21 +141,55 @@ def _pallas_attention(q, k, v, bias, rope_sin, rope_cos):
 
 def _pallas_attention_fwd(q, k, v, bias, rope_sin, rope_cos):
     out = _pallas_tiers(q, k, v, bias, rope_sin, rope_cos)
-    return out, (q, k, v, bias, rope_sin, rope_cos)
+    # `out` rides in the residuals for the kernel backward's
+    # delta = rowsum(dO ⊙ O) — the flash-backward trick that avoids
+    # re-materializing probabilities row-normalized (no extra memory: the
+    # output is alive anyway)
+    return out, (q, k, v, bias, rope_sin, rope_cos, out)
+
+
+def _kernel_bwd_eligible(q, k) -> bool:
+    """One-pass-tier backward: square MHA shapes up to 4096 (the dq/dkv
+    kernels hold whole K/Q rows in VMEM, like the forward one-pass tier).
+    GQA or rectangular shapes use the XLA-recompute fallback."""
+    return (
+        q.shape == k.shape
+        and 256 <= q.shape[2] <= 4096
+        and q.shape[-1] % 128 == 0
+    )
 
 
 def _pallas_attention_bwd(res, ct):
-    q, k, v, bias, rope_sin, rope_cos = res
+    q, k, v, bias, rope_sin, rope_cos, out = res
 
-    def ref(q_, k_, v_):
-        qq, kk = q_, k_
+    if _kernel_bwd_eligible(q, k):
+        # flash backward kernels (ops/flash_attention.flash_attention_bwd):
+        # rope is applied/pulled-back OUTSIDE the kernels (cheap
+        # elementwise; jax.vjp of the fp32 rotation), the dq/dkv kernels
+        # see roped q/k — value-identical to the forward's fused rotation.
+        from mmada_tpu.ops.flash_attention import flash_attention_bwd
+
         if rope_sin is not None:
-            qq, kk = apply_rope(q_, k_, rope_sin, rope_cos)
-        return xla_attention(qq, kk, v_, bias=bias,
-                             softmax_dtype=jnp.float32)
+            (qr, kr), rope_vjp = jax.vjp(
+                lambda q_, k_: apply_rope(q_, k_, rope_sin, rope_cos), q, k
+            )
+        else:
+            qr, kr = q, k
+        dq, dk, dv = flash_attention_bwd(
+            qr, kr, v, out, ct, bias=bias, interpret=_INTERPRET
+        )
+        if rope_sin is not None:
+            dq, dk = rope_vjp((dq, dk))
+    else:
+        def ref(q_, k_, v_):
+            qq, kk = q_, k_
+            if rope_sin is not None:
+                qq, kk = apply_rope(q_, k_, rope_sin, rope_cos)
+            return xla_attention(qq, kk, v_, bias=bias,
+                                 softmax_dtype=jnp.float32)
 
-    _, vjp = jax.vjp(ref, q, k, v)
-    dq, dk, dv = vjp(ct)
+        _, vjp = jax.vjp(ref, q, k, v)
+        dq, dk, dv = vjp(ct)
     # bias is mask-derived and rope tables are position functions — no
     # gradient flows to either
     return (dq, dk, dv,

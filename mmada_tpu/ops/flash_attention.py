@@ -559,3 +559,236 @@ def flash_attention(
         cost_estimate=cost,
         interpret=interpret,
     )(q, k, v, bias, *rope_args))
+
+
+# ---------------------------------------------------------------------------
+# Backward kernels (one-pass tier). The reference trains with CUDA
+# flash-attn in the hot path (modeling_llada.py:574-581); until round 3 this
+# build's backward re-computed attention in XLA (ops/attention custom_vjp),
+# paying the full attention twice. These kernels implement the classic
+# split flash backward:
+#
+#   dq kernel  — grid (B, H, Lq/bq): recomputes its score rows against the
+#                whole K (same one-pass regime as the forward), forms
+#                p = softmax(s), dp = dO V^T, ds = p (dp - delta),
+#                dq = ds K · scale; ALSO emits each row's logsumexp, which
+#                the dkv kernel needs for its column slices.
+#   dkv kernel — grid (B, H, Lk/bk): p columns against the whole Q via the
+#                saved lse, dv = p^T dO, dk = ds^T Q · scale.
+#
+# delta = rowsum(dO ⊙ O) is computed once in XLA from the saved forward
+# output (cheap elementwise). Unaligned L is padded to the 128 tile with
+# zero dO rows — all padded contributions vanish identically (p rows stay
+# finite via the same finite-min column mask as the forward).
+# ---------------------------------------------------------------------------
+
+
+def _attn_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, delta_ref,
+                        dq_ref, lse_ref, *, scale: float, bias_ref=None,
+                        valid_len=None):
+    q = q_ref[0, 0].astype(jnp.float32)        # (bq, D)
+    k = k_ref[0, 0].astype(jnp.float32)        # (L, D)
+    v = v_ref[0, 0].astype(jnp.float32)        # (L, D)
+    do = do_ref[0, 0].astype(jnp.float32)      # (bq, D)
+    delta = delta_ref[0, 0].astype(jnp.float32)  # (bq, 128) broadcast lanes
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale                                  # (bq, L)
+    if bias_ref is not None:
+        s = s + bias_ref[0, 0].astype(jnp.float32)
+    s = _mask_padded_cols(s, valid_len)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    l = jnp.sum(e, axis=-1, keepdims=True)
+    p = e / l
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )                                          # (bq, L)
+    ds = p * (dp - delta[:, :1])
+    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+    lse_ref[0, 0] = jnp.broadcast_to(m + jnp.log(l), lse_ref.shape[2:])
+
+
+def _attn_bwd_dq_bias_kernel(q_ref, k_ref, v_ref, do_ref, delta_ref, b_ref,
+                             dq_ref, lse_ref, *, scale, valid_len=None):
+    _attn_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, delta_ref,
+                        dq_ref, lse_ref, scale=scale, bias_ref=b_ref,
+                        valid_len=valid_len)
+
+
+def _attn_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                         dk_ref, dv_ref, *, scale: float, bias_ref=None):
+    q = q_ref[0, 0].astype(jnp.float32)        # (L, D)
+    k = k_ref[0, 0].astype(jnp.float32)        # (bk, D)
+    v = v_ref[0, 0].astype(jnp.float32)        # (bk, D)
+    do = do_ref[0, 0].astype(jnp.float32)      # (L, D)
+    lse = lse_ref[0, 0].astype(jnp.float32)    # (L, 128) broadcast lanes
+    delta = delta_ref[0, 0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale                                  # (L, bk)
+    if bias_ref is not None:
+        s = s + bias_ref[0, 0].astype(jnp.float32)
+    # no column mask needed: padded KEY rows of this block get p from
+    # finite scores, but their dk/dv rows are sliced off by the caller;
+    # padded QUERY rows carry zero dO and zero delta, so ds vanishes.
+    p = jnp.exp(s - lse[:, :1])                # (L, bk)
+    dv = jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )                                          # (bk, D)
+    dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)  # (L, bk)
+    ds = p * (dp - delta[:, :1])
+    dk = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale                                  # (bk, D)
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
+def _attn_bwd_dkv_bias_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref,
+                              delta_ref, b_ref, dk_ref, dv_ref, *, scale):
+    _attn_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                         dk_ref, dv_ref, scale=scale, bias_ref=b_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+def flash_attention_bwd(
+    q: jax.Array,   # (B, H, L, D) — ROPED (callers pre-rotate; the rope
+    k: jax.Array,   #   pullback happens outside, see ops/attention.py)
+    v: jax.Array,
+    out: jax.Array,  # saved forward output
+    ct: jax.Array,   # output cotangent
+    bias: Optional[jax.Array] = None,  # (B|1, 1|H, L, L) float32 additive
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
+    interpret: bool = False,
+):
+    """(dq, dk, dv) for the one-pass tier (square attention, whole-K-in-VMEM
+    regime, MHA). GQA callers fall back to the XLA backward at dispatch."""
+    b, h, l_in, d = q.shape
+    assert k.shape == q.shape, "backward kernels are square-MHA only"
+    if block_q is None:
+        block_q = 512 if l_in <= 2048 else 256
+    if block_k is None:
+        block_k = 512 if l_in <= 2048 else 256
+
+    l = -(-l_in // 128) * 128
+    valid_len = l_in if l != l_in else None
+    if l != l_in:
+        pad = ((0, 0), (0, 0), (0, l - l_in), (0, 0))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+        out, ct = jnp.pad(out, pad), jnp.pad(ct, pad)
+        if bias is not None:
+            bias = jnp.pad(bias, ((0, 0), (0, 0), (0, l - l_in),
+                                  (0, l - l_in)))
+    block_q = _fit_block(block_q, l)
+    block_k = _fit_block(block_k, l)
+    scale = 1.0 / (d ** 0.5)
+
+    # delta_i = sum_d dO_id O_id, broadcast over 128 lanes for a
+    # Mosaic-friendly (sublane, lane) layout (same trick as the staged
+    # kernel's running max/sum scratch)
+    delta = jnp.sum(
+        ct.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    )[..., None]                                    # (B, H, L, 1)
+    delta = jnp.broadcast_to(delta, (b, h, l, 128))
+
+    row_spec_q = pl.BlockSpec(
+        (1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+        memory_space=pltpu.VMEM,
+    )
+    full_spec = pl.BlockSpec(
+        (1, 1, l, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    stat_blk_spec = pl.BlockSpec(
+        (1, 1, block_q, 128), lambda bi, hi, qi: (bi, hi, qi, 0),
+        memory_space=pltpu.VMEM,
+    )
+    bias_args, bias_specs = (), []
+    if bias is not None:
+        bias = bias.astype(jnp.float32)
+        bias_b = 0 if bias.shape[0] == 1 else None
+        bias_h = 0 if bias.shape[1] == 1 else None
+        bias_args = (bias,)
+        bias_specs = [pl.BlockSpec(
+            (1, 1, block_q, l),
+            lambda bi, hi, qi: (
+                bias_b if bias_b is not None else bi,
+                bias_h if bias_h is not None else hi, qi, 0,
+            ),
+            memory_space=pltpu.VMEM,
+        )]
+
+    dq_kernel = (
+        functools.partial(_attn_bwd_dq_bias_kernel, scale=scale,
+                          valid_len=valid_len)
+        if bias is not None
+        else functools.partial(_attn_bwd_dq_kernel, scale=scale,
+                               valid_len=valid_len)
+    )
+    dq, lse = pl.pallas_call(
+        dq_kernel,
+        grid=(b, h, l // block_q),
+        in_specs=[row_spec_q, full_spec, full_spec, row_spec_q,
+                  stat_blk_spec, *bias_specs],
+        out_specs=[row_spec_q, stat_blk_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct((b, h, l, 128), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * b * h * l * l * d,
+            bytes_accessed=4 * q.size * q.dtype.itemsize,
+            transcendentals=b * h * l * l,
+        ),
+        interpret=interpret,
+    )(q, k, v, ct, delta, *bias_args)
+
+    row_spec_k = pl.BlockSpec(
+        (1, 1, block_k, d), lambda bi, hi, ki: (bi, hi, ki, 0),
+        memory_space=pltpu.VMEM,
+    )
+    stat_full_spec = pl.BlockSpec(
+        (1, 1, l, 128), lambda bi, hi, ki: (bi, hi, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    dkv_bias_specs = []
+    if bias is not None:
+        dkv_bias_specs = [pl.BlockSpec(
+            (1, 1, l, block_k),
+            lambda bi, hi, ki: (
+                bias_b if bias_b is not None else bi,
+                bias_h if bias_h is not None else hi, 0, ki,
+            ),
+            memory_space=pltpu.VMEM,
+        )]
+    dkv_kernel = (
+        functools.partial(_attn_bwd_dkv_bias_kernel, scale=scale)
+        if bias is not None
+        else functools.partial(_attn_bwd_dkv_kernel, scale=scale)
+    )
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid=(b, h, l // block_k),
+        in_specs=[full_spec, row_spec_k, row_spec_k, full_spec,
+                  stat_full_spec, stat_full_spec, *dkv_bias_specs],
+        out_specs=[row_spec_k, row_spec_k],
+        out_shape=[
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=8 * b * h * l * l * d,
+            bytes_accessed=4 * q.size * q.dtype.itemsize,
+            transcendentals=b * h * l * l,
+        ),
+        interpret=interpret,
+    )(q, k, v, ct, lse, delta, *bias_args)
+
+    if l != l_in:
+        dq = dq[:, :, :l_in, :]
+        dk = dk[:, :, :l_in, :]
+        dv = dv[:, :, :l_in, :]
+    return dq, dk, dv

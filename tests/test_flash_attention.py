@@ -378,3 +378,107 @@ def test_pallas_path_differentiable_with_rope(rng, monkeypatch):
     for a, b in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4)
+
+
+def _grad_pair(A, q, k, v, **kw):
+    def loss(impl):
+        def f(q, k, v):
+            return (A.bidirectional_attention(
+                q, k, v, impl=impl, **kw) ** 2).sum()
+        return f
+
+    gp = jax.grad(loss("pallas"), argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss("xla"), argnums=(0, 1, 2))(q, k, v)
+    return gp, gx
+
+
+def test_kernel_backward_with_bias(rng, monkeypatch):
+    """The flash backward kernels (dq/dkv, ops/flash_attention) handle the
+    additive-bias path — bias adds to scores pre-softmax in both kernels;
+    no gradient flows to the bias itself."""
+    import mmada_tpu.ops.attention as A
+
+    q = jnp.asarray(rng.normal(size=(2, 2, 256, 128)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(2, 2, 256, 128)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(2, 2, 256, 128)), jnp.float32)
+    allowed = jnp.asarray(rng.random((2, 1, 256, 256)) > 0.2)
+
+    monkeypatch.setattr(A, "_INTERPRET", True)
+    gp, gx = _grad_pair(A, q, k, v, bias=allowed)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_kernel_backward_unaligned_training_shape(rng, monkeypatch):
+    """seq 388 — the stage-1 training shape that made the forward kernel
+    eligible (and crashed jax.grad before the custom_vjp). The backward
+    kernels pad to the 128 tile with zero-dO rows; padded contributions
+    must vanish identically."""
+    import mmada_tpu.ops.attention as A
+    from mmada_tpu.models.llada import rope_sin_cos
+
+    q = jnp.asarray(rng.normal(size=(2, 2, 388, 128)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(2, 2, 388, 128)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(2, 2, 388, 128)), jnp.float32)
+    sin, cos = rope_sin_cos(388, 128, 500000.0)
+
+    monkeypatch.setattr(A, "_INTERPRET", True)
+    gp, gx = _grad_pair(A, q, k, v, rope_sin=sin, rope_cos=cos)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_kernel_backward_bf16(rng, monkeypatch):
+    import mmada_tpu.ops.attention as A
+
+    q = jnp.asarray(rng.normal(size=(1, 2, 256, 128)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(1, 2, 256, 128)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(1, 2, 256, 128)), jnp.bfloat16)
+
+    monkeypatch.setattr(A, "_INTERPRET", True)
+    gp, gx = _grad_pair(A, q, k, v)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=0.1, atol=0.15,
+        )
+
+
+def test_kernel_backward_gqa_falls_back(rng, monkeypatch):
+    """GQA shapes are outside the square-MHA backward kernels
+    (_kernel_bwd_eligible) — the XLA-recompute fallback must still give
+    correct grads."""
+    import mmada_tpu.ops.attention as A
+
+    assert not A._kernel_bwd_eligible(
+        jnp.zeros((1, 4, 256, 128)), jnp.zeros((1, 2, 256, 128))
+    )
+    q = jnp.asarray(rng.normal(size=(1, 4, 256, 128)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(1, 2, 256, 128)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(1, 2, 256, 128)), jnp.float32)
+
+    monkeypatch.setattr(A, "_INTERPRET", True)
+    gp, gx = _grad_pair(A, q, k, v)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_flash_attention_bwd_direct(rng):
+    """Direct kernel-vs-autodiff parity on flash_attention_bwd itself."""
+    from mmada_tpu.ops.attention import xla_attention
+    from mmada_tpu.ops.flash_attention import flash_attention_bwd
+
+    q = jnp.asarray(rng.normal(size=(1, 2, 384, 128)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(1, 2, 384, 128)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(1, 2, 384, 128)), jnp.float32)
+    ct = jnp.asarray(rng.normal(size=q.shape), jnp.float32)
+
+    out, vjp = jax.vjp(lambda q, k, v: xla_attention(q, k, v), q, k, v)
+    want = vjp(ct)
+    got = flash_attention_bwd(q, k, v, out, ct, interpret=True)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
