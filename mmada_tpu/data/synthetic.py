@@ -95,6 +95,9 @@ class PatternBank:
             yield {
                 "images": self.images[ks],
                 "input_ids": [self.captions[k] for k in ks],
+                # pattern id = content hash: images are deterministic per
+                # id, so the trainer's VQ-code cache can skip re-encoding
+                "cache_keys": [int(k) for k in ks],
             }
 
 

@@ -137,7 +137,13 @@ def tp_attention(
         # head/batch shard
         in_specs = in_specs + (P(None, None), P(None, None))
         args = args + (rope_sin, rope_cos)
+    # check_vma=False: the body is fully local per-shard attention (no
+    # collectives), and a pallas_call inside shard_map cannot declare its
+    # output's varying-mesh-axes under the newer check (its out_shape is a
+    # plain ShapeDtypeStruct) — hit when AOT-compiling the TPU-target
+    # serving program, where the kernel path is eligible inside shard_map
     fn = shard_map(
-        local, mesh=mesh, in_specs=in_specs, out_specs=head_spec
+        local, mesh=mesh, in_specs=in_specs, out_specs=head_spec,
+        check_vma=False,
     )
     return fn(*args)

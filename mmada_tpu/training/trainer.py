@@ -165,18 +165,41 @@ class Trainer:
 
     # -------------------------------------------------------------- data
     _encode_fn = None
+    _vq_cache: Optional[dict] = None
 
-    def encode_images(self, images: np.ndarray) -> np.ndarray:
+    def encode_images(
+        self, images: np.ndarray, cache_keys=None
+    ) -> np.ndarray:
         """pixels (B, H, W, C) -> fused image token ids. Jitted once: the
         eager conv stack is fine on CPU but op-by-op dispatch through the
-        remote-TPU tunnel would dominate step time."""
+        remote-TPU tunnel would dominate step time.
+
+        `cache_keys` (one hashable per image) lets flows with few distinct
+        images (data/synthetic.py pattern banks; any pre-deduplicated
+        dataset) skip re-uploading + re-encoding repeats — the VQ encoder
+        is frozen, so codes are immutable per image."""
         if self._encode_fn is None:
             vq_cfg = self.vq_cfg
             self._encode_fn = jax.jit(
                 lambda p, x: magvit2.get_code(p, vq_cfg, x)
             )
-        codes = self._encode_fn(self.vq_params, jnp.asarray(images))
-        return np.asarray(codes) + self.model.vocab.image_offset
+        offset = self.model.vocab.image_offset
+        if cache_keys is None:
+            codes = self._encode_fn(self.vq_params, jnp.asarray(images))
+            return np.asarray(codes) + offset
+        if self._vq_cache is None:
+            self._vq_cache = {}
+        missing = [i for i, k in enumerate(cache_keys)
+                   if k not in self._vq_cache]
+        if missing:
+            fresh = np.asarray(self._encode_fn(
+                self.vq_params, jnp.asarray(np.asarray(images)[missing])
+            ))
+            for j, i in enumerate(missing):
+                self._vq_cache[cache_keys[i]] = fresh[j]
+        return np.stack(
+            [self._vq_cache[k] for k in cache_keys]
+        ) + offset
 
     def prepare_batch(self, raw: dict) -> dict:
         """Host-side assembly: VQ encode + prompting frames, no corruption
@@ -185,7 +208,9 @@ class Trainer:
         batch: dict[str, Any] = {}
         if sc.batch_size_t2i:
             flow = raw["t2i_flow"]
-            image_ids = self.encode_images(flow["images"])
+            image_ids = self.encode_images(
+                flow["images"], flow.get("cache_keys")
+            )
             ids, masks, _ = self.prompting(
                 (flow["input_ids"], image_ids, image_ids), "t2i"
             )
@@ -207,7 +232,9 @@ class Trainer:
             batch["lm_labels"] = jnp.asarray(labels)
         if sc.batch_size_mmu:
             flow = raw["mmu_flow"]
-            image_ids = self.encode_images(flow["images"])
+            image_ids = self.encode_images(
+                flow["images"], flow.get("cache_keys")
+            )
             ids, pmask, labels = self.prompting(
                 (image_ids, flow["input_ids"]), "mmu"
             )

@@ -115,3 +115,91 @@ def test_train_step_collective_budget_and_reduce_scatter():
     assert (
         counts.get("reduce-scatter", 0) + counts.get("all-reduce", 0) >= 1
     ), counts
+
+
+def test_hlo_analyzer_scan_trip_counts():
+    """utils/hlo_analysis must multiply while-body collectives by the scan
+    trip count: a toy 8-iteration scan whose body all-reduces a (128, 512)
+    f32 must report 8 all-reduces and 8x the per-iteration bytes."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mmada_tpu.utils.hlo_analysis import analyze_collectives
+
+    mesh = make_mesh(data=1, fsdp=8, tensor=1)
+    w = jax.ShapeDtypeStruct(
+        (8, 512, 512), jnp.float32,
+        sharding=NamedSharding(mesh, P(None, "fsdp")),
+    )
+    x = jax.ShapeDtypeStruct(
+        (128, 512), jnp.float32, sharding=NamedSharding(mesh, P())
+    )
+
+    def f(ws, x):
+        def body(c, w):
+            return jnp.tanh(c @ w), None
+
+        out, _ = jax.lax.scan(body, x, ws)
+        return out
+
+    hlo = jax.jit(f).lower(w, x).compile().as_text()
+    res = analyze_collectives(hlo)
+    ar = res["per_op"].get("all-reduce")
+    assert ar is not None, res
+    assert ar["count"] == 8.0, res
+    assert ar["result_bytes"] == 8 * 128 * 512 * 4, res
+
+
+def test_train_step_collective_byte_budget():
+    """Bytes, not just op counts (VERDICT r2 item 4): per-execution ICI
+    traffic of the tiny sharded train step, trip-count-aware. The budget
+    scales with the model (weights are gathered per layer under FSDP) —
+    pin it to a small multiple of the total parameter bytes so a
+    per-token or per-position collective regression blows past it."""
+    from mmada_tpu.training import optimizers
+    from mmada_tpu.training.train_step import (
+        StepConfig, TrainState, make_train_step,
+    )
+    from mmada_tpu.utils.hlo_analysis import analyze_collectives
+
+    mesh = make_mesh(data=2, fsdp=2, tensor=2)
+    cfg, params = build(mesh)
+    model = MMadaModel(cfg=cfg, params=params, vocab=VOCAB, mesh=mesh,
+                       remat=True)
+    sc = StepConfig(batch_size_t2i=8, batch_size_lm=8, batch_size_mmu=8,
+                    max_seq_length=8)
+    n_img = 16
+    l_total = sc.max_seq_length + 1 + n_img + 1
+    rng = np.random.default_rng(0)
+    shard = sharding.batch_sharding(mesh)
+
+    def put(x):
+        return jax.device_put(jnp.asarray(x), shard)
+
+    ids = rng.integers(3, 250, size=(8, l_total))
+    batch = {
+        "t2i_input_ids": put(ids),
+        "t2i_masks": put(np.ones((8, l_total), np.int64)),
+        "lm_input_ids": put(ids),
+        "lm_labels": put(ids),
+        "mmu_input_ids": put(ids),
+        "mmu_labels": put(ids),
+        "mmu_prompt_masks": put(np.zeros((8, l_total), np.int64)),
+    }
+    opt = optimizers.adamw(1e-4, params_for_mask=params)
+    state = TrainState.create(params, opt)
+    hlo = jax.jit(make_train_step(model, opt, sc)).lower(
+        state, batch, jax.random.key(0)
+    ).compile().as_text()
+    res = analyze_collectives(hlo)
+    assert res["total_ici_bytes"] > 0, res
+    param_bytes = sum(
+        int(np.prod(p.shape)) * p.dtype.itemsize
+        for p in jax.tree.leaves(params)
+    )
+    # fwd gather + bwd re-gather (remat) + grad reduction + optimizer ≈
+    # a handful of full weight traversals; 16x params is generous headroom
+    # while a per-position collective would exceed it by orders of
+    # magnitude (measured ~2.4x params at the time of writing)
+    assert res["total_ici_bytes"] < 16 * param_bytes, (
+        res["total_ici_bytes"], param_bytes,
+    )

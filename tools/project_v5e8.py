@@ -1,0 +1,308 @@
+"""Computed v5e-8 projection: AOT-compile the FULL 8B sharded programs for
+a REAL v5e-8 target (deviceless TPU compilation via
+jax.experimental.topologies — libtpu is local even though only one chip
+is reachable), extract per-device HBM (compiled.memory_analysis()) and
+per-step collective ICI bytes (utils/hlo_analysis over the optimized HLO,
+trip-count-aware), and emit a roofline-based projection — replacing the
+round-2 "linear scaling ≈1.8 img/s" prose with numbers derived from the
+actual compiled TPU programs (real GSPMD lowering: reduce-scatter
+rewrites, all-gather hoisting out of the layer scan — a CPU-mesh compile
+pessimizes both).
+
+    python tools/project_v5e8.py out=PROJECTION_r03.json
+
+Programs compiled (same sharding rules production uses):
+  * serving t2i denoise-step forward — bf16 8B, v5e8_fsdp_tp topology
+    (fsdp 4 x tensor 2), CFG-doubled batch, windowed 8k head;
+  * the same forward on a pure-TP mesh (tensor 8): TP moves activations,
+    not weights — the better serving topology when per-step FSDP weight
+    regathering dominates;
+  * full multi-task train step — bf16 8B, v5e8_fsdp topology (fsdp 8,
+    ZeRO-3 analog), remat, AdamW, stage-1 shape. Answers "does 8B
+    training fit v5e-8 with sharded Adam state" from the compiled
+    buffer assignment, not arithmetic.
+
+Roofline constants: v5e 197 TFLOP/s bf16 peak; ICI ~4.5e10 B/s per link
+per direction, ring collectives ride one torus axis with both directions
+=> 9e10 B/s effective per device (public "How to Scale Your Model" v5e
+numbers). Compute efficiency defaults to the MEASURED single-chip
+fractions (89.4% MXU t2i forward, BENCH_r02; train MFU from
+tools/bench_train.py) — override with t2i_eff=/train_eff=.
+"""
+
+import json
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+logger = logging.getLogger("project_v5e8")
+
+V5E_HBM_BYTES = 16e9
+ICI_BW = 9e10  # bytes/s per device, bidirectional ring on one torus axis
+
+
+def _suffix_spec_map(param_specs):
+    """Flatten the param-spec tree to {trailing-key-path: spec} for
+    longest-suffix matching against optimizer-state leaves (mu/nu mirror
+    the param tree under extra prefixes)."""
+    import jax
+
+    flat, _ = jax.tree_util.tree_flatten_with_path(param_specs)
+    out = {}
+    for path, spec in flat:
+        keys = tuple(
+            str(getattr(k, "key", getattr(k, "idx", k))) for k in path
+        )
+        out[keys] = spec
+    return out
+
+
+def _shard_like(shapes_tree, suffix_map, mesh):
+    """Attach NamedShardings to an eval_shape tree: leaves whose trailing
+    path matches a param path get that spec; everything else replicates."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(shapes_tree)
+    leaves = []
+    for path, s in flat:
+        keys = tuple(
+            str(getattr(k, "key", getattr(k, "idx", k))) for k in path
+        )
+        spec = None
+        for n in range(len(keys), 0, -1):
+            if keys[-n:] in suffix_map:
+                spec = suffix_map[keys[-n:]]
+                break
+        if spec is None or len(s.shape) == 0:
+            spec = P()
+        leaves.append(
+            jax.ShapeDtypeStruct(s.shape, s.dtype,
+                                 sharding=NamedSharding(mesh, spec))
+        )
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def _mem(compiled):
+    ma = compiled.memory_analysis()
+    # donated inputs alias their outputs (alias_size) — counting both
+    # sides would double-count the train state
+    logical = (ma.argument_size_in_bytes + ma.output_size_in_bytes
+               + ma.temp_size_in_bytes - ma.alias_size_in_bytes)
+    peak = ma.peak_memory_in_bytes or logical
+    return {
+        "argument_gb": round(ma.argument_size_in_bytes / 1e9, 3),
+        "output_gb": round(ma.output_size_in_bytes / 1e9, 3),
+        "temp_gb": round(ma.temp_size_in_bytes / 1e9, 3),
+        "aliased_gb": round(ma.alias_size_in_bytes / 1e9, 3),
+        "peak_gb": round(peak / 1e9, 3),
+    }
+
+
+def main(argv):
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+    args = dict(kv.split("=", 1) for kv in argv if "=" in kv)
+    out_path = args.get("out", "PROJECTION_r03.json")
+    t2i_eff = float(args.get("t2i_eff", 0.894))   # measured, BENCH_r02
+    train_eff = float(args.get("train_eff", 0.55))  # measured, bench_train r3
+
+    import jax
+    from jax.experimental import topologies
+
+    topo = topologies.get_topology_desc(
+        platform="tpu", topology_name=args.get("topology", "v5e:2x4")
+    )
+    devices = list(topo.devices)
+    assert len(devices) == 8, len(devices)
+
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mmada_tpu.core.mesh import make_mesh
+    from mmada_tpu.core.precision import BF16
+    from mmada_tpu.core.vocab import MMADA_8B
+    from mmada_tpu.models import llada
+    from mmada_tpu.models.mmada import MMadaModel
+    from mmada_tpu.parallel import sharding
+    from mmada_tpu.training import optimizers
+    from mmada_tpu.training.train_step import (
+        StepConfig, TrainState, make_train_step,
+    )
+    from mmada_tpu.utils import hlo_analysis as H
+    from mmada_tpu.utils.flops import (
+        V5E_BF16_PEAK, forward_matmul_flops_per_token, train_step_flops,
+    )
+
+    cfg = llada.llada_8b(MMADA_8B.total_vocab_size)
+    specs = sharding.llada_param_specs(cfg)
+    param_shapes = jax.eval_shape(
+        lambda k: llada.init_params(k, cfg, dtype=jnp.bfloat16),
+        jax.random.key(0),
+    )
+    suffix_map = _suffix_spec_map(specs)
+    report = {"model": f"8B {cfg.n_layers}L d{cfg.d_model} "
+                       f"vocab {cfg.vocab_size} bf16"}
+
+    # --------------------------------------- serving topologies compared
+    batch, num_vq, text_frame = 4, 1024, 510
+    seq = text_frame + num_vq + 2
+    timesteps = 15
+    vq_decode_s = 0.0293 * batch  # measured per-image decode, BASELINE.md
+    win = (MMADA_8B.image_offset, MMADA_8B.image_offset + 8192)
+
+    def project_serving(name, data, fsdp, tensor):
+        mesh_s = make_mesh(data=data, fsdp=fsdp, tensor=tensor,
+                           devices=devices)
+        abstract = _shard_like(param_shapes, suffix_map, mesh_s)
+        model_s = MMadaModel(cfg=cfg, params=abstract, vocab=MMADA_8B,
+                             policy=BF16, mesh=mesh_s)
+        ids = jax.ShapeDtypeStruct(
+            (2 * batch, seq), jnp.int32,
+            sharding=NamedSharding(mesh_s, sharding.batch_spec()),
+        )
+        logger.info("AOT-compiling serving t2i step forward (8B, %s)", name)
+        fwd = jax.jit(
+            lambda m, i: m.forward(
+                i, logit_positions=(text_frame + 1, num_vq),
+                logit_window=win,
+            )
+        )
+        c_fwd = fwd.lower(model_s, ids).compile()
+        mem_fwd = _mem(c_fwd)
+        col_fwd = H.analyze_collectives(c_fwd.as_text())
+        flops_step = (
+            2 * batch * seq
+            * forward_matmul_flops_per_token(cfg, seq, num_vq, 8192)
+        )
+        t_compute = flops_step / 8 / (V5E_BF16_PEAK * t2i_eff)
+        t_comm = col_fwd["total_ici_bytes"] / ICI_BW
+        img_s_overlap = batch / (
+            timesteps * max(t_compute, t_comm) + vq_decode_s
+        )
+        img_s_serial = batch / (
+            timesteps * (t_compute + t_comm) + vq_decode_s
+        )
+        entry = {
+            "mesh": {"data": data, "fsdp": fsdp, "tensor": tensor},
+            "per_device_memory": mem_fwd,
+            "fits_16gb": mem_fwd["peak_gb"] < V5E_HBM_BYTES / 1e9,
+            "collectives_per_step": {
+                k: {kk: round(vv, 1) for kk, vv in v.items()}
+                for k, v in col_fwd["per_op"].items()
+            },
+            "ici_bytes_per_step": round(col_fwd["total_ici_bytes"]),
+            "step_compute_s": round(t_compute, 5),
+            "step_comm_s": round(t_comm, 5),
+            "assumed_efficiencies": {"mxu": t2i_eff,
+                                     "ici_bw_bytes_s": ICI_BW},
+            "t2i_img_per_s_batch4": {
+                "comm_overlapped": round(img_s_overlap, 3),
+                "comm_serial": round(img_s_serial, 3),
+            },
+        }
+        report[name] = entry
+        logger.info(
+            "%s: peak %s GB/dev, %.1f MB ICI/step -> %.2f-%.2f img/s",
+            name, mem_fwd["peak_gb"], col_fwd["total_ici_bytes"] / 1e6,
+            img_s_serial, img_s_overlap,
+        )
+        return entry
+
+    project_serving("serving_t2i_fsdp4_tp2", 1, 4, 2)
+    project_serving("serving_t2i_tp8", 1, 1, 8)
+
+    # ----------------------------------------------- training (fsdp 8)
+    mesh_t = make_mesh(data=1, fsdp=8, tensor=1, devices=devices)
+    abstract_params_t = _shard_like(param_shapes, suffix_map, mesh_t)
+    model_t = MMadaModel(cfg=cfg, params=abstract_params_t, vocab=MMADA_8B,
+                         policy=BF16, mesh=mesh_t, remat=True)
+    sc = StepConfig(batch_size_t2i=8, batch_size_lm=8, batch_size_mmu=8,
+                    max_seq_length=130, loss_chunk=128)
+    n_img = 256
+    l_total = sc.max_seq_length + 1 + n_img + 1
+    bsz = sc.batch_size_t2i + sc.batch_size_lm + sc.batch_size_mmu
+
+    opt = optimizers.adamw(1e-4)
+    state_shapes = jax.eval_shape(
+        lambda p: TrainState.create(p, opt), param_shapes
+    )
+    abstract_state = _shard_like(state_shapes, suffix_map, mesh_t)
+    bspec = NamedSharding(mesh_t, sharding.batch_spec())
+
+    def bshape(b, dtype=jnp.int32):
+        return jax.ShapeDtypeStruct((b, l_total), dtype, sharding=bspec)
+
+    abstract_batch = {
+        "t2i_input_ids": bshape(sc.batch_size_t2i),
+        "t2i_masks": bshape(sc.batch_size_t2i),
+        "lm_input_ids": bshape(sc.batch_size_lm),
+        "lm_labels": bshape(sc.batch_size_lm),
+        "mmu_input_ids": bshape(sc.batch_size_mmu),
+        "mmu_labels": bshape(sc.batch_size_mmu),
+        "mmu_prompt_masks": bshape(sc.batch_size_mmu),
+    }
+    logger.info("AOT-compiling full 8B train step (fsdp8, remat, AdamW)")
+    step = jax.jit(make_train_step(model_t, opt, sc), donate_argnums=(0,))
+    c_step = step.lower(
+        abstract_state, abstract_batch,
+        jax.ShapeDtypeStruct((), jax.random.key(0).dtype,
+                             sharding=NamedSharding(mesh_t, P())),
+    ).compile()
+    mem_step = _mem(c_step)
+    col_step = H.analyze_collectives(c_step.as_text())
+
+    useful, hw = train_step_flops(cfg, bsz, l_total, remat=True)
+    t_compute = hw / 8 / (V5E_BF16_PEAK * train_eff)
+    t_comm = col_step["total_ici_bytes"] / ICI_BW
+    report["training_fsdp8"] = {
+        "mesh": {"data": 1, "fsdp": 8, "tensor": 1},
+        "shape": {"batch": bsz, "seq": l_total, "remat": True,
+                  "loss_chunk": sc.loss_chunk, "optimizer": "adamw"},
+        "per_device_memory": mem_step,
+        "fits_16gb_with_sharded_adam": mem_step["peak_gb"]
+        < V5E_HBM_BYTES / 1e9,
+        "collectives_per_step": {
+            k: {kk: round(vv, 1) for kk, vv in v.items()}
+            for k, v in col_step["per_op"].items()
+        },
+        "ici_bytes_per_step": round(col_step["total_ici_bytes"]),
+        "step_compute_s": round(t_compute, 4),
+        "step_comm_s": round(t_comm, 4),
+        "assumed_efficiencies": {"mxu": train_eff,
+                                 "ici_bw_bytes_s": ICI_BW},
+        "samples_per_s": {
+            "comm_overlapped": round(bsz / max(t_compute, t_comm), 2),
+            "comm_serial": round(bsz / (t_compute + t_comm), 2),
+        },
+        "useful_tflops_per_step": round(useful / 1e12, 1),
+    }
+    logger.info(
+        "training: peak %s GB/dev (fits=%s), %.1f GB ICI/step -> %.1f-%.1f "
+        "samples/s", mem_step["peak_gb"],
+        report["training_fsdp8"]["fits_16gb_with_sharded_adam"],
+        col_step["total_ici_bytes"] / 1e9,
+        report["training_fsdp8"]["samples_per_s"]["comm_serial"],
+        report["training_fsdp8"]["samples_per_s"]["comm_overlapped"],
+    )
+
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps({
+        "serving_img_s": {
+            n: report[n]["t2i_img_per_s_batch4"]
+            for n in ("serving_t2i_fsdp4_tp2", "serving_t2i_tp8")
+        },
+        "train_samples_s": report["training_fsdp8"]["samples_per_s"],
+        "train_peak_gb": mem_step["peak_gb"],
+        "train_fits": report["training_fsdp8"][
+            "fits_16gb_with_sharded_adam"],
+    }))
+    logger.info("wrote %s", out_path)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
