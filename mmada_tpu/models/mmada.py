@@ -309,6 +309,77 @@ class MMadaModel:
             parallel_threshold=parallel_threshold,
         )
 
+    # pinned per-block runner state (set by with_pinned_fast_runner; a
+    # plain attribute, NOT a pytree field — used host-side only)
+    _pinned_fast_runner = None
+
+    def with_pinned_fast_runner(self, example_prompt, eot_token: int,
+                                max_new_tokens=128, steps=128,
+                                block_length=128, temperature=0.0,
+                                cfg_scale=0.0, block_kv_cache=False,
+                                parallel_threshold=0.0):
+        """Return a copy of this model whose params are stored in the
+        per-block early-stop runner's PREFERRED XLA layout, plus a
+        pre-compiled AUTO-layout executable for that runner.
+
+        The per-block runner is a standalone program invoked once per
+        semi-AR block (`_early_stop_block`), i.e. exactly the
+        multi-program serving case where serve/layouts measured a -27%
+        call-time win from layout pinning (default-layout params pay a
+        re-layout copy of the stacked q/k/v weights on every call).
+        `mmu_generate_fast` uses the pinned executable automatically when
+        its settings and shapes match; anything else falls back to the
+        plain jitted runner. Measure with tools/bench_layout_pin.py."""
+        from mmada_tpu.serve import layouts
+
+        scfg = text_sampling.SemiARConfig(
+            gen_length=max_new_tokens, steps=steps,
+            block_length=block_length, temperature=temperature,
+            cfg_scale=cfg_scale, mask_id=self.vocab.mask_token_id,
+            parallel_threshold=parallel_threshold,
+        )
+        spb = scfg.steps_per_block
+        block_cfg = dataclasses.replace(
+            scfg, gen_length=block_length, steps=spb,
+            block_length=block_length,
+        )
+        b, p = example_prompt.shape
+        x = jnp.concatenate([
+            jnp.asarray(example_prompt, jnp.int32),
+            jnp.full((b, max_new_tokens), self.vocab.mask_token_id,
+                     jnp.int32),
+        ], axis=1)
+        prompt_index = x != self.vocab.mask_token_id
+        step_keys = jnp.zeros((spb, 2), jnp.uint32)
+        transfers = text_sampling.num_transfer_schedule(
+            jnp.full((b,), block_length, jnp.int32), spb
+        )
+
+        def fn(model, x, prompt_index, block_end, step_keys, transfers):
+            return _early_stop_block(
+                model, x, prompt_index, block_end, step_keys, transfers,
+                block_cfg, kv_cached=block_kv_cache,
+            )
+
+        compiled, pinned = layouts.compile_with_pinned_layouts(
+            fn, self, x, prompt_index, jnp.int32(p + block_length),
+            step_keys, transfers,
+        )
+        model_pinned = pinned[0]
+        in_fmt = (compiled.input_formats
+                  if hasattr(compiled, "input_formats")
+                  else compiled.input_layouts)
+        arg_fmts = (in_fmt[0] if (isinstance(in_fmt, tuple)
+                                  and len(in_fmt) == 2
+                                  and isinstance(in_fmt[1], dict))
+                    else in_fmt)
+        settings = (x.shape, max_new_tokens, steps, block_length,
+                    temperature, cfg_scale, bool(block_kv_cache) if
+                    block_kv_cache != "int8" else "int8",
+                    parallel_threshold)
+        model_pinned._pinned_fast_runner = (compiled, arg_fmts[1:], settings)
+        return model_pinned
+
     def mmu_generate_fast(self, input_ids, eot_token: int, max_new_tokens=128,
                           steps=128, block_length=128, temperature=0.0,
                           cfg_scale=0.0, key=None, block_kv_cache=False,
@@ -326,6 +397,31 @@ class MMadaModel:
         # `block_end` is traced, so one executable serves every block of
         # every call at these settings (the eager fallback re-traces and
         # re-compiles the whole block scan per block per call).
+        pin = self._pinned_fast_runner
+        if pin is not None:
+            compiled, small_fmts, settings = pin
+            b, p = input_ids.shape
+            want = ((b, p + max_new_tokens), max_new_tokens, steps,
+                    block_length, temperature, cfg_scale,
+                    bool(block_kv_cache) if block_kv_cache != "int8"
+                    else "int8", parallel_threshold)
+            if want == settings:
+                def run_block(block_cfg, x, prompt_index, block_end,
+                              step_keys, transfers):
+                    # small args must match the AUTO executable's layouts
+                    args = [
+                        jax.device_put(a, f) for a, f in zip(
+                            (x, prompt_index, jnp.int32(block_end),
+                             step_keys, transfers), small_fmts,
+                        )
+                    ]
+                    return compiled(self, *args)
+
+                return text_sampling.generate_with_early_stop(
+                    None, input_ids, scfg, eot_token, key=key,
+                    run_block=run_block,
+                )
+
         def run_block(block_cfg, x, prompt_index, block_end, step_keys,
                       transfers):
             return _early_stop_block(

@@ -34,3 +34,33 @@ def test_pinned_executable_matches_plain_jit():
 def test_layouts_supported_flag():
     # informational: the API must import cleanly either way
     assert isinstance(layouts_supported(), bool)
+
+
+def test_pinned_fast_runner_matches_default():
+    """with_pinned_fast_runner wires the AUTO-layout per-block executable
+    into mmu_generate_fast; outputs must be identical to the default
+    path, and mismatched settings must fall back (not crash)."""
+    import dataclasses
+
+    vocab = tiny_layout(text_vocab_size=256, image_codebook_size=64)
+    cfg = llada.tiny_config(vocab_size=vocab.total_vocab_size)
+    cfg = dataclasses.replace(cfg, mask_token_id=vocab.mask_token_id)
+    model = MMadaModel.init(jax.random.key(0), cfg, vocab)
+    prompt = jax.random.randint(jax.random.key(1), (2, 8), 3, 250, jnp.int32)
+    kw = dict(max_new_tokens=16, steps=8, block_length=8, temperature=0.0)
+    eot = 2
+
+    want = np.asarray(model.mmu_generate_fast(prompt, eot, **kw))
+
+    # pinning deletes the source params — pin a fresh copy
+    model2 = MMadaModel.init(jax.random.key(0), cfg, vocab)
+    pinned = model2.with_pinned_fast_runner(prompt, eot, **kw)
+    assert pinned._pinned_fast_runner is not None
+    got = np.asarray(pinned.mmu_generate_fast(prompt, eot, **kw))
+    np.testing.assert_array_equal(got, want)
+
+    # kv-cached settings differ from the pinned ones -> default path
+    other = np.asarray(
+        pinned.mmu_generate_fast(prompt, eot, block_kv_cache=True, **kw)
+    )
+    assert other.shape == want.shape
