@@ -146,6 +146,26 @@ def main(argv):
         jax.random.key(3), (1, 32), 3, min(1000, vocab.text_vocab_size - 30),
         jnp.int32,
     )
+    # `config=` switches the gate prompts to the model's TRAINING
+    # distribution (the structured synthetic banks through the exact
+    # training-time prompting) — required for decode-agreement gates on a
+    # proxy checkpoint (tools/quant_gate.py ckpt mode rationale: on
+    # out-of-distribution prompts even a trained model is margin-starved)
+    in_dist_prompting = None
+    if args.get("config") and not dryrun:
+        from mmada_tpu.core.config import load_config
+        from mmada_tpu.serve.loader import (
+            build_prompting, build_text_tokenizer,
+        )
+        from mmada_tpu.data import synthetic as _synth
+
+        _ycfg = load_config(args["config"])
+        _tok = build_text_tokenizer(_ycfg)
+        in_dist_prompting = build_prompting(_ycfg, _tok, vocab)
+        rng_ids = jnp.asarray([
+            _tok([_synth.sentence(0)])["input_ids"][0][:24]
+        ], jnp.int32)
+        report["prompt_distribution"] = "training (synthetic banks)"
 
     # ------------------------------------------------- 2. torch logit parity
     if torch_check:
@@ -229,14 +249,27 @@ def main(argv):
     n_vq = 16 if dryrun else 1024
     soi = 230 if dryrun else vocab.special("<|soi|>")
     eoi = 231 if dryrun else vocab.special("<|eoi|>")
-    frame = np.concatenate([
-        np.asarray(rng_ids),
-        np.full((1, 1), soi),
-        np.full((1, n_vq), vocab.mask_token_id),
-        np.full((1, 1), eoi),
-    ], axis=1).astype(np.int32)
-    uncond = frame.copy()
-    uncond[:, :rng_ids.shape[1]] = vocab.pad_token_id
+    if in_dist_prompting is not None:
+        from mmada_tpu.data import synthetic as _synth
+
+        masked = np.full((1, n_vq), vocab.mask_token_id, np.int64)
+        frame, _ = in_dist_prompting(
+            ([_synth.caption_for(0)], masked), "t2i_gen"
+        )
+        uncond, _ = in_dist_prompting.t2i_gen_uncond(
+            1, n_vq, vocab.mask_token_id
+        )
+        frame = np.asarray(frame, np.int32)
+        uncond = np.asarray(uncond, np.int32)
+    else:
+        frame = np.concatenate([
+            np.asarray(rng_ids),
+            np.full((1, 1), soi),
+            np.full((1, n_vq), vocab.mask_token_id),
+            np.full((1, 1), eoi),
+        ], axis=1).astype(np.int32)
+        uncond = frame.copy()
+        uncond[:, :rng_ids.shape[1]] = vocab.pad_token_id
     t2i_out = np.asarray(jax.jit(
         lambda m, f, u: m.t2i_generate(
             f, uncond_input_ids=u, temperature=0.0, greedy=True,
