@@ -39,6 +39,13 @@ def main(argv):
     if args.get("cpu") == "1":  # tiny-dim harness check off-chip
         jax.config.update("jax_platforms", "cpu")
 
+    if args.get("bwd") == "xla":
+        # A/B: force the round-2 XLA-recompute attention backward instead
+        # of the flash dq/dkv kernels (ops/attention._pallas_attention_bwd)
+        import mmada_tpu.ops.attention as _A
+
+        _A._kernel_bwd_eligible = lambda q, k: False
+
     from mmada_tpu.core.precision import BF16
     from mmada_tpu.core.vocab import MMADA_8B
     from mmada_tpu.models import llada
@@ -105,6 +112,7 @@ def main(argv):
         "model_tflops_per_s": round(useful / step_s / 1e12, 1),
         "train_mfu_vs_bf16_peak": round(useful / step_s / V5E_BF16_PEAK, 3),
         "hw_tflops_per_s_incl_remat": round(hardware / step_s / 1e12, 1),
+        "attention_backward": args.get("bwd", "kernel"),
     }))
     return 0
 
