@@ -40,7 +40,14 @@ def adamw(
     weight_decay: float = 0.01,
     max_grad_norm: Optional[float] = 1.0,
     params_for_mask: Optional[Any] = None,
+    mu_dtype: Optional[Any] = None,
 ) -> optax.GradientTransformation:
+    """`mu_dtype`: dtype of the first moment (optax keeps nu in fp32
+    internally for `adamw` only when params are fp32; with bf16 params
+    both moments default to bf16). For production 8B runs set
+    `optimizer.params.mu_dtype: float32` — the v5e-8 budget has room
+    (PROJECTION_r03.json: 9.7 GB/dev with bf16 moments; fp32 first
+    moments add ~2 GB/dev under fsdp8)."""
     mask = (
         decay_mask(params_for_mask) if params_for_mask is not None
         else (lambda p: decay_mask(p))
@@ -51,7 +58,7 @@ def adamw(
     chain.append(
         optax.adamw(
             learning_rate, b1=beta1, b2=beta2, eps=eps,
-            weight_decay=weight_decay, mask=mask,
+            weight_decay=weight_decay, mask=mask, mu_dtype=mu_dtype,
         )
     )
     return optax.chain(*chain)
@@ -92,7 +99,12 @@ def from_config(opt_cfg, lr_schedule, params=None) -> optax.GradientTransformati
         params_for_mask=params,
     )
     if name == "adamw":
-        return adamw(eps=p.get("epsilon", 1e-8), **common)
+        import jax.numpy as jnp
+
+        mu_dtype = p.get("mu_dtype")
+        return adamw(eps=p.get("epsilon", 1e-8),
+                     mu_dtype=jnp.dtype(mu_dtype) if mu_dtype else None,
+                     **common)
     if name == "lion":
         common["beta2"] = p.get("beta2", 0.99)
         return lion(**common)
