@@ -14,7 +14,9 @@ automatically once a real-weight gate run promotes it.
 
 Extras in the same JSON line: semi-AR text tokens/sec at the reference
 text operating point, achieved model FLOP/s and MXU utilization (vs the
-v5e bf16 peak), and the scheme/gate provenance.
+v5e bf16 peak), the scheme/gate provenance, and — when the latest
+trained-checkpoint gate promoted it (PROXY_GATES_r*.json) — the
+confidence-parallel decode throughput at the gate's τ.
 
 The reference publishes no throughput numbers (BASELINE.md), so
 vs_baseline is 1.0; the driver's BENCH_r{N}.json series tracks
@@ -44,6 +46,22 @@ def pick_scheme():
     return "int8", None
 
 
+def pick_parallel():
+    """Latest trained-checkpoint gate decides whether confidence-parallel
+    decoding is promoted (PROXY_GATES_r*.json kv_cache_gate stage; the
+    τ quality/speed sweep lives in PARALLEL_r*.json).  Returns
+    (tau or None, artifact name)."""
+    arts = sorted(glob.glob(os.path.join(os.path.dirname(__file__) or ".",
+                                         "PROXY_GATES_r*.json")))
+    if arts:
+        with open(arts[-1]) as f:
+            gate = json.load(f).get("stages", {}).get("kv_cache_gate", {})
+        if gate.get("promote_parallel"):
+            return float(gate.get("parallel_tau", 0.9)), \
+                os.path.basename(arts[-1])
+    return None, None
+
+
 def model_flops_per_token(cfg, seq_len, head_positions, head_width):
     """Matmul FLOPs per processed token of one forward."""
     from mmada_tpu.utils.flops import forward_matmul_flops_per_token
@@ -61,6 +79,7 @@ def main():
     from mmada_tpu.ops import quantization as Q
 
     scheme, gate_artifact = pick_scheme()
+    par_tau, par_artifact = pick_parallel()
 
     batch = 4
     timesteps = 15
@@ -167,6 +186,27 @@ def main():
     sync(out)
     text_dt = time.perf_counter() - t0
     text_tokens_per_s = text_gen / text_dt
+
+    # ------------------------------------- confidence-parallel (promoted)
+    # τ-threshold parallel decoding (extra tokens commit early when their
+    # softmax confidence clears τ). Reported as a first-class number only
+    # when the latest trained-checkpoint gate promoted it — the 165M
+    # on-chip proxy measured 0.992 agreement at 2.73x vs exact
+    # (PROXY_GATES_r03.json kv_cache_gate; τ sweep in PARALLEL_r03.json).
+    text_par_tok_s = None
+    if par_tau is not None:
+        @jax.jit
+        def run_text_par(model, prompt):
+            return model.generate(
+                prompt, gen_length=text_gen, steps=text_steps,
+                block_length=text_block, temperature=0.0,
+                parallel_threshold=par_tau,
+            )
+
+        sync(run_text_par(model, text_prompt))
+        t0 = time.perf_counter()
+        sync(run_text_par(model, text_prompt))
+        text_par_tok_s = text_gen / (time.perf_counter() - t0)
 
     # ----------------------------------------------------------------- mmu
     # Two operating points over the same 1066-token image+prompt prefix:
@@ -285,6 +325,10 @@ def main():
                                                  "1024 new, 512 steps, "
                                                  "block 1024 "
                                                  "(inference_mmu.py:57,102)",
+                **({"text_tokens_per_s_parallel": round(text_par_tok_s, 2),
+                    "parallel_tau": par_tau,
+                    "parallel_gate_artifact": par_artifact}
+                   if text_par_tok_s else {}),
                 "text_tokens_per_s_kv_cached": round(text_cached_tok_s, 2),
                 "mmu_p50_latency_s_kv_cached": round(mmu_cached_p50, 2),
                 **({"t2i_img_s_kv_cached": round(t2i_cached_img_s, 4)}
