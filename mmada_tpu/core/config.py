@@ -259,6 +259,31 @@ def parse_kv_cache(value):
     return "int8" if value == "int8" else bool(value)
 
 
+def parse_remat(value):
+    """`training.gradient_checkpointing` values -> False | "full" | "dots".
+
+    Same bug class as parse_kv_cache: `bool("dots")` is True, which would
+    silently promote the selective policy to full-layer recompute. "full"
+    rematerializes the whole layer in backward (minimal memory, ~25%
+    extra MXU work at stage-1 shapes); "dots" saves every matmul output
+    (jax.checkpoint_policies.dots_with_no_batch_dims_saveable) so the
+    backward recomputes only elementwise ops + the flash-attention
+    forward — more activation memory, near-zero recompute FLOPs."""
+    if isinstance(value, str):
+        v = value.strip().lower()
+        if v == "dots":
+            return "dots"
+        if v in ("1", "true", "yes", "on", "full"):
+            return "full"
+        if v in ("0", "false", "no", "off", ""):
+            return False
+        raise ValueError(
+            f"gradient_checkpointing must be true/false/full/dots, "
+            f"got {value!r}"
+        )
+    return "full" if value else False
+
+
 def parse_structured(cls, cfg: Mapping[str, Any]):
     """Config section → dataclass instance, ignoring unknown keys
     (the reference's `models/misc.py:parse_structured` contract)."""

@@ -431,6 +431,34 @@ def prepare_attention_bias(
     return out
 
 
+def _wrap_remat(body, remat):
+    """Activation-checkpointing modes for the layer-scan body.
+
+    False      — save everything (inference / shallow-depth training).
+    True/"full" — recompute the whole layer in backward: minimal memory,
+                 one extra layer-stack forward of MXU work (~25% at
+                 stage-1 shapes, utils/flops.train_step_flops).
+    "dots"     — jax.checkpoint_policies.dots_with_no_batch_dims_saveable:
+                 every matmul output (qkv/o/mlp projections) is saved, the
+                 backward recomputes only elementwise ops plus the
+                 flash-attention forward (the custom_vjp is opaque to the
+                 policy, so its residuals rematerialize by re-running the
+                 kernel — exactly flash attention's own trade). Costs
+                 ~7x the full-remat activation memory, buys back nearly
+                 the whole recompute tax.
+    """
+    if not remat:
+        return body
+    if remat is True or remat == "full":
+        return jax.checkpoint(body, prevent_cse=False)
+    if remat == "dots":
+        return jax.checkpoint(
+            body, prevent_cse=False,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        )
+    raise ValueError(f"remat must be False/True/'full'/'dots', got {remat!r}")
+
+
 def forward(
     params: Params,
     cfg: LLaDAConfig,
@@ -441,7 +469,7 @@ def forward(
     policy: Policy = FP32,
     logit_window: Optional[tuple[int, int]] = None,
     logit_positions: Optional[tuple[int, int]] = None,
-    remat: bool = False,
+    remat=False,  # False | True | "full" | "dots" (_wrap_remat)
     attn_impl: str = "auto",
     output_hidden_states: bool = False,
     mesh=None,
@@ -506,8 +534,7 @@ def forward(
         h = pin(h)
         return h, (h if output_hidden_states else None)
 
-    if remat:
-        body = jax.checkpoint(body, prevent_cse=False)
+    body = _wrap_remat(body, remat)
 
     x, hidden = jax.lax.scan(body, x, params["blocks"])
 
@@ -580,7 +607,7 @@ def forward_kv_capture(
     cfg: LLaDAConfig,
     input_ids: jax.Array,          # (B, L) int32
     policy: Policy = FP32,
-    remat: bool = False,
+    remat=False,  # False | True | "full" | "dots" (_wrap_remat)
     attn_impl: str = "auto",
     mesh=None,
     tp_axis: str = "tensor",
@@ -631,8 +658,7 @@ def forward_kv_capture(
             kv = tuple(_quantize_kv(t) for t in kv)
         return h, kv
 
-    if remat:
-        body = jax.checkpoint(body, prevent_cse=False)
+    body = _wrap_remat(body, remat)
 
     _, (k_cache, v_cache) = jax.lax.scan(body, x, params["blocks"])
     return k_cache, v_cache

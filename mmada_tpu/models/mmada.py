@@ -81,7 +81,12 @@ class MMadaModel:
     vocab: VocabLayout
     policy: Policy = FP32
     attn_impl: str = "auto"
-    remat: bool = False
+    remat: Any = False
+    """Activation checkpointing on the layer scan: False | True/"full" |
+    "dots" (save matmul outputs, recompute only elementwise + flash-attn
+    forward — llada._wrap_remat). Route config strings through
+    core.config.parse_remat (`bool("dots")` is True — the parse_kv_cache
+    bug class)."""
     mesh: Any = None
     """Optional jax.sharding.Mesh. When set, attention runs the
     mesh-aware shard_map path (heads over 'tensor', batch over

@@ -18,7 +18,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from mmada_tpu.core.config import Config
+from mmada_tpu.core.config import Config, parse_remat
 from mmada_tpu.core.precision import BF16, FP32, policy_from_name
 from mmada_tpu.core.vocab import MMADA_8B, VocabLayout, tiny_layout
 from mmada_tpu.models import llada, magvit2
@@ -133,8 +133,10 @@ def build_model(cfg: Config, vocab: VocabLayout) -> MMadaModel:
     )
     # activation checkpointing (reference configuration_llada.py:386-430 /
     # training.gradient_checkpointing): one jax.checkpoint on the layer
-    # scan — required to fit full-depth training in HBM
-    remat = bool(
+    # scan — required to fit full-depth training in HBM. Accepts
+    # true/false/"full"/"dots" ("dots" keeps matmul outputs, cutting the
+    # recompute tax where memory allows — core.config.parse_remat).
+    remat = parse_remat(
         cfg.get_path("training.gradient_checkpointing",
                      cfg.get_path("model.gradient_checkpointing", False))
     )

@@ -31,21 +31,31 @@ def forward_matmul_flops_per_token(
     return L * (per_layer + attn) + head
 
 
-def train_step_flops(cfg, batch: int, seq_len: int, remat: bool = True):
+def train_step_flops(cfg, batch: int, seq_len: int, remat="full"):
     """(useful_flops, hardware_flops) of one fwd+bwd training step.
 
     useful: the standard MFU numerator — forward + backward = 3x forward
     matmul FLOPs (backward does two matmuls per forward matmul).
-    hardware: adds the rematerialization recompute (one extra forward of
-    the checkpointed layer stack — the head/loss is outside the remat
-    scope), i.e. what the MXU actually executes. MFU uses `useful`;
-    hardware/peak bounds the visible ceiling under remat.
+    hardware: adds the rematerialization recompute, i.e. what the MXU
+    actually executes. MFU uses `useful`; hardware/peak bounds the
+    visible ceiling under remat. Recompute by mode (llada._wrap_remat):
+      False/None — none.
+      True/"full" — one extra forward of the checkpointed layer stack
+        (the head/loss is outside the remat scope).
+      "dots" — matmul outputs are saved; only the flash-attention forward
+        re-runs in backward (the custom_vjp is opaque to the policy), so
+        the recompute is the QK^T/PV einsums alone.
     """
     tokens = batch * seq_len
     fwd = tokens * forward_matmul_flops_per_token(
         cfg, seq_len, seq_len, cfg.vocab_size
     )
     layers_only = tokens * forward_matmul_flops_per_token(cfg, seq_len, 0, 0)
+    attn_only = tokens * cfg.n_layers * 4 * seq_len * cfg.d_model
     useful = 3.0 * fwd
-    hardware = useful + (layers_only if remat else 0.0)
-    return useful, hardware
+    recompute = {
+        False: 0.0, None: 0.0,
+        True: layers_only, "full": layers_only,
+        "dots": attn_only,
+    }[remat]
+    return useful, useful + recompute

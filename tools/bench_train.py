@@ -31,6 +31,8 @@ def main(argv):
     n_layers = int(args.get("layers", 8))
     batch, seq = int(args.get("batch", 15)), int(args.get("seq", 388))
     steps = int(args.get("steps", 8))
+    from mmada_tpu.core.config import parse_remat
+    remat = parse_remat(args.get("remat", "full"))  # full | dots | false
 
     import jax
     import jax.numpy as jnp
@@ -80,7 +82,7 @@ def main(argv):
     def step(params, opt_state, ids, labels, masked):
         def loss_fn(p):
             m = MMadaModel(cfg=cfg, params=p, vocab=MMADA_8B,
-                           policy=BF16, remat=True)
+                           policy=BF16, remat=remat)
             logits = m.forward(ids).astype(jnp.float32)
             ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
             return (ce * masked).sum() / masked.sum()
@@ -102,7 +104,7 @@ def main(argv):
 
     from mmada_tpu.utils.flops import V5E_BF16_PEAK, train_step_flops
 
-    useful, hardware = train_step_flops(cfg, batch, seq, remat=True)
+    useful, hardware = train_step_flops(cfg, batch, seq, remat=remat)
     step_s = dt / steps
     print(json.dumps({
         "train_samples_per_s": round(batch * steps / dt, 2),
@@ -113,6 +115,7 @@ def main(argv):
         "train_mfu_vs_bf16_peak": round(useful / step_s / V5E_BF16_PEAK, 3),
         "hw_tflops_per_s_incl_remat": round(hardware / step_s / 1e12, 1),
         "attention_backward": args.get("bwd", "kernel"),
+        "remat": remat,
     }))
     return 0
 
