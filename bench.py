@@ -99,7 +99,8 @@ def main():
     shapes = jax.eval_shape(
         lambda k: Q.quantize_llada_params(
             llada.init_params(k, cfg, dtype=jnp.bfloat16),
-            activations=(scheme == "w8a8"),
+            activations=scheme.startswith("w8a8"),  # w8a8_smooth: same
+            # structure/speed as w8a8 — migration only moves magnitudes
         ),
         jax.random.key(0),
     )

@@ -177,17 +177,57 @@ def build_model(cfg: Config, vocab: VocabLayout) -> MMadaModel:
     model = MMadaModel.from_pretrained(
         path, vocab, dtype=policy.param_dtype, policy=policy, remat=remat
     )
-    if m.get("quantize") in ("int8", "w8", "w8a8"):
-        # full-depth 8B on one 16 GB chip (ops/quantization.py)
+    if m.get("quantize") in ("int8", "w8", "w8a8", "w8a8_smooth"):
+        # full-depth 8B on one 16 GB chip (ops/quantization.py);
+        # 'w8a8_smooth' folds SmoothQuant scale migration in first
+        # (ops/smoothquant.py) — calibrate with real prompt ids via
+        # model.mmada.smoothquant_calib (path to an int32 (N, L) .npy)
+        # or fall back to synthetic text+t2i-frame batches.
         from mmada_tpu.ops.quantization import quantize_llada_params
 
-        model = dataclasses.replace(
-            model,
-            params=quantize_llada_params(
+        if m.get("quantize") == "w8a8_smooth":
+            from mmada_tpu.ops.smoothquant import smooth_quantize
+
+            params = smooth_quantize(
+                model.params, model.cfg,
+                _calibration_batches(m, model.cfg, vocab),
+                alpha=float(m.get("smoothquant_alpha", 0.5)),
+            )
+        else:
+            params = quantize_llada_params(
                 model.params, activations=m.get("quantize") == "w8a8"
-            ),
-        )
+            )
+        model = dataclasses.replace(model, params=params)
     return _maybe_shard(cfg, model)
+
+
+def _calibration_batches(m, arch, vocab):
+    """SmoothQuant calibration ids: a user-supplied prompt-token file when
+    available (`model.mmada.smoothquant_calib`), else deterministic
+    synthetic batches spanning the fused vocab's regimes — a text-range
+    batch and a t2i-shaped frame (text prefix + image-code span + masks).
+    Channel-outlier LOCATIONS are a property of the weights far more than
+    of the prompt mix (SmoothQuant paper §5.4), so synthetic calibration
+    is a serviceable default; prefer real prompts when deployed."""
+    import numpy as np
+
+    path = m.get("smoothquant_calib")
+    if path:
+        ids = np.load(path).astype(np.int32)
+        if ids.ndim != 2:
+            raise ValueError(f"smoothquant_calib must be (N, L), got {ids.shape}")
+        return [ids[i:i + 4] for i in range(0, min(len(ids), 16), 4)]
+    rng = np.random.default_rng(0)
+    text_hi = min(vocab.text_vocab_size, arch.vocab_size) - 1
+    text = rng.integers(3, text_hi, (2, 128), dtype=np.int32)
+    frame = rng.integers(3, text_hi, (2, 160), dtype=np.int32)
+    img_lo = vocab.image_offset
+    img_hi = min(img_lo + vocab.image_codebook_size, arch.vocab_size)
+    if img_lo < img_hi:
+        frame[:, 32:96] = rng.integers(img_lo, img_hi, (2, 64), dtype=np.int32)
+    if vocab.mask_token_id < arch.vocab_size:
+        frame[:, 96:] = vocab.mask_token_id
+    return [text, frame]
 
 
 def _maybe_shard(cfg: Config, model: MMadaModel) -> MMadaModel:

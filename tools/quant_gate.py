@@ -287,6 +287,25 @@ def run_ckpt_gate(args):
     int8 = drive(qparams, "int8")
     w8a8 = drive(_w8a8_view(qparams), "w8a8")
 
+    # SmoothQuant arms: migrate activation outliers into the weights
+    # (ops/smoothquant.py), calibrated on the same in-distribution
+    # prompts, then the identical W8A8 quantizer. Two alphas — 0.5 is
+    # the paper default, 0.7 shifts more burden onto the (per-channel,
+    # well-conditioned) weight quantizer.
+    from mmada_tpu.ops import smoothquant as SQ
+
+    calib = [np.asarray(text_prompt), np.asarray(fwd_ids),
+             np.asarray(frame)]
+    sq_stats = SQ.collect_stats(params, cfg, calib, policy=BF16)
+    smooth = {}
+    for alpha in (0.5, 0.7):
+        name = f"w8a8_smooth_a{alpha}"
+        sq = SQ.smooth_quantize(params, cfg, calib, alpha=alpha,
+                                stats=sq_stats)
+        smooth[name] = drive(sq, name)
+        del sq
+        gc.collect()
+
     ref_logits = bf16.pop("logits")
     ref_top1 = ref_logits.argmax(-1)
     sorted_top2 = np.sort(ref_logits, axis=-1)[..., -2:]
@@ -325,7 +344,7 @@ def run_ckpt_gate(args):
         "bf16": {"text_tokens_per_s": bf16["text_tokens_per_s"],
                  "t2i_images_per_s": bf16["t2i_images_per_s"]},
     }
-    for name, res in (("int8", int8), ("w8a8", w8a8)):
+    for name, res in (("int8", int8), ("w8a8", w8a8), *smooth.items()):
         logits = res.pop("logits")
         top1 = logits.argmax(-1)
         report[name] = {
@@ -359,13 +378,49 @@ def run_ckpt_gate(args):
     }
     report["checks"] = checks
     report["promote_w8a8"] = all(checks.values())
-    report["headline_scheme"] = "w8a8" if report["promote_w8a8"] else "int8"
+
+    # SmoothQuant arms face the SAME promotion bar as plain w8a8; the
+    # best passing arm (by summed decode agreement) wins the headline.
+    def _arm_checks(name):
+        return {
+            "forward_top1_ok":
+                report[name]["forward_top1_agreement"] >= FWD_THRESHOLD,
+            "text_decode_not_worse_than_int8":
+                report[name]["text_decode_agreement"]
+                >= report["int8"]["text_decode_agreement"] - DECODE_SLACK,
+            "t2i_decode_not_worse_than_int8":
+                report[name]["t2i_decode_agreement"]
+                >= report["int8"]["t2i_decode_agreement"] - DECODE_SLACK,
+            "int8_control_decodes_cleanly":
+                checks["int8_control_decodes_cleanly"],
+            "margins_separated": checks["margins_separated"],
+        }
+
+    best_smooth = None
+    for name in smooth:
+        report[name]["checks"] = _arm_checks(name)
+        report[name]["promote"] = all(report[name]["checks"].values())
+        if report[name]["promote"]:
+            score = (report[name]["text_decode_agreement"]
+                     + report[name]["t2i_decode_agreement"])
+            if best_smooth is None or score > best_smooth[1]:
+                best_smooth = (name, score)
+
+    if best_smooth:
+        report["headline_scheme"] = "w8a8_smooth"
+        report["headline_smooth_arm"] = best_smooth[0]
+        report["promote_w8a8_smooth"] = True
+    else:
+        report["promote_w8a8_smooth"] = False
+        report["headline_scheme"] = (
+            "w8a8" if report["promote_w8a8"] else "int8"
+        )
 
     with open(out_path, "w") as f:
         json.dump(report, f, indent=2, default=str)
     print(json.dumps({k: report[k] for k in
-                      ("promote_w8a8", "headline_scheme", "checks",
-                       "margin_stats")}))
+                      ("promote_w8a8", "promote_w8a8_smooth",
+                       "headline_scheme", "checks", "margin_stats")}))
     logger.info("wrote %s", out_path)
     return 0
 

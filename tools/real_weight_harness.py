@@ -294,8 +294,20 @@ def main(argv):
     ref_logits = np.asarray(model.forward(rng_ids).astype(jnp.float32))
     ref_top1 = ref_logits.argmax(-1)
     gate = {}
-    for scheme, kwargs in (("int8", {}), ("w8a8", {"activations": True})):
-        qparams = Q.quantize_llada_params(params, **kwargs)
+    from mmada_tpu.ops import smoothquant as SQ
+
+    for scheme, kwargs in (("int8", {}), ("w8a8", {"activations": True}),
+                           ("w8a8_smooth", {"smooth": True})):
+        if kwargs.pop("smooth", False):
+            # SmoothQuant scale migration (ops/smoothquant.py) before the
+            # same W8A8 quantizer — on real 8B weights (where channel
+            # outliers are real, unlike the proxies) this is the arm
+            # expected to close the activation-quantization gap
+            qparams = SQ.smooth_quantize(
+                params, cfg, [np.asarray(rng_ids)], alpha=0.5, policy=BF16
+            )
+        else:
+            qparams = Q.quantize_llada_params(params, **kwargs)
         qmodel = MMadaModel(cfg=cfg, params=qparams, vocab=vocab, policy=BF16)
         q_logits = np.asarray(qmodel.forward(rng_ids).astype(jnp.float32))
         q_text = np.asarray(jax.jit(
@@ -313,13 +325,17 @@ def main(argv):
             "text_decode_agreement": float((q_text == text_out).mean()),
         }
         del qparams, qmodel
-    promote = (
-        gate["w8a8"]["forward_top1_agreement"] >= 0.99
-        and gate["w8a8"]["text_decode_agreement"]
-        >= gate["int8"]["text_decode_agreement"] - 0.01
-    )
+    def _promotes(scheme):
+        return (
+            gate[scheme]["forward_top1_agreement"] >= 0.99
+            and gate[scheme]["text_decode_agreement"]
+            >= gate["int8"]["text_decode_agreement"] - 0.01
+        )
+
     report["stages"]["quant_gate"] = {
-        "ok": True, **gate, "promote_w8a8": bool(promote),
+        "ok": True, **gate,
+        "promote_w8a8": bool(_promotes("w8a8")),
+        "promote_w8a8_smooth": bool(_promotes("w8a8_smooth")),
     }
 
     # ------------------------------------------------- 5b. kv-cache gate
