@@ -271,14 +271,17 @@ def parse_remat(value):
     forward — more activation memory, near-zero recompute FLOPs."""
     if isinstance(value, str):
         v = value.strip().lower()
-        if v == "dots":
-            return "dots"
+        if v in ("dots", "auto"):
+            # "auto": the Trainer resolves dots-vs-full at the first step
+            # by compiled-memory fit (training/remat_auto.pick_remat);
+            # outside the trainer it behaves as "full"
+            return v
         if v in ("1", "true", "yes", "on", "full"):
             return "full"
         if v in ("0", "false", "no", "off", ""):
             return False
         raise ValueError(
-            f"gradient_checkpointing must be true/false/full/dots, "
+            f"gradient_checkpointing must be true/false/full/dots/auto, "
             f"got {value!r}"
         )
     return "full" if value else False

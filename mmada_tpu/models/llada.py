@@ -449,7 +449,10 @@ def _wrap_remat(body, remat):
     """
     if not remat:
         return body
-    if remat is True or remat == "full":
+    if remat is True or remat in ("full", "auto"):
+        # unresolved "auto" (forward used outside the Trainer, which is
+        # where the dots-vs-full memory fit is decided) behaves as "full"
+        # — in forward-only graphs the checkpoint is a no-op after DCE
         return jax.checkpoint(body, prevent_cse=False)
     if remat == "dots":
         return jax.checkpoint(

@@ -120,10 +120,24 @@ class Trainer:
             )
 
         self.state = TrainState.create(self.model.params, opt)
-        self.train_step = jax.jit(
-            make_train_step(self.model, opt, self.step_cfg),
-            donate_argnums=(0,),  # old state freed as the new one lands
-        )
+
+        def _jit_step(remat_mode):
+            return jax.jit(
+                make_train_step(
+                    dataclasses.replace(self.model, remat=remat_mode), opt,
+                    self.step_cfg,
+                ),
+                donate_argnums=(0,),  # old state freed as the new one lands
+            )
+
+        if model.remat == "auto":
+            # resolved at the first step, when concrete batch shapes exist:
+            # compile `dots`, keep it iff XLA's buffer assignment fits the
+            # device budget, else fall back to `full` (training/remat_auto)
+            self._jit_step = _jit_step
+            self.train_step = self._resolve_auto_remat
+        else:
+            self.train_step = _jit_step(model.remat)
 
         # optional weight EMA (the reference ships an EMA class but never
         # wires it, models/training_utils.py:61-297; here training.ema.*
@@ -162,6 +176,19 @@ class Trainer:
         # config snapshot (train_mmada.py:151-155)
         os.makedirs(out_dir, exist_ok=True)
         cfg.save(os.path.join(out_dir, "config.yaml"))
+
+    def _resolve_auto_remat(self, state, batch, rng):
+        """First-step trampoline for `gradient_checkpointing: auto`:
+        pick dots/full by compiled memory fit, swap the chosen jitted fn
+        into `self.train_step`, and run the step."""
+        from mmada_tpu.training.remat_auto import pick_remat
+
+        mode, step_fn, info = pick_remat(self._jit_step, state, batch, rng)
+        logger.info("gradient_checkpointing=auto resolved to %r (%s)",
+                    mode, info)
+        self.remat_resolved = (mode, info)
+        self.train_step = step_fn
+        return step_fn(state, batch, rng)
 
     # -------------------------------------------------------------- data
     _encode_fn = None

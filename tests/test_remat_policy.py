@@ -30,6 +30,7 @@ def test_parse_remat():
     assert parse_remat("full") == "full"
     assert parse_remat("dots") == "dots"
     assert parse_remat("DOTS") == "dots"
+    assert parse_remat("auto") == "auto"
     assert parse_remat("off") is False
     assert parse_remat(1) == "full"
     with pytest.raises(ValueError):
@@ -85,3 +86,59 @@ def test_flops_accounting_orders():
     assert useful == hw_none < hw_dots < hw_full
     attn = 4 * 512 * cfg.n_layers * 4 * 512 * cfg.d_model
     assert hw_dots - hw_none == attn
+
+
+# ---------------------------------------------------------------- auto mode
+
+def _tiny_trainer(tmp_path, budget_gb, monkeypatch):
+    from mmada_tpu.core.config import Config
+    from mmada_tpu.core.vocab import tiny_layout
+    from mmada_tpu.prompting.universal import (
+        ByteTokenizer, SpecialIds, UniversalPrompting,
+    )
+    from mmada_tpu.training.trainer import Trainer
+
+    monkeypatch.setenv("MMADA_REMAT_AUTO_BUDGET_GB", str(budget_gb))
+    vl = tiny_layout(text_vocab_size=256, image_codebook_size=32)
+    cfg = llada.tiny_config(
+        vocab_size=vl.total_vocab_size, d_model=32, n_heads=2, n_layers=2,
+        mlp_hidden_size=64,
+    )
+    import dataclasses as dc
+    cfg = dc.replace(cfg, mask_token_id=vl.mask_token_id)
+    model = MMadaModel(
+        cfg=cfg, params=llada.init_params(jax.random.key(0), cfg),
+        vocab=vl, remat="auto",
+    )
+    sp = SpecialIds(soi=230, eoi=231, t2i=232, mmu=233, r2i=234, t2m=235,
+                    som=236, eom=237, pad=vl.pad_token_id, bos=1, eos=2)
+    prompting = UniversalPrompting(ByteTokenizer(), sp, max_text_len=8,
+                                   cond_dropout_prob=0.0)
+    ycfg = Config({
+        "training": {"batch_size_lm": 2, "max_train_steps": 4},
+        "experiment": {"output_dir": str(tmp_path / "out")},
+    })
+    return Trainer(ycfg, model, prompting)
+
+
+def _lm_batch():
+    import numpy as np
+    ids = np.random.default_rng(0).integers(3, 250, size=(2, 16))
+    return {"lm_input_ids": jnp.asarray(ids), "lm_labels": jnp.asarray(ids)}
+
+
+@pytest.mark.parametrize("budget_gb,expect", [(1000, "dots"), (0.0001, "full")])
+def test_auto_remat_resolution(tmp_path, monkeypatch, budget_gb, expect):
+    """auto resolves to dots when the compiled step fits the budget and
+    to full when it cannot; the first step runs either way and the
+    resolved jitted fn replaces the trampoline."""
+    tr = _tiny_trainer(tmp_path, budget_gb, monkeypatch)
+    state0_step = int(tr.state.step)
+    tr.state, metrics = tr.train_step(tr.state, _lm_batch(), jax.random.key(1))
+    assert tr.remat_resolved[0] == expect, tr.remat_resolved
+    assert jnp.isfinite(metrics["loss"])
+    assert int(tr.state.step) == state0_step + 1
+    # trampoline swapped out: second step goes straight to the jitted fn
+    assert tr.train_step is not tr._resolve_auto_remat
+    tr.state, metrics = tr.train_step(tr.state, _lm_batch(), jax.random.key(2))
+    assert jnp.isfinite(metrics["loss"])
