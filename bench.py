@@ -239,11 +239,16 @@ def main():
         lats.append(time.perf_counter() - t0)
     mmu_p50 = sorted(lats)[1]
 
-    @jax.jit
+    # NOT jit-wrapped: the ref op point is one 512-step block whose single
+    # program would run ~2 min at 8B — past the tunneled worker's ~60 s
+    # per-execution kill (BASELINE.md round-3). segment_steps=128 runs it
+    # as 4 token-identical ~30 s programs (sampling/text.generate_segmented,
+    # exactness pinned by tests/test_segmented.py); the host-loop overhead
+    # is 3 extra dispatches over ~2 min, <0.1%.
     def run_mmu_ref(model, prefix):
         return model.mmu_generate(
             prefix, max_new_tokens=1024, steps=512, block_length=1024,
-            temperature=0.0,
+            temperature=0.0, segment_steps=128,
         )
 
     sync(run_mmu_ref(model, mmu_prefix))

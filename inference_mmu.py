@@ -37,6 +37,12 @@ def main(argv):
         "parallel_threshold",
         cfg.get_path("serving.parallel_threshold", 0.0),
     ))
+    # Exact sampler only: split the denoise scan into <=N-step programs
+    # (token-identical; needed for heavy op points on the tunneled chip,
+    # whose worker kills single executions over ~60 s).
+    segment_steps = int(cfg.get(
+        "segment_steps", cfg.get_path("serving.segment_steps", 0)
+    ))
     seed = int(cfg.get("seed", 0))
 
     model, vq_params, vq_cfg, tokenizer, prompting, vocab = load_all(cfg)
@@ -96,6 +102,7 @@ def main(argv):
                 key=jax.random.key(seed),
                 block_kv_cache=kv_cache,
                 parallel_threshold=parallel_threshold,
+                segment_steps=segment_steps,
             )
         answer_ids = np.asarray(out[0, frame.shape[1]:])
         answer_ids = answer_ids[answer_ids < vocab.text_vocab_size]

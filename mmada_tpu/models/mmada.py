@@ -61,6 +61,22 @@ def _early_stop_block(model, x, prompt_index, block_end, step_keys,
     )
 
 
+@functools.partial(jax.jit, static_argnames=("block_cfg",))
+def _segment_block(model, x, prompt_index, block_end, step_keys,
+                   transfers, block_cfg):
+    """One ≤segment_steps chunk of a block's denoise scan for the
+    segmented exact sampler (text_sampling.generate_segmented): model as
+    pytree argument, traced block_end — all equal-length chunks of all
+    blocks share one executable (distinct chunk lengths shape-key their
+    own)."""
+    return text_sampling.run_block_eager(
+        block_cfg, x, prompt_index, block_end, step_keys, transfers,
+        window_forward_fn=model._text_window_forward_fn(
+            block_cfg.block_length
+        ),
+    )
+
+
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["params"],
@@ -257,19 +273,46 @@ class MMadaModel:
     # ---------------------------------------------------------------- text
     def generate(self, prompt, gen_length=128, steps=128, block_length=128,
                  temperature=0.0, cfg_scale=0.0, remasking="low_confidence",
-                 key=None, block_kv_cache=False, parallel_threshold=0.0):
+                 key=None, block_kv_cache=False, parallel_threshold=0.0,
+                 segment_steps=0):
         """`block_kv_cache=True` switches to the approximate block-cached
         decode (per-step forwards touch only the active block — the big
         long-prompt latency lever; see `_text_cache_fns`).
         `parallel_threshold` (0 = off) additionally commits every
         candidate above that confidence per step and exits each block as
-        soon as it completes (SemiARConfig.parallel_threshold)."""
+        soon as it completes (SemiARConfig.parallel_threshold).
+        `segment_steps` (0 = off) runs the EXACT sampler as multiple
+        ≤segment_steps-step device programs (token-identical; host loop —
+        do not wrap in jit). Required at heavy operating points on the
+        tunneled chip, whose worker kills single executions over ~60 s
+        (text_sampling.generate_segmented)."""
         scfg = text_sampling.SemiARConfig(
             gen_length=gen_length, steps=steps, block_length=block_length,
             temperature=temperature, cfg_scale=cfg_scale, remasking=remasking,
             mask_id=self.vocab.mask_token_id,
             parallel_threshold=parallel_threshold,
         )
+        if segment_steps:
+            if block_kv_cache:
+                raise ValueError(
+                    "segment_steps supports the exact sampler only "
+                    "(per-chunk K/V recapture would change the block-cache "
+                    "staleness semantics)"
+                )
+            spb = scfg.steps_per_block
+            block_cfg = dataclasses.replace(
+                scfg, gen_length=block_length, steps=spb,
+                block_length=block_length,
+            )
+
+            def run_block(cfg_, x_, pi_, be_, sk_, tr_):
+                return _segment_block(self, x_, pi_, be_, sk_, tr_,
+                                      block_cfg)
+
+            return text_sampling.generate_segmented(
+                None, prompt, scfg, key=key, segment_steps=segment_steps,
+                run_block=run_block,
+            )
         if block_kv_cache:
             return text_sampling.generate(
                 None, prompt, scfg, key=key,
@@ -304,7 +347,8 @@ class MMadaModel:
     def mmu_generate(self, input_ids, max_new_tokens=128, steps=128,
                      block_length=128, temperature=0.0, cfg_scale=0.0,
                      remasking="low_confidence", key=None,
-                     block_kv_cache=False, parallel_threshold=0.0):
+                     block_kv_cache=False, parallel_threshold=0.0,
+                     segment_steps=0):
         """Identical denoiser; prompt already contains the <|mmu|> image frame."""
         return self.generate(
             input_ids, gen_length=max_new_tokens, steps=steps,
@@ -312,6 +356,7 @@ class MMadaModel:
             cfg_scale=cfg_scale, remasking=remasking, key=key,
             block_kv_cache=block_kv_cache,
             parallel_threshold=parallel_threshold,
+            segment_steps=segment_steps,
         )
 
     # pinned per-block runner state (set by with_pinned_fast_runner; a

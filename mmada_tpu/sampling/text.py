@@ -440,6 +440,89 @@ def run_block_eager(
     return x
 
 
+def generate_segmented(
+    forward_fn: Optional[ForwardFn],
+    prompt: jax.Array,  # (B, P) int32 — no masks inside
+    cfg: SemiARConfig,
+    key: Optional[jax.Array] = None,
+    segment_steps: int = 64,
+    window_forward_fn: Optional[WindowForwardFn] = None,
+    run_block: Optional[Callable] = None,
+) -> jax.Array:
+    """Token-exact `generate`, executed as MULTIPLE device programs: a
+    host loop over blocks and over ≤`segment_steps`-step chunks of each
+    block's denoise scan. Needed where single-execution wall time is
+    bounded — the tunneled axon TPU worker kills any execution at ~60 s
+    (measured: 56.6 s runs, 61.1 s crashes the worker; BASELINE.md
+    round-3f), which the reference MMU operating point (512 steps × ~240
+    ms at 8B) exceeds 2×. Chunking a `lax.scan` over precomputed
+    (step_keys, transfers) rows is associative in the carry `x`, so
+    outputs are bit-identical to `generate` wherever the forward's
+    numerics are program-independent: pinned exactly on CPU
+    (tests/test_segmented.py, all chunk sizes, det + stochastic). On TPU
+    the chunk program and the whole-scan program are *different XLA
+    programs*, so bf16 near-ties can resolve differently across them —
+    measured round-3g: a random tiny model flips 2/80 tokens vs
+    `generate` while every chunk size agrees with every other BIT-exactly
+    and each path is self-deterministic; the trained 165M proxy is
+    token-EXACT at seg 4 and 16 (margin starvation, the same class
+    QUANT_r02/r03 document for int8). Exact sampler only: `cache_fns` is
+    deliberately unsupported (per-chunk K/V recapture would *change* the
+    block-cache staleness semantics, not just the schedule).
+
+    `run_block(cfg, x, prompt_index, block_end, step_keys, transfers)`
+    may be injected (models/mmada uses a jitted model-as-argument
+    runner); by default chunks run `run_block_eager`.
+    """
+    if segment_steps < 1:
+        raise ValueError(f"segment_steps must be >= 1, got {segment_steps}")
+    b, p = prompt.shape
+    x = jnp.concatenate(
+        [
+            prompt.astype(jnp.int32),
+            jnp.full((b, cfg.gen_length), cfg.mask_id, jnp.int32),
+        ],
+        axis=1,
+    )
+    prompt_index = x != cfg.mask_id
+    spb, nb = cfg.steps_per_block, cfg.num_blocks
+
+    needs_key = cfg.temperature > 0 or cfg.remasking == "random"
+    if needs_key and key is None:
+        raise ValueError("stochastic sampling requires a PRNG key")
+    if needs_key:
+        block_keys = _block_key_schedule(key, nb, spb)
+    else:
+        block_keys = jnp.zeros((nb, spb, 2), jnp.uint32)
+
+    if run_block is None:
+        if window_forward_fn is None:
+            window_forward_fn = as_window_forward_fn(
+                forward_fn, cfg.block_length
+            )
+
+        def run_block(cfg_, x_, pi_, be_, sk_, tr_):
+            return run_block_eager(
+                cfg_, x_, pi_, be_, sk_, tr_,
+                window_forward_fn=window_forward_fn,
+            )
+
+    for bi in range(nb):
+        block_start = p + bi * cfg.block_length
+        block_end = block_start + cfg.block_length
+        block_mask = (
+            x[:, block_start:block_end] == cfg.mask_id
+        ).sum(axis=1)
+        transfers = num_transfer_schedule(block_mask, spb)  # (B, spb)
+        for s0 in range(0, spb, segment_steps):
+            s1 = min(s0 + segment_steps, spb)
+            x = run_block(
+                cfg, x, prompt_index, jnp.int32(block_end),
+                block_keys[bi, s0:s1], transfers[:, s0:s1],
+            )
+    return x
+
+
 def generate_with_early_stop(
     forward_fn: Optional[ForwardFn],
     prompt: jax.Array,
