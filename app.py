@@ -45,6 +45,12 @@ class AppState:
         self.default_parallel_threshold = float(
             cfg.get_path("serving.parallel_threshold", 0.0)
         )
+        # >0: engine runs exact text/mmu requests as <=N-step chunked
+        # programs, interleaving concurrent tasks at chunk boundaries
+        # (no head-of-line blocking; token-identical — serve/engine.py)
+        self.default_segment_steps = int(
+            cfg.get_path("serving.segment_steps", 0)
+        )
 
     def start_engine(self):
         """Route text/mmu/t2i requests through the batched ServingEngine:
@@ -67,13 +73,22 @@ class AppState:
     def generate_text(self, prompt, gen_length=128, steps=64,
                       block_length=32, temperature=1.0, cfg_scale=0.0,
                       remasking="low_confidence", thinking=False, seed=0,
-                      kv_cache=None, parallel_threshold=None):
+                      kv_cache=None, parallel_threshold=None,
+                      segment_steps=None):
         # None -> deployment-wide serving.* defaults (covers every
         # frontend: HTTP, gradio, direct API use)
         if kv_cache is None:
             kv_cache = self.default_kv_cache
         if parallel_threshold is None:
             parallel_threshold = self.default_parallel_threshold
+        if segment_steps is None:
+            segment_steps = self.default_segment_steps
+        if kv_cache:
+            # segmentation applies to the exact sampler only; when the
+            # deployment defaults enable BOTH, the cached decode (the
+            # bigger latency lever, already per-block programs) wins
+            # rather than erroring the request
+            segment_steps = 0
         import jax
         import jax.numpy as jnp
 
@@ -88,6 +103,7 @@ class AppState:
                 block_length=block_length, temperature=temperature,
                 cfg_scale=cfg_scale, remasking=remasking,
                 block_kv_cache=kv_cache, parallel_threshold=parallel_threshold,
+                segment_steps=segment_steps,
             )
             fut = self.engine.submit_text(
                 np.asarray(ids[0], np.int32), settings, seed=seed
@@ -104,6 +120,7 @@ class AppState:
                     if (temperature > 0 or remasking == "random") else None,
                     block_kv_cache=kv_cache,
                     parallel_threshold=parallel_threshold,
+                    segment_steps=segment_steps,
                 )
         answer = np.asarray(out[0, len(ids[0]):])
         answer = answer[answer < self.vocab.text_vocab_size]
@@ -228,11 +245,15 @@ class AppState:
     def mmu(self, image_arr, question, max_new_tokens=128, steps=64,
             block_length=64, temperature=0.0, cfg_scale=0.0,
             remasking="low_confidence", seed=0, kv_cache=None,
-            parallel_threshold=None):
+            parallel_threshold=None, segment_steps=None):
         if kv_cache is None:
             kv_cache = self.default_kv_cache
         if parallel_threshold is None:
             parallel_threshold = self.default_parallel_threshold
+        if segment_steps is None:
+            segment_steps = self.default_segment_steps
+        if kv_cache:  # cached decode wins over segmentation (see generate_text)
+            segment_steps = 0
         if image_arr is None:
             return "(no image provided)"
         import jax
@@ -258,6 +279,7 @@ class AppState:
                 block_length=block_length, temperature=temperature,
                 cfg_scale=cfg_scale, remasking=remasking,
                 block_kv_cache=kv_cache, parallel_threshold=parallel_threshold,
+                segment_steps=segment_steps,
             )
             fut = self.engine.submit_mmu(frame[0], settings, seed=seed)
             out = fut.result()[None]
@@ -270,6 +292,7 @@ class AppState:
                     remasking=remasking, key=jax.random.key(seed),
                     block_kv_cache=kv_cache,
                     parallel_threshold=parallel_threshold,
+                    segment_steps=segment_steps,
                 )
         answer = np.asarray(out[0, frame.shape[1]:])
         answer = answer[answer < self.vocab.text_vocab_size]
@@ -333,6 +356,9 @@ def run_http(state: AppState, port: int):
                         parallel_threshold=(
                             float(req["parallel_threshold"])
                             if "parallel_threshold" in req else None),
+                        segment_steps=(
+                            int(req["segment_steps"])
+                            if "segment_steps" in req else None),
                     )
                     self._reply({"text": text})
                 elif self.path == "/generate_stepwise":
@@ -400,6 +426,9 @@ def run_http(state: AppState, port: int):
                         parallel_threshold=(
                             float(req["parallel_threshold"])
                             if "parallel_threshold" in req else None),
+                        segment_steps=(
+                            int(req["segment_steps"])
+                            if "segment_steps" in req else None),
                     )
                     self._reply({"text": text})
                 else:

@@ -77,6 +77,25 @@ def _segment_block(model, x, prompt_index, block_end, step_keys,
     )
 
 
+@functools.partial(jax.jit, static_argnames=("block_cfg",))
+def _segment_block_per_row(model, x, prompt_index, block_end, step_keys,
+                           transfers, block_cfg):
+    """Per-row-key variant of `_segment_block`: `step_keys` is (B, chunk)
+    typed keys and each row runs as a batch-1 block under vmap — the same
+    construction as the engine's batched stochastic whole-generation path
+    (serve/engine._jit_text_per_row_keys), so a row's tokens are
+    bit-identical to its solo run regardless of batch composition."""
+    wf = model._text_window_forward_fn(block_cfg.block_length)
+
+    def row(xr, pir, kr, trr):
+        return text_sampling.run_block_eager(
+            block_cfg, xr[None], pir[None], block_end, kr, trr[None],
+            window_forward_fn=wf,
+        )[0]
+
+    return jax.vmap(row)(x, prompt_index, step_keys, transfers)
+
+
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["params"],
@@ -293,26 +312,13 @@ class MMadaModel:
             parallel_threshold=parallel_threshold,
         )
         if segment_steps:
-            if block_kv_cache:
-                raise ValueError(
-                    "segment_steps supports the exact sampler only "
-                    "(per-chunk K/V recapture would change the block-cache "
-                    "staleness semantics)"
-                )
-            spb = scfg.steps_per_block
-            block_cfg = dataclasses.replace(
-                scfg, gen_length=block_length, steps=spb,
-                block_length=block_length,
+            run = self._segmented_run(
+                prompt, scfg, key=key, segment_steps=segment_steps,
+                block_kv_cache=block_kv_cache,
             )
-
-            def run_block(cfg_, x_, pi_, be_, sk_, tr_):
-                return _segment_block(self, x_, pi_, be_, sk_, tr_,
-                                      block_cfg)
-
-            return text_sampling.generate_segmented(
-                None, prompt, scfg, key=key, segment_steps=segment_steps,
-                run_block=run_block,
-            )
+            while not run.step():
+                pass
+            return run.x
         if block_kv_cache:
             return text_sampling.generate(
                 None, prompt, scfg, key=key,
@@ -342,6 +348,53 @@ class MMadaModel:
         return text_sampling.generate_stepwise(
             None, prompt, scfg, key=key,
             window_forward_fn=self._text_window_forward_fn(block_length),
+        )
+
+    def _segmented_run(self, prompt, scfg, key=None, row_keys=None,
+                       segment_steps=64, block_kv_cache=False):
+        """Build a `text_sampling.SegmentedRun` whose chunks are jitted
+        model-as-argument programs (`_segment_block[_per_row]`): all
+        equal-length chunks of all blocks of all calls share one
+        executable. `row_keys` selects the per-row-key vmapped runner —
+        the engine's batched stochastic contract."""
+        if block_kv_cache:
+            raise ValueError(
+                "segment_steps supports the exact sampler only "
+                "(per-chunk K/V recapture would change the block-cache "
+                "staleness semantics)"
+            )
+        block_cfg = dataclasses.replace(
+            scfg, gen_length=scfg.block_length, steps=scfg.steps_per_block,
+            block_length=scfg.block_length,
+        )
+        runner = (_segment_block_per_row if row_keys is not None
+                  else _segment_block)
+
+        def run_block(cfg_, x_, pi_, be_, sk_, tr_):
+            return runner(self, x_, pi_, be_, sk_, tr_, block_cfg)
+
+        return text_sampling.SegmentedRun(
+            prompt, scfg, key=key, row_keys=row_keys,
+            segment_steps=segment_steps, run_block=run_block,
+        )
+
+    def segmented_run(self, prompt, gen_length=128, steps=128,
+                      block_length=128, temperature=0.0, cfg_scale=0.0,
+                      remasking="low_confidence", key=None, row_keys=None,
+                      segment_steps=64, parallel_threshold=0.0):
+        """Incremental exact generation for chunk-granularity scheduling:
+        returns a `SegmentedRun` — call `.step()` (one bounded device
+        program each) until True, then read `.x`. The serving engine
+        interleaves steps of concurrent runs (serve/engine.py)."""
+        scfg = text_sampling.SemiARConfig(
+            gen_length=gen_length, steps=steps, block_length=block_length,
+            temperature=temperature, cfg_scale=cfg_scale,
+            remasking=remasking, mask_id=self.vocab.mask_token_id,
+            parallel_threshold=parallel_threshold,
+        )
+        return self._segmented_run(
+            prompt, scfg, key=key, row_keys=row_keys,
+            segment_steps=segment_steps,
         )
 
     def mmu_generate(self, input_ids, max_new_tokens=128, steps=128,

@@ -474,53 +474,127 @@ def generate_segmented(
     may be injected (models/mmada uses a jitted model-as-argument
     runner); by default chunks run `run_block_eager`.
     """
-    if segment_steps < 1:
-        raise ValueError(f"segment_steps must be >= 1, got {segment_steps}")
-    b, p = prompt.shape
-    x = jnp.concatenate(
-        [
-            prompt.astype(jnp.int32),
-            jnp.full((b, cfg.gen_length), cfg.mask_id, jnp.int32),
-        ],
-        axis=1,
+    run = SegmentedRun(
+        prompt, cfg, key=key, segment_steps=segment_steps,
+        forward_fn=forward_fn, window_forward_fn=window_forward_fn,
+        run_block=run_block,
     )
-    prompt_index = x != cfg.mask_id
-    spb, nb = cfg.steps_per_block, cfg.num_blocks
+    while not run.step():
+        pass
+    return run.x
 
-    needs_key = cfg.temperature > 0 or cfg.remasking == "random"
-    if needs_key and key is None:
-        raise ValueError("stochastic sampling requires a PRNG key")
-    if needs_key:
-        block_keys = _block_key_schedule(key, nb, spb)
-    else:
-        block_keys = jnp.zeros((nb, spb, 2), jnp.uint32)
 
-    if run_block is None:
-        if window_forward_fn is None:
-            window_forward_fn = as_window_forward_fn(
-                forward_fn, cfg.block_length
+class SegmentedRun:
+    """Incremental state of one segmented generation: `step()` executes
+    ONE ≤segment_steps-step device program and returns True when the
+    final chunk has run; read `.x` for the (B, P + gen_length) tokens.
+
+    `generate_segmented` drains this to completion; the serving engine
+    instead interleaves `step()` calls of concurrent runs at chunk
+    granularity (serve/engine.py), so a heavy generation no longer
+    head-of-line-blocks short requests for its full duration — the
+    device is yielded every chunk.
+
+    `row_keys` (a (B,) array of typed PRNG keys, stochastic only) gives
+    every row its own key schedule and runs chunks as a vmap of batch-1
+    blocks — the same per-row construction as the engine's batched
+    stochastic path (engine._jit_text_per_row_keys), so each row is
+    bit-identical to its solo run regardless of batch composition.
+    Mutually exclusive with `key`.
+    """
+
+    def __init__(self, prompt, cfg: SemiARConfig, key=None, row_keys=None,
+                 segment_steps: int = 64, forward_fn=None,
+                 window_forward_fn=None, run_block=None):
+        if segment_steps < 1:
+            raise ValueError(
+                f"segment_steps must be >= 1, got {segment_steps}"
             )
+        if key is not None and row_keys is not None:
+            raise ValueError("pass key or row_keys, not both")
+        b, p = prompt.shape
+        self.cfg = cfg
+        self.x = jnp.concatenate(
+            [
+                prompt.astype(jnp.int32),
+                jnp.full((b, cfg.gen_length), cfg.mask_id, jnp.int32),
+            ],
+            axis=1,
+        )
+        self._prompt_index = self.x != cfg.mask_id
+        self._p = p
+        spb, nb = cfg.steps_per_block, cfg.num_blocks
 
-        def run_block(cfg_, x_, pi_, be_, sk_, tr_):
-            return run_block_eager(
-                cfg_, x_, pi_, be_, sk_, tr_,
-                window_forward_fn=window_forward_fn,
-            )
+        needs_key = cfg.temperature > 0 or cfg.remasking == "random"
+        if needs_key and key is None and row_keys is None:
+            raise ValueError("stochastic sampling requires a PRNG key")
+        self._per_row = needs_key and row_keys is not None
+        if self._per_row:
+            # (B, nb, spb) typed keys — row i's schedule is exactly the
+            # schedule of a solo run with row_keys[i]
+            self._block_keys = jax.vmap(
+                lambda k: _block_key_schedule(k, nb, spb)
+            )(row_keys)
+        elif needs_key:
+            self._block_keys = _block_key_schedule(key, nb, spb)
+        else:
+            self._block_keys = jnp.zeros((nb, spb, 2), jnp.uint32)
 
-    for bi in range(nb):
-        block_start = p + bi * cfg.block_length
-        block_end = block_start + cfg.block_length
-        block_mask = (
-            x[:, block_start:block_end] == cfg.mask_id
-        ).sum(axis=1)
-        transfers = num_transfer_schedule(block_mask, spb)  # (B, spb)
-        for s0 in range(0, spb, segment_steps):
-            s1 = min(s0 + segment_steps, spb)
-            x = run_block(
-                cfg, x, prompt_index, jnp.int32(block_end),
-                block_keys[bi, s0:s1], transfers[:, s0:s1],
-            )
-    return x
+        if run_block is None:
+            if window_forward_fn is None:
+                window_forward_fn = as_window_forward_fn(
+                    forward_fn, cfg.block_length
+                )
+            if self._per_row:
+                def run_block(cfg_, x_, pi_, be_, sk_, tr_):
+                    def row(xr, pir, kr, trr):
+                        return run_block_eager(
+                            cfg_, xr[None], pir[None], be_, kr, trr[None],
+                            window_forward_fn=window_forward_fn,
+                        )[0]
+                    return jax.vmap(row)(x_, pi_, sk_, tr_)
+            else:
+                def run_block(cfg_, x_, pi_, be_, sk_, tr_):
+                    return run_block_eager(
+                        cfg_, x_, pi_, be_, sk_, tr_,
+                        window_forward_fn=window_forward_fn,
+                    )
+        self._run_block = run_block
+
+        self.total_chunks = nb * -(-spb // segment_steps)
+        self.chunks_done = 0
+        self.done = nb == 0
+        self._gen = self._chunks(segment_steps, spb, nb)
+
+    def _chunks(self, segment_steps, spb, nb):
+        for bi in range(nb):
+            block_start = self._p + bi * self.cfg.block_length
+            block_end = block_start + self.cfg.block_length
+            block_mask = (
+                self.x[:, block_start:block_end] == self.cfg.mask_id
+            ).sum(axis=1)
+            transfers = num_transfer_schedule(block_mask, spb)  # (B, spb)
+            for s0 in range(0, spb, segment_steps):
+                s1 = min(s0 + segment_steps, spb)
+                keys = (self._block_keys[:, bi, s0:s1] if self._per_row
+                        else self._block_keys[bi, s0:s1])
+                self.x = self._run_block(
+                    self.cfg, self.x, self._prompt_index,
+                    jnp.int32(block_end), keys, transfers[:, s0:s1],
+                )
+                yield
+
+    def step(self) -> bool:
+        """Run ONE chunk program; True once the generation is complete."""
+        if not self.done:
+            try:
+                next(self._gen)
+                self.chunks_done += 1
+            except StopIteration:  # pragma: no cover — guarded by done
+                self.done = True
+                return True
+            self.done = self.chunks_done >= self.total_chunks
+        return self.done
 
 
 def generate_with_early_stop(

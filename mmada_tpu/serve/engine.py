@@ -24,6 +24,7 @@ import logging
 import queue
 import threading
 import time
+from collections import deque
 from concurrent.futures import Future
 from typing import Any, Optional
 
@@ -111,6 +112,12 @@ class TextSettings:
     remasking: str = "low_confidence"  # or 'random'
     block_kv_cache: bool = False       # approximate cached decode (opt-in)
     parallel_threshold: float = 0.0    # confidence-parallel commits (opt-in)
+    # >0: run this request's EXACT sampler as <=N-step device programs and
+    # let the dispatcher interleave other work between chunks — a heavy
+    # generation stops head-of-line-blocking short requests (and stays
+    # under bounded-execution limits). Token-identical to the monolithic
+    # program (sampling/text.SegmentedRun).
+    segment_steps: int = 0
 
     @property
     def stochastic(self) -> bool:
@@ -138,6 +145,14 @@ class _Request:
     enqueue_time: float
 
 
+@dataclasses.dataclass
+class _ActiveTask:
+    """A chunked generation in flight: `run.step()` advances it one
+    bounded device program; `grp` holds the requests awaiting `run.x`."""
+    run: Any                       # text_sampling.SegmentedRun
+    grp: list
+
+
 
 
 
@@ -156,10 +171,14 @@ class ServingEngine:
         # bounded queue: submit raises queue.Full under overload instead of
         # accumulating unbounded request memory
         self._queue: "queue.Queue[_Request]" = queue.Queue(maxsize=max_queue)
+        # chunked generations in flight, round-robined one chunk at a time
+        # (dispatcher thread only — no lock needed)
+        self._active: deque[_ActiveTask] = deque()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self._stats_lock = threading.Lock()
-        self.stats = {"requests": 0, "batches": 0, "batched_requests": 0}
+        self.stats = {"requests": 0, "batches": 0, "batched_requests": 0,
+                      "chunks": 0}
 
     # ------------------------------------------------------------ public
     def start(self):
@@ -219,29 +238,62 @@ class ServingEngine:
 
     # --------------------------------------------------------- dispatcher
     def _loop(self):
-        pending: list[_Request] = []
         while not self._stop.is_set():
+            # with chunked work in flight, poll the queue without sleeping
+            # so the device never idles between chunks
+            pending = self._collect(block=not self._active)
+            if pending:
+                self._flush(pending)
+            if self._active:
+                self._step_active()
+        if not self._active:  # final drain only if nothing will hang
+            pending = self._collect(block=False)
+            if pending:
+                self._flush(pending)
+        while self._active:
+            task = self._active.popleft()
+            for r in task.grp:
+                if not r.future.done():
+                    r.future.set_exception(RuntimeError("engine stopped"))
+
+    def _collect(self, block: bool) -> list[_Request]:
+        pending: list[_Request] = []
+        try:
+            pending.append(self._queue.get(timeout=0.05 if block else 0.0))
+        except queue.Empty:
+            return pending
+        # group-compatible requests arriving within the batching window
+        deadline = pending[0].enqueue_time + self.max_wait
+        while len(pending) < self.max_batch and time.time() < deadline:
             try:
-                req = self._queue.get(timeout=0.05)
-                pending.append(req)
+                pending.append(
+                    self._queue.get(timeout=max(0.0, deadline - time.time()))
+                )
             except queue.Empty:
-                if pending:
-                    self._flush(pending)
-                    pending = []
-                continue
-            # group-compatible requests arriving within the batching window
-            deadline = pending[0].enqueue_time + self.max_wait
-            while len(pending) < self.max_batch and time.time() < deadline:
-                try:
-                    pending.append(
-                        self._queue.get(timeout=max(0.0, deadline - time.time()))
-                    )
-                except queue.Empty:
-                    break
-            self._flush(pending)
-            pending = []
-        if pending:
-            self._flush(pending)
+                break
+        return pending
+
+    def _step_active(self):
+        """Advance the oldest in-flight chunked generation by ONE bounded
+        device program; re-queue it unless finished. Round-robin at chunk
+        granularity is what keeps short requests from waiting out a heavy
+        generation's full duration."""
+        task = self._active.popleft()
+        try:
+            done = task.run.step()
+            self._bump("chunks")
+        except Exception as e:  # pragma: no cover
+            logger.exception("chunk failed")
+            for r in task.grp:
+                if not r.future.done():
+                    r.future.set_exception(e)
+            return
+        if done:
+            out = np.asarray(task.run.x)
+            for i, r in enumerate(task.grp):
+                r.future.set_result(out[i])
+        else:
+            self._active.append(task)
 
     def _flush(self, requests: list[_Request]):
         # group by (kind, settings, payload length). Stochastic text/mmu
@@ -292,6 +344,34 @@ class ServingEngine:
                     [prompts, np.repeat(prompts[-1:], bucket - n, 0)]
                 )
                 seeds += [seeds[-1]] * (bucket - n)
+            if settings.segment_steps > 0:
+                # chunked: enqueue a SegmentedRun instead of running one
+                # monolithic program — the dispatcher interleaves chunks
+                # of concurrent tasks (_step_active). Per-row keys keep
+                # the batched-stochastic bit-exactness contract.
+                if settings.block_kv_cache:
+                    raise ValueError(
+                        "segment_steps is exact-sampler only — unset "
+                        "block_kv_cache"
+                    )
+                row_keys = (
+                    jax.vmap(jax.random.key)(jnp.asarray(seeds, jnp.uint32))
+                    if settings.stochastic else None
+                )
+                run = self.model.segmented_run(
+                    jnp.asarray(prompts),
+                    gen_length=settings.gen_length,
+                    steps=settings.steps,
+                    block_length=settings.block_length,
+                    temperature=settings.temperature,
+                    cfg_scale=settings.cfg_scale,
+                    remasking=settings.remasking,
+                    row_keys=row_keys,
+                    segment_steps=settings.segment_steps,
+                    parallel_threshold=settings.parallel_threshold,
+                )
+                self._active.append(_ActiveTask(run, grp))
+                return
             if settings.stochastic:
                 keys = jax.vmap(jax.random.key)(jnp.asarray(seeds, jnp.uint32))
                 out = np.asarray(

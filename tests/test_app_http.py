@@ -171,3 +171,18 @@ def test_generate_kv_cache_modes(server):
     import pytest as _pytest
     with _pytest.raises(urllib.error.HTTPError):
         post("/generate", {**base, "kv_cache": "quantized"})
+
+
+def test_generate_segment_steps_at_socket(server):
+    """segment_steps routes the request through the engine's chunked
+    dispatcher (serve/engine._step_active) and must return the exact
+    sampler's tokens; combined with kv_cache the cached decode wins
+    (app-level conflict resolution) instead of erroring."""
+    base = {"prompt": "hi", "gen_length": 16, "steps": 8,
+            "block_length": 8, "temperature": 0.0}
+    exact = post("/generate", base)
+    seg = post("/generate", {**base, "segment_steps": 2})
+    assert seg["text"] == exact["text"]
+    both = post("/generate", {**base, "segment_steps": 2,
+                              "kv_cache": True})
+    assert isinstance(both["text"], str)  # resolved, not a 500

@@ -291,3 +291,117 @@ def test_loader_serves_sharded_by_default():
                        overrides=["parallel.serving=none"])
     m2 = build_model(cfg2, build_vocab(cfg2))
     assert m2.mesh is None
+
+
+def test_chunked_matches_monolithic(model):
+    """segment_steps>0 routes through the chunked dispatcher
+    (_step_active); tokens equal the monolithic program's exactly and the
+    chunk counter proves the request really ran as multiple programs."""
+    import jax.numpy as jnp
+
+    engine = ServingEngine(model, max_wait_ms=30).start()
+    try:
+        settings = TextSettings(
+            gen_length=16, steps=8, block_length=8, segment_steps=2,
+        )
+        rng = np.random.default_rng(3)
+        prompts = [rng.integers(3, 200, size=(6,)) for _ in range(3)]
+        futs = [engine.submit_text(p, settings) for p in prompts]
+        outs = [f.result(timeout=120) for f in futs]
+        direct = np.asarray(
+            model.generate(
+                jnp.asarray(np.stack(prompts)),
+                gen_length=16, steps=8, block_length=8, temperature=0.0,
+            )
+        )
+        for got, want in zip(outs, direct):
+            np.testing.assert_array_equal(got, want)
+        # 2 blocks x ceil(4/2) chunks = 4 chunks for the batched group
+        assert engine.stats["chunks"] >= 4
+    finally:
+        engine.stop()
+
+
+def test_chunked_stochastic_per_row_seed_exact(model):
+    """Chunked stochastic batches keep the per-row-key contract: each
+    request is bit-identical to its solo `generate(key=seed)` run."""
+    import jax.numpy as jnp
+
+    engine = ServingEngine(model, max_wait_ms=50).start()
+    try:
+        settings = TextSettings(
+            gen_length=8, steps=4, block_length=8, temperature=1.0,
+            segment_steps=1,
+        )
+        prompt = np.arange(3, 9)
+        futs = [engine.submit_text(prompt, settings, seed=s) for s in (0, 5)]
+        outs = [f.result(timeout=120) for f in futs]
+        for seed, got in zip((0, 5), outs):
+            want = np.asarray(
+                model.generate(
+                    jnp.asarray(prompt)[None],
+                    gen_length=8, steps=4, block_length=8, temperature=1.0,
+                    key=jax.random.key(seed),
+                )
+            )[0]
+            np.testing.assert_array_equal(got, want)
+    finally:
+        engine.stop()
+
+
+def test_chunked_no_head_of_line_blocking(model):
+    """A heavy chunked generation must NOT make a later short request wait
+    out its full duration: the short one overtakes it at a chunk boundary.
+    (With a monolithic heavy program the short request always finishes
+    last — that inversion is the scheduling win.)"""
+    engine = ServingEngine(model, max_wait_ms=5).start()
+    try:
+        long_settings = TextSettings(
+            gen_length=32, steps=32, block_length=8, segment_steps=1,
+        )  # 4 blocks x 8 chunks = 32 device programs
+        short_settings = TextSettings(
+            gen_length=8, steps=2, block_length=8, segment_steps=1,
+        )  # 2 chunks
+        done_at = {}
+        f_long = engine.submit_text(np.arange(3, 9), long_settings)
+        f_long.add_done_callback(lambda f: done_at.setdefault("long", time.time()))
+        # let the long task enter the active set before the short arrives
+        deadline = time.time() + 30
+        while engine.stats["chunks"] < 1 and time.time() < deadline:
+            time.sleep(0.01)
+        f_short = engine.submit_text(np.arange(3, 9), short_settings)
+        f_short.add_done_callback(lambda f: done_at.setdefault("short", time.time()))
+        f_long.result(timeout=240)
+        f_short.result(timeout=240)
+        assert done_at["short"] < done_at["long"], done_at
+    finally:
+        engine.stop()
+
+
+def test_chunked_rejects_kv_cache(model):
+    engine = ServingEngine(model, max_wait_ms=5).start()
+    try:
+        settings = TextSettings(
+            gen_length=8, steps=4, block_length=8, segment_steps=2,
+            block_kv_cache=True,
+        )
+        f = engine.submit_text(np.arange(3, 9), settings)
+        with pytest.raises(ValueError, match="exact-sampler only"):
+            f.result(timeout=120)
+    finally:
+        engine.stop()
+
+
+def test_stop_resolves_active_chunked_tasks(model):
+    """stop() with chunked work in flight must leave no hanging future:
+    every submitted request is resolved (result or 'engine stopped')."""
+    engine = ServingEngine(model, max_wait_ms=5).start()
+    settings = TextSettings(
+        gen_length=32, steps=32, block_length=8, segment_steps=1,
+    )
+    f = engine.submit_text(np.arange(3, 9), settings)
+    engine.stop()
+    try:
+        f.result(timeout=60)
+    except RuntimeError as e:
+        assert "engine stopped" in str(e)
