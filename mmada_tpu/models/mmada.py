@@ -78,22 +78,26 @@ def _segment_block(model, x, prompt_index, block_end, step_keys,
 
 
 @functools.partial(jax.jit, static_argnames=("block_cfg",))
-def _segment_block_per_row(model, x, prompt_index, block_end, step_keys,
+def _segment_block_per_row(model, x, prompt_index, block_ends, step_keys,
                            transfers, block_cfg):
-    """Per-row-key variant of `_segment_block`: `step_keys` is (B, chunk)
-    typed keys and each row runs as a batch-1 block under vmap — the same
-    construction as the engine's batched stochastic whole-generation path
-    (serve/engine._jit_text_per_row_keys), so a row's tokens are
-    bit-identical to its solo run regardless of batch composition."""
+    """Per-row variant of `_segment_block`: `step_keys` is (B, chunk)
+    typed keys, `block_ends` is (B,) — each row runs as a batch-1 block
+    under vmap with ITS OWN key schedule and active-block position. The
+    per-row construction matches the engine's batched stochastic
+    whole-generation path (serve/engine._jit_text_per_row_keys), so a
+    row's tokens are bit-identical to its solo run regardless of batch
+    composition; per-row `block_ends` is what lets the serving streams
+    batch requests at DIFFERENT block offsets into one program
+    (serve/engine._Stream — continuous batching)."""
     wf = model._text_window_forward_fn(block_cfg.block_length)
 
-    def row(xr, pir, kr, trr):
+    def row(xr, pir, ber, kr, trr):
         return text_sampling.run_block_eager(
-            block_cfg, xr[None], pir[None], block_end, kr, trr[None],
+            block_cfg, xr[None], pir[None], ber, kr, trr[None],
             window_forward_fn=wf,
         )[0]
 
-    return jax.vmap(row)(x, prompt_index, step_keys, transfers)
+    return jax.vmap(row)(x, prompt_index, block_ends, step_keys, transfers)
 
 
 @functools.partial(
@@ -367,16 +371,49 @@ class MMadaModel:
             scfg, gen_length=scfg.block_length, steps=scfg.steps_per_block,
             block_length=scfg.block_length,
         )
-        runner = (_segment_block_per_row if row_keys is not None
-                  else _segment_block)
-
-        def run_block(cfg_, x_, pi_, be_, sk_, tr_):
-            return runner(self, x_, pi_, be_, sk_, tr_, block_cfg)
+        if row_keys is not None:
+            def run_block(cfg_, x_, pi_, be_, sk_, tr_):
+                block_ends = jnp.full((x_.shape[0],), be_, jnp.int32)
+                return _segment_block_per_row(self, x_, pi_, block_ends,
+                                              sk_, tr_, block_cfg)
+        else:
+            def run_block(cfg_, x_, pi_, be_, sk_, tr_):
+                return _segment_block(self, x_, pi_, be_, sk_, tr_,
+                                      block_cfg)
 
         return text_sampling.SegmentedRun(
             prompt, scfg, key=key, row_keys=row_keys,
             segment_steps=segment_steps, run_block=run_block,
         )
+
+    def segmented_chunk_runner(self, steps_per_block, block_length,
+                               temperature=0.0, cfg_scale=0.0,
+                               remasking="low_confidence",
+                               parallel_threshold=0.0):
+        """Return `run(x, prompt_index, block_ends, step_keys, transfers)`
+        — ONE jitted per-row chunk program (`_segment_block_per_row`) for
+        the serving engine's continuous-batching streams: every row
+        advances its own active block (`block_ends` is per-row), so
+        requests at different progress share the executable. Rows with
+        all-zero `transfers` whose block holds no masks are exact no-ops
+        (select_top_k_dynamic at k=0 commits nothing; confidence is
+        NEG_INF without masks so parallel_threshold can't fire) — that is
+        what makes free/padded slots safe."""
+        block_cfg = text_sampling.SemiARConfig(
+            gen_length=block_length, steps=steps_per_block,
+            block_length=block_length, temperature=temperature,
+            cfg_scale=cfg_scale, remasking=remasking,
+            mask_id=self.vocab.mask_token_id,
+            parallel_threshold=parallel_threshold,
+        )
+
+        def run(x, prompt_index, block_ends, step_keys, transfers):
+            return _segment_block_per_row(
+                self, x, prompt_index, block_ends, step_keys, transfers,
+                block_cfg,
+            )
+
+        return run
 
     def segmented_run(self, prompt, gen_length=128, steps=128,
                       block_length=128, temperature=0.0, cfg_scale=0.0,

@@ -145,12 +145,204 @@ class _Request:
     enqueue_time: float
 
 
-@dataclasses.dataclass
-class _ActiveTask:
-    """A chunked generation in flight: `run.step()` advances it one
-    bounded device program; `grp` holds the requests awaiting `run.x`."""
-    run: Any                       # text_sampling.SegmentedRun
-    grp: list
+class _Stream:
+    """Continuous batching for chunked exact-sampler requests: one slot
+    pool whose rows advance INDEPENDENTLY (per-row `block_ends` in the
+    chunk program — models/mmada._segment_block_per_row), so a request
+    can join a running batch at any chunk boundary instead of waiting for
+    the batch to finish. Each row is a vmapped batch-1 computation with
+    its own key schedule, so its tokens are bit-identical to a solo run
+    with its seed regardless of what shares the batch (the engine's
+    standing per-row-key contract).
+
+    Scheduling shape: steps are consumed in ALIGNED windows of
+    `C = min(segment_steps, steps_per_block)` per block; a block whose
+    steps_per_block is not a multiple of C gets trailing zero-transfer
+    padding steps — exact no-ops, because after the block's real steps no
+    masks remain (the transfer schedule sums to the mask count), so
+    nothing can commit (k=0 top-k; confidence NEG_INF for the parallel
+    threshold). Free slots hold maskless rows for the same reason. Pick
+    segment_steps dividing steps/num_blocks to avoid the padding
+    forwards.
+
+    The slot pool resizes by power-of-two buckets (one executable per
+    bucket size): grows when joins need capacity, shrinks at half
+    occupancy so a lone long request stops paying a wide batch.
+    """
+
+    def __init__(self, model, kind, settings, prompt_len, bucket,
+                 max_bucket):
+        self.key = (kind, settings, prompt_len)
+        self.settings = settings
+        self.model = model
+        self.nb = settings.gen_length // settings.block_length
+        self.spb = settings.steps // self.nb
+        self.C = min(settings.segment_steps, self.spb)
+        self.cpb = -(-self.spb // self.C)      # chunks per block
+        self.spb_pad = self.cpb * self.C
+        self.P = prompt_len
+        self.L = prompt_len + settings.gen_length
+        self.max_bucket = max_bucket
+        self._mask_id = model.vocab.mask_token_id
+        self._runner = model.segmented_chunk_runner(
+            steps_per_block=self.spb, block_length=settings.block_length,
+            temperature=settings.temperature, cfg_scale=settings.cfg_scale,
+            remasking=settings.remasking,
+            parallel_threshold=settings.parallel_threshold,
+        )
+        self.bucket = 0
+        self.slots: list = []
+        self.x = None
+        self.pi = None
+        self._alloc(bucket)
+
+    # ------------------------------------------------------------ slots
+    def _alloc(self, bucket):
+        """(Re)allocate the slot pool at `bucket`, compacting occupied
+        rows to the front. Free rows are maskless (token 0, prompt_index
+        True) so their chunk steps are no-ops."""
+        keep = [i for i, s in enumerate(self.slots) if s is not None]
+        x = jnp.zeros((bucket, self.L), jnp.int32)
+        pi = jnp.ones((bucket, self.L), bool)
+        if keep:
+            idx = jnp.asarray(keep)
+            x = x.at[: len(keep)].set(self.x[idx])
+            pi = pi.at[: len(keep)].set(self.pi[idx])
+        self.x, self.pi = x, pi
+        self.slots = [self.slots[i] for i in keep] + [None] * (
+            bucket - len(keep)
+        )
+        self.bucket = bucket
+
+    @property
+    def occupancy(self) -> int:
+        return sum(s is not None for s in self.slots)
+
+    @property
+    def done(self) -> bool:
+        return self.occupancy == 0
+
+    def join(self, req: _Request) -> bool:
+        """Admit `req` into a free slot (growing to the next bucket up to
+        `max_bucket` if needed); False when full."""
+        if None not in self.slots:
+            if self.bucket >= self.max_bucket:
+                return False
+            self._alloc(min(self.bucket * 2, self.max_bucket))
+        slot = self.slots.index(None)
+        prompt = np.asarray(req.payload, np.int32).reshape(-1)
+        row = np.concatenate([
+            prompt,
+            np.full((self.settings.gen_length,), self._mask_id, np.int32),
+        ])
+        self.x = self.x.at[slot].set(jnp.asarray(row))
+        self.pi = self.pi.at[slot].set(jnp.asarray(row != self._mask_id))
+        if self.settings.stochastic:
+            from mmada_tpu.sampling.text import _block_key_schedule
+
+            keys = _block_key_schedule(
+                jax.random.key(req.seed), self.nb, self.spb
+            )  # (nb, spb) typed — identical to the solo run's schedule
+            if self.spb_pad > self.spb:
+                keys = jnp.concatenate(
+                    [keys] + [keys[:, -1:]] * (self.spb_pad - self.spb),
+                    axis=1,
+                )  # padding keys drive no-op steps only
+        else:
+            keys = None
+        self.slots[slot] = {
+            "req": req, "block": 0, "ci": 0, "keys": keys,
+            "transfers": None,
+        }
+        return True
+
+    # ------------------------------------------------------------- step
+    def _block_transfers(self, slot: int):
+        """Solo-identical per-block schedule, padded to spb_pad."""
+        from mmada_tpu.sampling.text import num_transfer_schedule
+
+        st = self.slots[slot]
+        bs = self.P + st["block"] * self.settings.block_length
+        cnt = (
+            self.x[slot, bs:bs + self.settings.block_length]
+            == self._mask_id
+        ).sum()
+        tr = num_transfer_schedule(cnt[None].astype(jnp.int32), self.spb)[0]
+        if self.spb_pad > self.spb:
+            tr = jnp.concatenate(
+                [tr, jnp.zeros((self.spb_pad - self.spb,), tr.dtype)]
+            )
+        return tr
+
+    def step(self) -> list[tuple[_Request, np.ndarray]]:
+        """Run ONE chunk program over the pool; advance row states and
+        return the (request, tokens) pairs that completed."""
+        ends, keys_rows, tr_rows = [], [], []
+        zero_tr = jnp.zeros((self.C,), jnp.int32)
+        for i in range(self.bucket):
+            st = self.slots[i]
+            if st is None:
+                ends.append(self.settings.block_length)
+                tr_rows.append(zero_tr)
+                keys_rows.append(None)
+                continue
+            if st["transfers"] is None:
+                st["transfers"] = self._block_transfers(i)
+            c0 = st["ci"] * self.C
+            ends.append(
+                self.P + (st["block"] + 1) * self.settings.block_length
+            )
+            tr_rows.append(st["transfers"][c0:c0 + self.C])
+            keys_rows.append(
+                st["keys"][st["block"], c0:c0 + self.C]
+                if st["keys"] is not None else None
+            )
+        if self.settings.stochastic:
+            # idle rows reuse any real row's keys — their zero transfers
+            # make the steps no-ops whatever the noise draws
+            proto = next(k for k in keys_rows if k is not None)
+            step_keys = jnp.stack(
+                [k if k is not None else proto for k in keys_rows]
+            )
+        else:
+            step_keys = jnp.zeros((self.bucket, self.C, 2), jnp.uint32)
+        self.x = self._runner(
+            self.x, self.pi, jnp.asarray(ends, jnp.int32), step_keys,
+            jnp.stack(tr_rows),
+        )
+        finished = []
+        for i in range(self.bucket):
+            st = self.slots[i]
+            if st is None:
+                continue
+            st["ci"] += 1
+            if st["ci"] == self.cpb:
+                st["ci"] = 0
+                st["block"] += 1
+                st["transfers"] = None
+                if st["block"] == self.nb:
+                    finished.append(i)
+        if finished:
+            xs = np.asarray(self.x)
+            out = [(self.slots[i]["req"], xs[i]) for i in finished]
+            for i in finished:
+                self.slots[i] = None
+        else:
+            out = []
+        # shrink: a lone survivor should not pay a wide batch
+        occ = self.occupancy
+        if occ and self.bucket > 1 and occ <= self.bucket // 2:
+            new_bucket = self.bucket
+            while new_bucket > 1 and occ <= new_bucket // 2:
+                new_bucket //= 2
+            self._alloc(new_bucket)
+        return out
+
+    def fail_all(self, exc: Exception):
+        for s in self.slots:
+            if s is not None and not s["req"].future.done():
+                s["req"].future.set_exception(exc)
+        self.slots = [None] * self.bucket
 
 
 
@@ -171,14 +363,14 @@ class ServingEngine:
         # bounded queue: submit raises queue.Full under overload instead of
         # accumulating unbounded request memory
         self._queue: "queue.Queue[_Request]" = queue.Queue(maxsize=max_queue)
-        # chunked generations in flight, round-robined one chunk at a time
-        # (dispatcher thread only — no lock needed)
-        self._active: deque[_ActiveTask] = deque()
+        # continuous-batching streams in flight, round-robined one chunk
+        # at a time (dispatcher thread only — no lock needed)
+        self._active: deque[_Stream] = deque()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self._stats_lock = threading.Lock()
         self.stats = {"requests": 0, "batches": 0, "batched_requests": 0,
-                      "chunks": 0}
+                      "chunks": 0, "stream_joins": 0}
 
     # ------------------------------------------------------------ public
     def start(self):
@@ -251,10 +443,7 @@ class ServingEngine:
             if pending:
                 self._flush(pending)
         while self._active:
-            task = self._active.popleft()
-            for r in task.grp:
-                if not r.future.done():
-                    r.future.set_exception(RuntimeError("engine stopped"))
+            self._active.popleft().fail_all(RuntimeError("engine stopped"))
 
     def _collect(self, block: bool) -> list[_Request]:
         pending: list[_Request] = []
@@ -274,26 +463,22 @@ class ServingEngine:
         return pending
 
     def _step_active(self):
-        """Advance the oldest in-flight chunked generation by ONE bounded
-        device program; re-queue it unless finished. Round-robin at chunk
+        """Advance the oldest in-flight stream by ONE bounded device
+        program; re-queue it unless drained. Round-robin at chunk
         granularity is what keeps short requests from waiting out a heavy
         generation's full duration."""
-        task = self._active.popleft()
+        stream = self._active.popleft()
         try:
-            done = task.run.step()
+            finished = stream.step()
             self._bump("chunks")
         except Exception as e:  # pragma: no cover
             logger.exception("chunk failed")
-            for r in task.grp:
-                if not r.future.done():
-                    r.future.set_exception(e)
+            stream.fail_all(e)
             return
-        if done:
-            out = np.asarray(task.run.x)
-            for i, r in enumerate(task.grp):
-                r.future.set_result(out[i])
-        else:
-            self._active.append(task)
+        for req, tokens in finished:
+            req.future.set_result(tokens)
+        if not stream.done:
+            self._active.append(stream)
 
     def _flush(self, requests: list[_Request]):
         # group by (kind, settings, payload length). Stochastic text/mmu
@@ -336,6 +521,38 @@ class ServingEngine:
         self._bump("batched_requests", n)
         key = jax.random.key(grp[0].seed)
 
+        if kind in ("text", "mmu") and settings.segment_steps > 0:
+            # chunked: admit into a continuous-batching stream instead of
+            # running one monolithic program — the dispatcher round-robins
+            # streams one chunk at a time (_step_active), and later
+            # same-key requests JOIN a running stream at a chunk boundary
+            # (per-row block progress makes the mixed batch exact).
+            if settings.block_kv_cache:
+                raise ValueError(
+                    "segment_steps is exact-sampler only — unset "
+                    "block_kv_cache"
+                )
+            prompt_len = int(np.asarray(grp[0].payload).reshape(-1).shape[0])
+            skey = (kind, settings, prompt_len)
+            reqs = list(grp)
+            for stream in self._active:
+                if stream.key != skey:
+                    continue
+                while reqs and stream.join(reqs[0]):
+                    reqs.pop(0)
+                    self._bump("stream_joins")
+            while reqs:
+                take, reqs = reqs[:self.max_batch], reqs[self.max_batch:]
+                b0 = next(b for b in self.buckets if len(take) <= b)
+                stream = _Stream(
+                    self.model, kind, settings, prompt_len, b0,
+                    self.max_batch,
+                )
+                for r in take:
+                    stream.join(r)
+                self._active.append(stream)
+            return
+
         if kind in ("text", "mmu"):
             prompts = np.stack([np.asarray(r.payload).reshape(-1) for r in grp])
             seeds = [r.seed for r in grp]
@@ -344,34 +561,6 @@ class ServingEngine:
                     [prompts, np.repeat(prompts[-1:], bucket - n, 0)]
                 )
                 seeds += [seeds[-1]] * (bucket - n)
-            if settings.segment_steps > 0:
-                # chunked: enqueue a SegmentedRun instead of running one
-                # monolithic program — the dispatcher interleaves chunks
-                # of concurrent tasks (_step_active). Per-row keys keep
-                # the batched-stochastic bit-exactness contract.
-                if settings.block_kv_cache:
-                    raise ValueError(
-                        "segment_steps is exact-sampler only — unset "
-                        "block_kv_cache"
-                    )
-                row_keys = (
-                    jax.vmap(jax.random.key)(jnp.asarray(seeds, jnp.uint32))
-                    if settings.stochastic else None
-                )
-                run = self.model.segmented_run(
-                    jnp.asarray(prompts),
-                    gen_length=settings.gen_length,
-                    steps=settings.steps,
-                    block_length=settings.block_length,
-                    temperature=settings.temperature,
-                    cfg_scale=settings.cfg_scale,
-                    remasking=settings.remasking,
-                    row_keys=row_keys,
-                    segment_steps=settings.segment_steps,
-                    parallel_threshold=settings.parallel_threshold,
-                )
-                self._active.append(_ActiveTask(run, grp))
-                return
             if settings.stochastic:
                 keys = jax.vmap(jax.random.key)(jnp.asarray(seeds, jnp.uint32))
                 out = np.asarray(

@@ -405,3 +405,92 @@ def test_stop_resolves_active_chunked_tasks(model):
         f.result(timeout=60)
     except RuntimeError as e:
         assert "engine stopped" in str(e)
+
+
+def test_stream_join_mid_flight(model):
+    """Continuous batching: a same-settings request submitted while a
+    stream is mid-generation JOINS it at a chunk boundary (stream_joins
+    counter) and both results are exact vs solo runs — per-row block
+    progress keeps the mixed batch correct."""
+    import jax.numpy as jnp
+
+    engine = ServingEngine(model, max_wait_ms=5).start()
+    try:
+        settings = TextSettings(
+            gen_length=32, steps=16, block_length=8, segment_steps=1,
+        )  # 4 blocks x 4 chunks = 16 chunk programs per request
+        pa = np.arange(3, 9)
+        pb = np.arange(10, 16)
+        fa = engine.submit_text(pa, settings)
+        deadline = time.time() + 60
+        while engine.stats["chunks"] < 2 and time.time() < deadline:
+            time.sleep(0.01)
+        fb = engine.submit_text(pb, settings)
+        ra, rb = fa.result(timeout=240), fb.result(timeout=240)
+        assert engine.stats["stream_joins"] >= 1
+        for prompt, got in ((pa, ra), (pb, rb)):
+            want = np.asarray(
+                model.generate(
+                    jnp.asarray(prompt)[None],
+                    gen_length=32, steps=16, block_length=8,
+                    temperature=0.0,
+                )
+            )[0]
+            np.testing.assert_array_equal(got, want)
+    finally:
+        engine.stop()
+
+
+def test_stream_join_stochastic_seed_exact(model):
+    """A stochastic joiner keeps per-row seed bit-exactness even though
+    it shares chunk programs with rows at different block offsets."""
+    import jax.numpy as jnp
+
+    engine = ServingEngine(model, max_wait_ms=5).start()
+    try:
+        settings = TextSettings(
+            gen_length=16, steps=8, block_length=8, temperature=1.0,
+            segment_steps=1,
+        )
+        prompt = np.arange(3, 9)
+        f1 = engine.submit_text(prompt, settings, seed=3)
+        deadline = time.time() + 60
+        while engine.stats["chunks"] < 1 and time.time() < deadline:
+            time.sleep(0.01)
+        f2 = engine.submit_text(prompt, settings, seed=9)
+        outs = {3: f1.result(timeout=240), 9: f2.result(timeout=240)}
+        for seed, got in outs.items():
+            want = np.asarray(
+                model.generate(
+                    jnp.asarray(prompt)[None],
+                    gen_length=16, steps=8, block_length=8,
+                    temperature=1.0, key=jax.random.key(seed),
+                )
+            )[0]
+            np.testing.assert_array_equal(got, want)
+    finally:
+        engine.stop()
+
+
+def test_stream_padding_chunk_is_noop(model):
+    """segment_steps that does NOT divide steps_per_block forces trailing
+    zero-transfer padding steps in every block — output must still be
+    exact (the no-op guarantee the stream design rests on)."""
+    import jax.numpy as jnp
+
+    engine = ServingEngine(model, max_wait_ms=5).start()
+    try:
+        settings = TextSettings(
+            gen_length=16, steps=8, block_length=8, segment_steps=3,
+        )  # spb=4 -> chunks of 3 + 1-step padded window
+        prompt = np.arange(3, 9)
+        got = engine.submit_text(prompt, settings).result(timeout=240)
+        want = np.asarray(
+            model.generate(
+                jnp.asarray(prompt)[None],
+                gen_length=16, steps=8, block_length=8, temperature=0.0,
+            )
+        )[0]
+        np.testing.assert_array_equal(got, want)
+    finally:
+        engine.stop()
