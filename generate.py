@@ -34,6 +34,13 @@ def main(argv):
         "parallel_threshold",
         cfg.get_path("serving.parallel_threshold", 0.0),
     ))
+    # exact sampler as <=N-step device programs (token-identical; for
+    # heavy op points under bounded execution time)
+    segment_steps = int(cfg.get(
+        "segment_steps", cfg.get_path("serving.segment_steps", 0)
+    ))
+    if kv_cache:
+        segment_steps = 0  # cached decode wins when both defaults are set
     seed = int(cfg.get("seed", 0))
 
     tokenizer = build_text_tokenizer(cfg)
@@ -64,6 +71,7 @@ def main(argv):
         key=jax.random.key(seed) if temperature > 0 else None,
         block_kv_cache=kv_cache,
         parallel_threshold=parallel_threshold,
+        segment_steps=segment_steps,
     )
     answer = out[0, prompt.shape[1]:]
     # filter to the text vocab: sampled ids can land in the image/motion

@@ -43,6 +43,8 @@ def main(argv):
     segment_steps = int(cfg.get(
         "segment_steps", cfg.get_path("serving.segment_steps", 0)
     ))
+    if kv_cache:
+        segment_steps = 0  # cached decode wins when both defaults are set
     seed = int(cfg.get("seed", 0))
 
     model, vq_params, vq_cfg, tokenizer, prompting, vocab = load_all(cfg)

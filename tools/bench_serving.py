@@ -1,0 +1,191 @@
+"""Serving-scheduler benchmark: head-of-line blocking + continuous batching.
+
+Measures, on real hardware with the trained 165M proxy
+(proxy-output/export), what the engine's chunked scheduling actually buys:
+
+  scenario "hol"  — one HEAVY request then 4 short ones (different
+                    settings). Arm mono: heavy is a single device program
+                    (shorts wait it out). Arm chunked: heavy runs as
+                    <=C-step programs (shorts overtake at chunk
+                    boundaries). Reports short-request p50 + heavy
+                    completion both arms.
+  scenario "join" — 6 IDENTICAL requests with staggered arrivals. Arm
+                    mono: each staggered arrival misses the 10 ms batching
+                    window -> sequential batch programs. Arm chunked:
+                    later requests JOIN the running stream
+                    (engine.stats["stream_joins"]). Reports makespan,
+                    mean latency, chunk-program count.
+
+Each arm runs twice; the FIRST pass warms every executable (incl. the
+bucket-growth shapes joins trigger), the second is reported.
+
+    python tools/bench_serving.py ckpt=proxy-output/export \
+        out=SERVING_r03.json [cpu=1]
+
+Reference has no serving engine at all (single-request Gradio,
+app.py:53-894); this benchmarks capability beyond it.
+"""
+
+import json
+import logging
+import sys
+import time
+
+
+def _percentile(xs, q):
+    xs = sorted(xs)
+    i = max(0, min(len(xs) - 1, round(q * (len(xs) - 1))))
+    return xs[i]
+
+
+def main(argv):
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+    args = dict(kv.split("=", 1) for kv in argv if "=" in kv)
+    out_path = args.get("out", "SERVING_r03.json")
+
+    import jax
+
+    if args.get("cpu") == "1":
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mmada_tpu.checkpoints.hf_import import (
+        config_from_hf_json, load_pretrained,
+    )
+    from mmada_tpu.core.config import load_config
+    from mmada_tpu.core.precision import BF16
+    from mmada_tpu.data import synthetic
+    from mmada_tpu.models.mmada import MMadaModel
+    from mmada_tpu.serve.engine import ServingEngine, TextSettings
+    from mmada_tpu.serve.loader import build_text_tokenizer, build_vocab
+
+    ckpt = args["ckpt"]
+    ycfg = load_config(args.get("config", "configs/proxy_160m.yaml"))
+    tokenizer = build_text_tokenizer(ycfg)
+    vocab = build_vocab(ycfg)
+    cfg = config_from_hf_json(ckpt)
+    params = load_pretrained(ckpt, cfg, dtype=jnp.bfloat16)
+    model = MMadaModel(cfg=cfg, params=params, vocab=vocab, policy=BF16)
+
+    plen = 24
+    prompts = [
+        np.asarray(
+            tokenizer([synthetic.sentence(i)])["input_ids"][0][:plen],
+            np.int32,
+        )
+        for i in range(8)
+    ]
+
+    heavy_kw = dict(gen_length=256, steps=128, block_length=32)
+    short_kw = dict(gen_length=64, steps=32, block_length=32)
+    C = int(args.get("segment_steps", 8))
+
+    def settings(kw, seg):
+        return TextSettings(temperature=0.0, segment_steps=seg, **kw)
+
+    # ---------------------------------------------------------------- hol
+    def run_hol(seg):
+        engine = ServingEngine(model, max_wait_ms=10).start()
+        try:
+            t0 = time.perf_counter()
+            f_heavy = engine.submit_text(prompts[0], settings(heavy_kw, seg))
+            shorts = [
+                engine.submit_text(prompts[1 + i], settings(short_kw, seg))
+                for i in range(4)
+            ]
+            for f in shorts:
+                f.result(timeout=1200)
+            f_heavy.result(timeout=1200)
+            return time.perf_counter() - t0
+        finally:
+            engine.stop()
+
+    def run_hol_timed(seg):
+        engine = ServingEngine(model, max_wait_ms=10).start()
+        try:
+            done = {}
+            t0 = time.perf_counter()
+            f_heavy = engine.submit_text(prompts[0], settings(heavy_kw, seg))
+            f_heavy.add_done_callback(
+                lambda f: done.setdefault("heavy", time.perf_counter() - t0)
+            )
+            for i in range(4):
+                f = engine.submit_text(prompts[1 + i],
+                                       settings(short_kw, seg))
+                f.add_done_callback(
+                    lambda f, i=i: done.setdefault(
+                        f"short{i}", time.perf_counter() - t0
+                    )
+                )
+            deadline = time.time() + 1200
+            while len(done) < 5 and time.time() < deadline:
+                time.sleep(0.005)
+            shorts = [done[f"short{i}"] for i in range(4)]
+            return {
+                "short_p50_s": round(_percentile(shorts, 0.5), 3),
+                "short_max_s": round(max(shorts), 3),
+                "heavy_s": round(done["heavy"], 3),
+                "chunks": engine.stats["chunks"],
+            }
+        finally:
+            engine.stop()
+
+    results = {"segment_steps": C, "model": ckpt,
+               "heavy_op": heavy_kw, "short_op": short_kw}
+    for name, seg in (("mono", 0), ("chunked", C)):
+        run_hol(seg)               # warm every executable
+        results[f"hol_{name}"] = run_hol_timed(seg)
+        logging.info("hol %s: %s", name, results[f"hol_{name}"])
+
+    # --------------------------------------------------------------- join
+    def run_join(seg, stagger_s=0.25):
+        engine = ServingEngine(model, max_wait_ms=10).start()
+        try:
+            done = {}
+            t0 = time.perf_counter()
+            futs = []
+            for i in range(6):
+                if i:
+                    time.sleep(stagger_s)
+                f = engine.submit_text(prompts[i], settings(heavy_kw, seg),
+                                       seed=i)
+                f.add_done_callback(
+                    lambda f, i=i: done.setdefault(
+                        i, time.perf_counter() - t0
+                    )
+                )
+                futs.append(f)
+            for f in futs:
+                f.result(timeout=1800)
+            lats = [done[i] - i * stagger_s for i in range(6)]
+            return {
+                "makespan_s": round(time.perf_counter() - t0, 3),
+                "mean_latency_s": round(sum(lats) / len(lats), 3),
+                "chunks": engine.stats["chunks"],
+                "stream_joins": engine.stats["stream_joins"],
+            }
+        finally:
+            engine.stop()
+
+    for name, seg in (("mono", 0), ("chunked", C)):
+        run_join(seg)              # warm
+        results[f"join_{name}"] = run_join(seg)
+        logging.info("join %s: %s", name, results[f"join_{name}"])
+
+    hol_gain = (results["hol_mono"]["short_p50_s"]
+                / max(results["hol_chunked"]["short_p50_s"], 1e-9))
+    join_gain = (results["join_mono"]["makespan_s"]
+                 / max(results["join_chunked"]["makespan_s"], 1e-9))
+    results["short_p50_speedup"] = round(hol_gain, 2)
+    results["join_makespan_speedup"] = round(join_gain, 2)
+
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
