@@ -28,8 +28,11 @@ app.py:53-894); this benchmarks capability beyond it.
 
 import json
 import logging
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
 def _percentile(xs, q):
@@ -61,26 +64,68 @@ def main(argv):
     from mmada_tpu.serve.engine import ServingEngine, TextSettings
     from mmada_tpu.serve.loader import build_text_tokenizer, build_vocab
 
-    ckpt = args["ckpt"]
-    ycfg = load_config(args.get("config", "configs/proxy_160m.yaml"))
-    tokenizer = build_text_tokenizer(ycfg)
-    vocab = build_vocab(ycfg)
-    cfg = config_from_hf_json(ckpt)
-    params = load_pretrained(ckpt, cfg, dtype=jnp.bfloat16)
-    model = MMadaModel(cfg=cfg, params=params, vocab=vocab, policy=BF16)
-
     plen = 24
-    prompts = [
-        np.asarray(
-            tokenizer([synthetic.sentence(i)])["input_ids"][0][:plen],
-            np.int32,
-        )
-        for i in range(8)
-    ]
+    ckpt = args.get("ckpt", "bench8b")
+    if ckpt == "bench8b":
+        # full-8B int8 STRUCTURE with zero weights (bench.py's trick):
+        # scheduling latency does not depend on weight values, and this
+        # is the scale where per-chunk work actually dwarfs dispatch —
+        # on the 165M proxy the whole heavy op runs in ~0.1 s and the
+        # per-chunk tunnel dispatch dominates (recorded in the small-model
+        # arm of SERVING_r03.json; mono wins there, as it should).
+        from mmada_tpu.core.vocab import MMADA_8B
+        from mmada_tpu.models import llada
+        from mmada_tpu.ops import quantization as Q
 
-    heavy_kw = dict(gen_length=256, steps=128, block_length=32)
-    short_kw = dict(gen_length=64, steps=32, block_length=32)
-    C = int(args.get("segment_steps", 8))
+        cfg = llada.LLaDAConfig(
+            d_model=4096, n_heads=32, n_layers=32, mlp_hidden_size=12288,
+            vocab_size=MMADA_8B.total_vocab_size,
+            embedding_size=MMADA_8B.total_vocab_size,
+            max_sequence_length=2048, rope_theta=500000.0,
+        )
+        shapes = jax.eval_shape(
+            lambda k: Q.quantize_llada_params(
+                llada.init_params(k, cfg, dtype=jnp.bfloat16)
+            ),
+            jax.random.key(0),
+        )
+
+        def mk(s):
+            if s.dtype == jnp.float32 and len(s.shape) <= 2:
+                return jnp.ones(s.shape, s.dtype)
+            return jnp.zeros(s.shape, s.dtype)
+
+        params = jax.jit(lambda: jax.tree.map(mk, shapes))()
+        model = MMadaModel(cfg=cfg, params=params, vocab=MMADA_8B,
+                           policy=BF16)
+        rng = np.random.default_rng(0)
+        prompts = [
+            rng.integers(3, 100000, size=(plen,)).astype(np.int32)
+            for _ in range(8)
+        ]
+        heavy_kw = dict(gen_length=512, steps=256, block_length=64)
+        short_kw = dict(gen_length=64, steps=32, block_length=64)
+        default_seg, default_stagger = 16, 3.0
+    else:
+        ycfg = load_config(args.get("config", "configs/proxy_160m.yaml"))
+        tokenizer = build_text_tokenizer(ycfg)
+        vocab = build_vocab(ycfg)
+        cfg = config_from_hf_json(ckpt)
+        params = load_pretrained(ckpt, cfg, dtype=jnp.bfloat16)
+        model = MMadaModel(cfg=cfg, params=params, vocab=vocab, policy=BF16)
+        prompts = [
+            np.asarray(
+                tokenizer([synthetic.sentence(i)])["input_ids"][0][:plen],
+                np.int32,
+            )
+            for i in range(8)
+        ]
+        heavy_kw = dict(gen_length=256, steps=128, block_length=32)
+        short_kw = dict(gen_length=64, steps=32, block_length=32)
+        default_seg, default_stagger = 8, 0.25
+
+    C = int(args.get("segment_steps", default_seg))
+    stagger_s = float(args.get("stagger", default_stagger))
 
     def settings(kw, seg):
         return TextSettings(temperature=0.0, segment_steps=seg, **kw)
@@ -92,7 +137,7 @@ def main(argv):
             t0 = time.perf_counter()
             f_heavy = engine.submit_text(prompts[0], settings(heavy_kw, seg))
             shorts = [
-                engine.submit_text(prompts[1 + i], settings(short_kw, seg))
+                engine.submit_text(prompts[1 + i], settings(short_kw, 0))
                 for i in range(4)
             ]
             for f in shorts:
@@ -113,7 +158,7 @@ def main(argv):
             )
             for i in range(4):
                 f = engine.submit_text(prompts[1 + i],
-                                       settings(short_kw, seg))
+                                       settings(short_kw, 0))
                 f.add_done_callback(
                     lambda f, i=i: done.setdefault(
                         f"short{i}", time.perf_counter() - t0
@@ -132,7 +177,7 @@ def main(argv):
         finally:
             engine.stop()
 
-    results = {"segment_steps": C, "model": ckpt,
+    results = {"segment_steps": C, "model": ckpt, "stagger_s": stagger_s,
                "heavy_op": heavy_kw, "short_op": short_kw}
     for name, seg in (("mono", 0), ("chunked", C)):
         run_hol(seg)               # warm every executable
@@ -140,7 +185,7 @@ def main(argv):
         logging.info("hol %s: %s", name, results[f"hol_{name}"])
 
     # --------------------------------------------------------------- join
-    def run_join(seg, stagger_s=0.25):
+    def run_join(seg):
         engine = ServingEngine(model, max_wait_ms=10).start()
         try:
             done = {}
@@ -159,6 +204,11 @@ def main(argv):
                 futs.append(f)
             for f in futs:
                 f.result(timeout=1800)
+            # result() can return before the done-callback runs in the
+            # dispatcher thread — wait for all timestamps
+            deadline = time.time() + 30
+            while len(done) < 6 and time.time() < deadline:
+                time.sleep(0.005)
             lats = [done[i] - i * stagger_s for i in range(6)]
             return {
                 "makespan_s": round(time.perf_counter() - t0, 3),
