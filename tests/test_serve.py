@@ -494,3 +494,76 @@ def test_stream_padding_chunk_is_noop(model):
         np.testing.assert_array_equal(got, want)
     finally:
         engine.stop()
+
+
+def test_stream_bucket_growth_and_overflow(model):
+    """6 staggered same-settings requests against max_batch=4: the first
+    stream grows 1 -> 2 -> 4 slots as joiners arrive (one executable per
+    bucket), and joiners beyond max_batch start a SECOND stream instead of
+    being dropped. Every output stays exact vs the batched direct run."""
+    import jax.numpy as jnp
+
+    engine = ServingEngine(model, max_batch=4, max_wait_ms=1).start()
+    try:
+        settings = TextSettings(
+            gen_length=16, steps=16, block_length=8, segment_steps=1,
+        )  # 2 blocks x 8 chunks — long enough to join mid-flight
+        prompts = [np.arange(3, 9) + i for i in range(6)]
+        futs = []
+        for i, p in enumerate(prompts):
+            futs.append(engine.submit_text(p, settings))
+            # space arrivals so each lands mid-flight, not in one batch
+            deadline = time.time() + 30
+            want_chunks = (i + 1) * 2
+            while (engine.stats["chunks"] < want_chunks
+                   and time.time() < deadline):
+                time.sleep(0.005)
+        outs = [f.result(timeout=240) for f in futs]
+        direct = np.asarray(
+            model.generate(
+                jnp.asarray(np.stack(prompts)),
+                gen_length=16, steps=16, block_length=8, temperature=0.0,
+            )
+        )
+        for got, want in zip(outs, direct):
+            np.testing.assert_array_equal(got, want)
+        assert engine.stats["stream_joins"] >= 1
+    finally:
+        engine.stop()
+
+
+def test_stream_on_mesh_sharded_model(model):
+    """Chunked/continuous-batching decode against an FSDP+TP-sharded
+    model: the per-row chunk programs compile under GSPMD and outputs
+    match the unsharded monolithic sampler."""
+    import dataclasses as _dc
+
+    import jax.numpy as jnp
+
+    from mmada_tpu.core.mesh import make_mesh
+    from mmada_tpu.parallel import sharding
+
+    mesh = make_mesh(data=2, fsdp=2, tensor=2)
+    params_sh = sharding.shard_params(
+        model.params, sharding.llada_param_specs(model.cfg), mesh
+    )
+    model_sh = _dc.replace(model, params=params_sh, mesh=mesh)
+    engine = ServingEngine(model_sh, max_wait_ms=30).start()
+    try:
+        settings = TextSettings(
+            gen_length=8, steps=4, block_length=8, segment_steps=2,
+        )
+        prompts = [np.arange(3, 9), np.arange(4, 10)]
+        futs = [engine.submit_text(p, settings) for p in prompts]
+        outs = [f.result(timeout=240) for f in futs]
+        direct = np.asarray(
+            model.generate(
+                jnp.asarray(np.stack(prompts)),
+                gen_length=8, steps=4, block_length=8, temperature=0.0,
+            )
+        )
+        for got, want in zip(outs, direct):
+            np.testing.assert_array_equal(got, want)
+        assert engine.stats["chunks"] >= 2
+    finally:
+        engine.stop()
