@@ -528,6 +528,14 @@ class SegmentedRun:
         needs_key = cfg.temperature > 0 or cfg.remasking == "random"
         if needs_key and key is None and row_keys is None:
             raise ValueError("stochastic sampling requires a PRNG key")
+        if row_keys is not None and not needs_key:
+            # callers select the per-row vmapped runner on row_keys; with
+            # deterministic settings the zero-key schedule has the wrong
+            # shape for it, so fail loudly instead of deep inside vmap
+            raise ValueError(
+                "row_keys requires stochastic sampling (temperature > 0 "
+                "or remasking='random'); pass key=None for deterministic"
+            )
         self._per_row = needs_key and row_keys is not None
         if self._per_row:
             # (B, nb, spb) typed keys — row i's schedule is exactly the

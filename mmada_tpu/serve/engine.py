@@ -171,7 +171,22 @@ class _Stream:
     """
 
     def __init__(self, model, kind, settings, prompt_len, bucket,
-                 max_bucket):
+                 buckets):
+        from mmada_tpu.sampling.text import SemiARConfig
+
+        # validate the WHOLE-request shape exactly like the monolithic
+        # sampler would (gen/block divisibility, steps per block) — the
+        # per-block configs built later never see it, and without this a
+        # bad request would silently return truncated output with
+        # residual mask tokens
+        SemiARConfig(
+            gen_length=settings.gen_length, steps=settings.steps,
+            block_length=settings.block_length,
+            temperature=settings.temperature, cfg_scale=settings.cfg_scale,
+            remasking=settings.remasking,
+            mask_id=model.vocab.mask_token_id,
+            parallel_threshold=settings.parallel_threshold,
+        )
         self.key = (kind, settings, prompt_len)
         self.settings = settings
         self.model = model
@@ -182,7 +197,7 @@ class _Stream:
         self.spb_pad = self.cpb * self.C
         self.P = prompt_len
         self.L = prompt_len + settings.gen_length
-        self.max_bucket = max_bucket
+        self.buckets = tuple(buckets)  # engine's pow2-ish bucket set
         self._mask_id = model.vocab.mask_token_id
         self._runner = model.segmented_chunk_runner(
             steps_per_block=self.spb, block_length=settings.block_length,
@@ -223,12 +238,13 @@ class _Stream:
         return self.occupancy == 0
 
     def join(self, req: _Request) -> bool:
-        """Admit `req` into a free slot (growing to the next bucket up to
-        `max_bucket` if needed); False when full."""
+        """Admit `req` into a free slot (growing to the next engine
+        bucket if needed); False when full."""
         if None not in self.slots:
-            if self.bucket >= self.max_bucket:
+            bigger = [b for b in self.buckets if b > self.bucket]
+            if not bigger:
                 return False
-            self._alloc(min(self.bucket * 2, self.max_bucket))
+            self._alloc(bigger[0])
         slot = self.slots.index(None)
         prompt = np.asarray(req.payload, np.int32).reshape(-1)
         row = np.concatenate([
@@ -331,11 +347,10 @@ class _Stream:
             out = []
         # shrink: a lone survivor should not pay a wide batch
         occ = self.occupancy
-        if occ and self.bucket > 1 and occ <= self.bucket // 2:
-            new_bucket = self.bucket
-            while new_bucket > 1 and occ <= new_bucket // 2:
-                new_bucket //= 2
-            self._alloc(new_bucket)
+        if occ:
+            fit = next(b for b in self.buckets if b >= occ)
+            if fit <= self.bucket // 2:
+                self._alloc(fit)
         return out
 
     def fail_all(self, exc: Exception):
@@ -516,10 +531,6 @@ class ServingEngine:
 
     def _run_group(self, kind: str, settings, grp: list[_Request]):
         n = len(grp)
-        bucket = next(b for b in self.buckets if n <= b)
-        self._bump("batches")
-        self._bump("batched_requests", n)
-        key = jax.random.key(grp[0].seed)
 
         if kind in ("text", "mmu") and settings.segment_steps > 0:
             # chunked: admit into a continuous-batching stream instead of
@@ -546,12 +557,17 @@ class ServingEngine:
                 b0 = next(b for b in self.buckets if len(take) <= b)
                 stream = _Stream(
                     self.model, kind, settings, prompt_len, b0,
-                    self.max_batch,
+                    self.buckets,
                 )
                 for r in take:
                     stream.join(r)
                 self._active.append(stream)
             return
+
+        bucket = next(b for b in self.buckets if n <= b)
+        self._bump("batches")
+        self._bump("batched_requests", n)
+        key = jax.random.key(grp[0].seed)
 
         if kind in ("text", "mmu"):
             prompts = np.stack([np.asarray(r.payload).reshape(-1) for r in grp])

@@ -135,3 +135,16 @@ def test_model_generate_segmented_rejects_kv_cache():
     with pytest.raises(ValueError, match="exact sampler only"):
         m.generate(prompt, gen_length=8, steps=4, block_length=8,
                    segment_steps=2, block_kv_cache=True)
+
+
+def test_row_keys_require_stochastic():
+    """row_keys selects the per-row vmapped runner; with deterministic
+    settings the key schedule has the wrong shape for it, so SegmentedRun
+    must reject the combination loudly."""
+    forward_fn, prompt = _golden_forward()
+    scfg = text_sampling.SemiARConfig(
+        gen_length=16, steps=8, block_length=8, mask_id=MASK_ID,
+    )
+    keys = jax.vmap(jax.random.key)(jnp.arange(2, dtype=jnp.uint32))
+    with pytest.raises(ValueError, match="row_keys requires stochastic"):
+        text_sampling.SegmentedRun(prompt, scfg, row_keys=keys)

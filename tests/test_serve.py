@@ -567,3 +567,46 @@ def test_stream_on_mesh_sharded_model(model):
         assert engine.stats["chunks"] >= 2
     finally:
         engine.stop()
+
+
+def test_stream_stochastic_nondividing_segment(model):
+    """Stochastic + segment_steps NOT dividing steps_per_block: exercises
+    the typed-key padding concatenation in _Stream.join and padded per-row
+    key windows — per-seed outputs must stay bit-exact vs solo runs."""
+    import jax.numpy as jnp
+
+    engine = ServingEngine(model, max_wait_ms=30).start()
+    try:
+        settings = TextSettings(
+            gen_length=16, steps=8, block_length=8, temperature=1.0,
+            segment_steps=3,
+        )  # spb=4 -> windows of 3 + 1 padded no-op step
+        prompt = np.arange(3, 9)
+        futs = [engine.submit_text(prompt, settings, seed=s) for s in (2, 8)]
+        for seed, f in zip((2, 8), futs):
+            want = np.asarray(
+                model.generate(
+                    jnp.asarray(prompt)[None],
+                    gen_length=16, steps=8, block_length=8,
+                    temperature=1.0, key=jax.random.key(seed),
+                )
+            )[0]
+            np.testing.assert_array_equal(f.result(timeout=240), want)
+    finally:
+        engine.stop()
+
+
+def test_stream_rejects_invalid_shape(model):
+    """Chunked requests get the SAME shape validation as the monolithic
+    sampler: gen_length not divisible by block_length must fail the
+    future, not silently return truncated output with mask residue."""
+    engine = ServingEngine(model, max_wait_ms=5).start()
+    try:
+        bad = TextSettings(
+            gen_length=12, steps=4, block_length=8, segment_steps=2,
+        )
+        f = engine.submit_text(np.arange(3, 9), bad)
+        with pytest.raises(ValueError, match="divisible"):
+            f.result(timeout=120)
+    finally:
+        engine.stop()

@@ -167,6 +167,10 @@ def main(argv):
             deadline = time.time() + 1200
             while len(done) < 5 and time.time() < deadline:
                 time.sleep(0.005)
+            if len(done) < 5:
+                raise TimeoutError(
+                    f"hol arm timed out; completed only {sorted(done)}"
+                )
             shorts = [done[f"short{i}"] for i in range(4)]
             return {
                 "short_p50_s": round(_percentile(shorts, 0.5), 3),
@@ -209,6 +213,10 @@ def main(argv):
             deadline = time.time() + 30
             while len(done) < 6 and time.time() < deadline:
                 time.sleep(0.005)
+            if len(done) < 6:
+                raise TimeoutError(
+                    f"join arm timed out; completed only {sorted(done)}"
+                )
             lats = [done[i] - i * stagger_s for i in range(6)]
             return {
                 "makespan_s": round(time.perf_counter() - t0, 3),
