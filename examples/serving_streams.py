@@ -1,0 +1,98 @@
+"""Serving-engine walkthrough — micro-batching, chunked scheduling, joins.
+
+Runs out of the box on CPU with the tiny random demo config:
+
+    python examples/serving_streams.py
+
+Three behaviors of `mmada_tpu.serve.engine.ServingEngine`, demonstrated
+live (the reference serves one request at a time through Gradio,
+app.py:53-894):
+
+  1. micro-batching — concurrent same-settings requests share one device
+     program (stats["batches"] < stats["requests"]);
+  2. chunk-granularity scheduling — a request with ``segment_steps=N``
+     runs as ≤N-step programs, so a short request submitted behind a
+     heavy one overtakes it at a chunk boundary instead of waiting it
+     out (measured at 8B: short p50 13.8 s → 1.1 s, SERVING_r03.json);
+  3. continuous batching — a same-settings request JOINS the running
+     stream mid-flight (stats["stream_joins"]), sharing its programs.
+
+All three preserve exactness: deterministic outputs are token-identical
+to solo runs; stochastic requests keep per-seed bit-exactness via
+per-row PRNG key schedules.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+# runnable as `python examples/serving_streams.py` without install
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="configs/tiny_test.yaml")
+    args = ap.parse_args()
+
+    from mmada_tpu.core.config import load_config
+    from mmada_tpu.serve.engine import ServingEngine, TextSettings
+    from mmada_tpu.serve.loader import (
+        build_model, build_prompting, build_text_tokenizer, build_vocab,
+    )
+
+    cfg = load_config(args.config)
+    tokenizer = build_text_tokenizer(cfg)
+    vocab = build_vocab(cfg)
+    build_prompting(cfg, tokenizer, vocab)
+    model = build_model(cfg, vocab)
+    engine = ServingEngine(model, max_batch=8, max_wait_ms=20).start()
+    rng = np.random.default_rng(0)
+    prompt = lambda: rng.integers(3, 200, size=(8,))  # noqa: E731
+
+    try:
+        # 1. micro-batching -------------------------------------------------
+        s = TextSettings(gen_length=16, steps=8, block_length=8)
+        futs = [engine.submit_text(prompt(), s) for _ in range(4)]
+        [f.result(timeout=300) for f in futs]
+        print(f"[micro-batch] 4 requests -> {engine.stats['batches']} "
+              f"device batch(es)")
+
+        # 2. chunked: short overtakes heavy ---------------------------------
+        heavy = TextSettings(gen_length=32, steps=32, block_length=8,
+                             segment_steps=1)          # 32 chunk programs
+        short = TextSettings(gen_length=8, steps=2, block_length=8)
+        order = []
+        fh = engine.submit_text(prompt(), heavy)
+        fh.add_done_callback(lambda f: order.append("heavy"))
+        while engine.stats["chunks"] < 1:
+            time.sleep(0.005)
+        fs = engine.submit_text(prompt(), short)
+        fs.add_done_callback(lambda f: order.append("short"))
+        fh.result(timeout=300), fs.result(timeout=300)
+        time.sleep(0.05)  # let callbacks land
+        print(f"[chunked    ] completion order: {order} "
+              f"(short submitted AFTER heavy)")
+
+        # 3. continuous batching: join mid-flight ---------------------------
+        joins0 = engine.stats["stream_joins"]
+        f1 = engine.submit_text(prompt(), heavy)
+        chunks0 = engine.stats["chunks"]
+        while engine.stats["chunks"] < chunks0 + 2:
+            time.sleep(0.005)
+        f2 = engine.submit_text(prompt(), heavy)   # same settings -> joins
+        f1.result(timeout=300), f2.result(timeout=300)
+        print(f"[join       ] stream_joins: "
+              f"{engine.stats['stream_joins'] - joins0} "
+              f"(2nd request shared the 1st's programs)")
+        print(f"[stats      ] {engine.stats}")
+    finally:
+        engine.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,130 @@
+"""MMU at the REFERENCE operating point across the fast-decode stack.
+
+The bench.py headline measures the exact int8 sampler at the reference op
+point (1066-token image+question prefix, 1024 new / 512 steps / block
+1024, inference_mmu.py:57,102) — 102.76 s p50 = 82.4% of v5e bf16 peak
+(BASELINE.md round-3h). This tool measures the OPT-IN levers at the same
+point on the full-8B structure (timing is weight-independent):
+
+  * exact sampler under W8A8 (int8-MXU matmuls, ~2x bf16 peak) —
+    quality-gated opt-in (QUANT_r03.json);
+  * block-KV-cached decode (int8 cache) — approximate opt-in; at block
+    1024 each step forwards only the 1024-token block against cached
+    prefix K/V.
+
+The cached arm runs LAST and in this order because its 512-step block is
+ONE device program near the tunnel's ~60 s execution kill — if the worker
+dies, the earlier arms' numbers are already on disk.
+
+    python tools/bench_mmu_ref.py out=MMU_REF_r03.json
+"""
+
+import json
+import logging
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def main(argv):
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+    args = dict(kv.split("=", 1) for kv in argv if "=" in kv)
+    out_path = args.get("out", "MMU_REF_r03.json")
+    reps = int(args.get("reps", 3))
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mmada_tpu.core.precision import BF16
+    from mmada_tpu.core.vocab import MMADA_8B
+    from mmada_tpu.models import llada
+    from mmada_tpu.models.mmada import MMadaModel
+    from mmada_tpu.ops import quantization as Q
+
+    cfg = llada.LLaDAConfig(
+        d_model=4096, n_heads=32, n_layers=32, mlp_hidden_size=12288,
+        vocab_size=MMADA_8B.total_vocab_size,
+        embedding_size=MMADA_8B.total_vocab_size,
+        max_sequence_length=2048, rope_theta=500000.0,
+    )
+
+    def build(scheme):
+        shapes = jax.eval_shape(
+            lambda k: Q.quantize_llada_params(
+                llada.init_params(k, cfg, dtype=jnp.bfloat16),
+                activations=scheme == "w8a8",
+            ),
+            jax.random.key(0),
+        )
+
+        def mk(s):
+            if s.dtype == jnp.float32 and len(s.shape) <= 2:
+                return jnp.ones(s.shape, s.dtype)
+            return jnp.zeros(s.shape, s.dtype)
+
+        params = jax.jit(lambda: jax.tree.map(mk, shapes))()
+        return MMadaModel(cfg=cfg, params=params, vocab=MMADA_8B,
+                          policy=BF16)
+
+    prefix = jnp.concatenate([
+        jnp.full((1, 2), MMADA_8B.special("<|mmu|>")),
+        jax.random.randint(jax.random.key(7), (1, 1024), 0, 8192)
+        + MMADA_8B.image_offset,
+        jax.random.randint(jax.random.key(8), (1, 40), 3, 100000),
+    ], axis=1).astype(jnp.int32)
+
+    def sync(x):
+        jax.device_get(jnp.asarray(x).sum())
+
+    def p50(fn):
+        sync(fn())                      # warm/compile
+        lats = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            sync(fn())
+            lats.append(time.perf_counter() - t0)
+        return sorted(lats)[len(lats) // 2]
+
+    results = {"operating_point": "1066-token prefix, 1024 new, 512 steps, "
+                                  "block 1024 (inference_mmu.py:57,102)"}
+
+    def save():
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=1)
+
+    # --- arm 1: exact sampler, W8A8 (segmented — one ~2 min scan would
+    # exceed the tunnel's per-execution kill; 128-step chunks) ----------
+    m_w8a8 = build("w8a8")
+    results["exact_w8a8_p50_s"] = round(p50(lambda: m_w8a8.mmu_generate(
+        prefix, max_new_tokens=1024, steps=512, block_length=1024,
+        temperature=0.0, segment_steps=128,
+    )), 2)
+    logging.info("exact W8A8: %.2f s", results["exact_w8a8_p50_s"])
+    save()
+
+    # --- arm 2: block-KV-cached decode (int8 cache), int8 weights ------
+    # ONE 512-step program; may hit the ~60 s worker kill — runs last.
+    m_int8 = build("int8")
+    try:
+        runner = jax.jit(lambda m, p: m.mmu_generate(
+            p, max_new_tokens=1024, steps=512, block_length=1024,
+            temperature=0.0, block_kv_cache="int8",
+        ))
+        results["kv_int8_p50_s"] = round(
+            p50(lambda: runner(m_int8, prefix)), 2
+        )
+        logging.info("kv-cached int8: %.2f s", results["kv_int8_p50_s"])
+    except Exception as e:  # worker kill leaves the tunnel degraded
+        results["kv_int8_p50_s"] = None
+        results["kv_int8_error"] = f"{type(e).__name__}: {e}"[:300]
+        logging.exception("kv-cached arm failed")
+    save()
+    print(json.dumps(results))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
