@@ -610,3 +610,62 @@ def test_stream_rejects_invalid_shape(model):
             f.result(timeout=120)
     finally:
         engine.stop()
+
+
+def test_engine_stress_mixed_workload(model):
+    """Chaos drive for the dispatcher: 24 concurrent requests mixing
+    monolithic/chunked, deterministic/stochastic, two shapes and several
+    seeds, submitted from 4 threads with jittered timing. Every future
+    must resolve with the solo-run-exact tokens — no hangs, no drops,
+    no cross-request contamination."""
+    import threading
+
+    import jax.numpy as jnp
+
+    engine = ServingEngine(model, max_batch=4, max_wait_ms=5).start()
+    variants = [
+        TextSettings(gen_length=16, steps=8, block_length=8),
+        TextSettings(gen_length=16, steps=8, block_length=8,
+                     segment_steps=2),
+        TextSettings(gen_length=8, steps=4, block_length=8,
+                     temperature=1.0, segment_steps=1),
+        TextSettings(gen_length=8, steps=4, block_length=8,
+                     temperature=1.0),
+    ]
+    rng = np.random.default_rng(42)
+    jobs = []   # (prompt, settings, seed, future)
+    lock = threading.Lock()
+
+    def submitter(tid):
+        r = np.random.default_rng(tid)
+        for k in range(6):
+            s = variants[(tid + k) % len(variants)]
+            prompt = np.asarray(r.integers(3, 200, size=(6,)), np.int32)
+            seed = int(r.integers(0, 5))
+            f = engine.submit_text(prompt, s, seed=seed)
+            with lock:
+                jobs.append((prompt, s, seed, f))
+            time.sleep(float(r.random()) * 0.02)
+
+    threads = [threading.Thread(target=submitter, args=(t,))
+               for t in range(4)]
+    try:
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for prompt, s, seed, f in jobs:
+            got = f.result(timeout=300)
+            want = np.asarray(
+                model.generate(
+                    jnp.asarray(prompt)[None],
+                    gen_length=s.gen_length, steps=s.steps,
+                    block_length=s.block_length,
+                    temperature=s.temperature,
+                    key=(jax.random.key(seed) if s.stochastic else None),
+                )
+            )[0]
+            np.testing.assert_array_equal(got, want)
+        assert len(jobs) == 24
+    finally:
+        engine.stop()
