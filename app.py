@@ -164,9 +164,16 @@ class AppState:
         return out
 
     def t2i(self, prompt, timesteps=15, guidance_scale=3.5,
-            temperature=1.0, seed=0, kv_cache=None):
+            temperature=1.0, seed=0, kv_cache=None,
+            segment_timesteps=None):
         if kv_cache is None:
             kv_cache = self.default_kv_cache
+        if segment_timesteps is None:
+            segment_timesteps = int(
+                self.cfg.get_path("serving.segment_timesteps", 0)
+            )
+        if kv_cache:  # cached decode wins over segmentation
+            segment_timesteps = 0
         import jax
         import jax.numpy as jnp
 
@@ -184,6 +191,7 @@ class AppState:
                 timesteps=timesteps, guidance_scale=guidance_scale,
                 temperature=temperature, num_vq_tokens=num_vq,
                 block_kv_cache=kv_cache,
+                segment_timesteps=segment_timesteps,
             )
             fut = self.engine.submit_t2i(
                 np.asarray(input_ids[0]), np.asarray(uncond_ids[0]), settings,
@@ -382,6 +390,9 @@ def run_http(state: AppState, port: int):
                         seed=int(req.get("seed", 0)),
                         kv_cache=(parse_kv_cache(req["kv_cache"])
                                   if "kv_cache" in req else None),
+                        segment_timesteps=(
+                            int(req["segment_timesteps"])
+                            if "segment_timesteps" in req else None),
                     )
                     buf = io.BytesIO()
                     Image.fromarray(arr).save(buf, format="PNG")

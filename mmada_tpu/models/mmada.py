@@ -100,6 +100,22 @@ def _segment_block_per_row(model, x, prompt_index, block_ends, step_keys,
     return jax.vmap(row)(x, prompt_index, block_ends, step_keys, transfers)
 
 
+@functools.partial(jax.jit, static_argnames=("mcfg",))
+def _t2i_window(model, carry, ts, step_keys, uncond_input_ids,
+                attention_mask, uncond_attention_mask, mcfg):
+    """One ≤segment_timesteps window of the MaskGIT t2i loop: model as
+    pytree argument, (ts, step_keys) rows traced — all equal-length
+    windows of all calls share one executable
+    (sampling/t2i.run_timestep_window)."""
+    fwd = model._window_forward_fn(mcfg.num_vq_tokens,
+                                   model.vocab.image_window)
+    return t2i_sampling.run_timestep_window(
+        fwd, carry, ts, step_keys, mcfg,
+        uncond_input_ids=uncond_input_ids, attention_mask=attention_mask,
+        uncond_attention_mask=uncond_attention_mask,
+    )
+
+
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["params"],
@@ -580,12 +596,16 @@ class MMadaModel:
                      temperature=1.0, timesteps=18, guidance_scale=0.0,
                      noise_schedule=cosine_schedule, num_vq_tokens=1024,
                      key=None, greedy=False, stepwise=False,
-                     block_kv_cache=False, cache_refresh_every=0):
+                     block_kv_cache=False, cache_refresh_every=0,
+                     segment_timesteps=0):
         """`block_kv_cache=True`: capture the static text prompt's K/V once
         and forward only the image span per MaskGIT step (approximate;
         exact at timesteps=1 — see `_span_cache_fns`).
         `cache_refresh_every=N` re-captures every N steps — the
-        staleness/quality knob for the cached mode."""
+        staleness/quality knob for the cached mode.
+        `segment_timesteps` (0 = off): run the EXACT sampler as multiple
+        ≤N-step device programs (host loop — do not wrap in jit; the t2i
+        analog of `generate(segment_steps=...)`)."""
         mcfg = t2i_sampling.MaskGITConfig(
             timesteps=timesteps, temperature=temperature,
             guidance_scale=guidance_scale, noise_schedule=noise_schedule,
@@ -594,6 +614,24 @@ class MMadaModel:
             text_vocab_size=self.vocab.image_offset, greedy=greedy,
             cache_refresh_every=cache_refresh_every,
         )
+        if segment_timesteps:
+            if stepwise:
+                raise ValueError(
+                    "stepwise + segment_timesteps: drive t2i_segmented_run "
+                    "and read .last_window per chunk instead (true "
+                    "incremental streaming)"
+                )
+            run = self._t2i_segmented_run(
+                input_ids, mcfg, key=key,
+                uncond_input_ids=uncond_input_ids,
+                attention_mask=attention_mask,
+                uncond_attention_mask=uncond_attention_mask,
+                segment_timesteps=segment_timesteps,
+                block_kv_cache=block_kv_cache,
+            )
+            while not run.step():
+                pass
+            return run.codes
         fwd = self._window_forward_fn(num_vq_tokens, self.vocab.image_window)
         gen = (t2i_sampling.t2i_generate_stepwise if stepwise
                else t2i_sampling.t2i_generate)
@@ -606,6 +644,62 @@ class MMadaModel:
                                                num_vq_tokens,
                                                _cache_dtype(block_kv_cache))
                        if block_kv_cache else None),
+        )
+
+    def t2i_segmented_run(self, input_ids, uncond_input_ids=None,
+                          attention_mask=None, uncond_attention_mask=None,
+                          temperature=1.0, timesteps=18, guidance_scale=0.0,
+                          noise_schedule=cosine_schedule, num_vq_tokens=1024,
+                          key=None, greedy=False, segment_timesteps=8,
+                          block_kv_cache=False):
+        """`t2i_generate`'s incremental form (same kwargs): returns a
+        `SegmentedT2IRun` — call `.step()` until True, then read
+        `.codes`. Used by the serving engine for chunk-granularity t2i
+        scheduling and by incremental stepwise streaming."""
+        mcfg = t2i_sampling.MaskGITConfig(
+            timesteps=timesteps, temperature=temperature,
+            guidance_scale=guidance_scale, noise_schedule=noise_schedule,
+            mask_id=self.vocab.mask_token_id, num_vq_tokens=num_vq_tokens,
+            codebook_size=self.vocab.image_codebook_size,
+            text_vocab_size=self.vocab.image_offset, greedy=greedy,
+        )
+        return self._t2i_segmented_run(
+            input_ids, mcfg, key=key, uncond_input_ids=uncond_input_ids,
+            attention_mask=attention_mask,
+            uncond_attention_mask=uncond_attention_mask,
+            segment_timesteps=segment_timesteps,
+            block_kv_cache=block_kv_cache,
+        )
+
+    def _t2i_segmented_run(self, input_ids, mcfg, key=None,
+                           uncond_input_ids=None, attention_mask=None,
+                           uncond_attention_mask=None, segment_timesteps=8,
+                           block_kv_cache=False):
+        """Build a `t2i.SegmentedT2IRun` whose windows are jitted
+        model-as-argument programs (`_t2i_window`): all equal-length
+        windows of all calls share one executable. `.last_window` after
+        each `step()` gives (W, B, n) grids for INCREMENTAL stepwise
+        streaming — frames can be decoded/shown while later windows are
+        still computing."""
+        if block_kv_cache:
+            raise ValueError(
+                "segment_timesteps supports the exact sampler only "
+                "(per-window K/V recapture would change the cache's "
+                "staleness semantics)"
+            )
+
+        def run_window(carry, ts, step_keys):
+            return _t2i_window(
+                self, carry, ts, step_keys, uncond_input_ids,
+                attention_mask, uncond_attention_mask, mcfg,
+            )
+
+        return t2i_sampling.SegmentedT2IRun(
+            None, input_ids, mcfg, key=key,
+            uncond_input_ids=uncond_input_ids,
+            attention_mask=attention_mask,
+            uncond_attention_mask=uncond_attention_mask,
+            segment_timesteps=segment_timesteps, run_window=run_window,
         )
 
     # ----------------------------------------------------------------- t2m

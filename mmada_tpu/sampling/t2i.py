@@ -111,6 +111,28 @@ def _scan(forward_fn, input_ids, cfg, key, uncond_input_ids,
     # refresh-vs-not branching everywhere below)
     cached = cache_fns is not None
 
+    step = _make_step(
+        forward_fn, cfg, b, n, img_lo, prompt_len, use_cfg,
+        uncond_prefix if use_cfg else None, full_mask,
+        cache_fns, capture if cached else None,
+    )
+
+    ts = jnp.arange(cfg.timesteps, dtype=jnp.float32)
+    carry0 = (x, cur, jnp.float32(cfg.temperature))
+    if cached:
+        carry0 = carry0 + (kv,)
+    _, sampled_steps = jax.lax.scan(step, carry0, (ts, step_keys))
+    return sampled_steps
+
+
+def _make_step(forward_fn, cfg, b, n, img_lo, prompt_len, use_cfg,
+               uncond_prefix, full_mask, cache_fns, capture):
+    """Build the per-timestep MaskGIT body shared by the monolithic scan
+    (`_scan`) and the segmented window runner (`run_timestep_window`)."""
+    cached = cache_fns is not None
+    refresh = cfg.cache_refresh_every
+    step_fn = cache_fns[1] if cached else None
+
     def step(carry, inp):
         if cached:
             x, cur, temperature, kv_c = carry
@@ -181,12 +203,140 @@ def _scan(forward_fn, input_ids, cfg, key, uncond_input_ids,
             return (x, new_cur, temperature, kv_c), sampled
         return (x, new_cur, temperature), sampled
 
-    ts = jnp.arange(cfg.timesteps, dtype=jnp.float32)
-    carry0 = (x, cur, jnp.float32(cfg.temperature))
-    if cached:
-        carry0 = carry0 + (kv,)
-    _, sampled_steps = jax.lax.scan(step, carry0, (ts, step_keys))
-    return sampled_steps
+    return step
+
+
+def init_carry(input_ids: jax.Array, cfg: MaskGITConfig):
+    """Initial (x, cur, temperature) carry of the non-cached MaskGIT loop
+    — the seam the segmented runner threads between windows."""
+    l = input_ids.shape[1]
+    n = cfg.num_vq_tokens
+    img_lo = l - (n + 1)
+    x = input_ids.astype(jnp.int32)
+    cur = x[:, img_lo:-1]
+    cur = jnp.where(cur == cfg.mask_id, cfg.mask_id,
+                    cur - cfg.text_vocab_size)
+    return (x, cur, jnp.float32(cfg.temperature))
+
+
+def run_timestep_window(forward_fn, carry, ts, step_keys, cfg,
+                        uncond_input_ids=None, attention_mask=None,
+                        uncond_attention_mask=None):
+    """Scan one ≤N-timestep window of the (non-cached) MaskGIT loop from
+    `carry` — an exact continuation: temperature compounding, the noise
+    schedule, and per-step keys all ride `ts`/`step_keys` rows, so
+    windowed execution is associative in the carry (the same argument as
+    sampling/text.generate_segmented). Returns (carry, (W, B, n) grids)."""
+    x = carry[0]
+    b, l = x.shape
+    n = cfg.num_vq_tokens
+    img_lo = l - (n + 1)
+    prompt_len = l - (n + 2)
+    use_cfg = uncond_input_ids is not None and cfg.guidance_scale > 0
+    if use_cfg:
+        uncond_prefix = uncond_input_ids[:, :prompt_len].astype(jnp.int32)
+        if attention_mask is not None and uncond_attention_mask is not None:
+            full_mask = jnp.concatenate(
+                [attention_mask, uncond_attention_mask], 0
+            )
+        else:
+            full_mask = None
+    else:
+        uncond_prefix = None
+        full_mask = attention_mask
+    step = _make_step(forward_fn, cfg, b, n, img_lo, prompt_len, use_cfg,
+                      uncond_prefix, full_mask, None, None)
+    return jax.lax.scan(step, carry, (ts, step_keys))
+
+
+class SegmentedT2IRun:
+    """Incremental MaskGIT generation: `step()` executes ONE
+    ≤`segment_timesteps`-step device program; after the final window
+    `.codes` holds the (B, n) VQ grid. `.last_window` holds the most
+    recent (W, B, n) per-step grids — real incremental stepwise
+    streaming (the monolithic `t2i_generate_stepwise` computes the whole
+    trajectory before the first frame can be shown).
+
+    Same role as text.SegmentedRun: bounds single-program wall time and
+    gives the serving engine a chunk seam so a multi-second t2i program
+    stops blocking text requests. KV-cached mode is deliberately
+    unsupported (per-window K/V recapture would change the cache's
+    staleness semantics).
+
+    `run_window(carry, ts, step_keys)` may be injected (models/mmada
+    wraps a jitted model-as-argument runner); defaults to
+    `run_timestep_window` with `forward_fn`.
+    """
+
+    def __init__(self, forward_fn, input_ids, cfg: MaskGITConfig,
+                 key=None, uncond_input_ids=None, attention_mask=None,
+                 uncond_attention_mask=None, segment_timesteps: int = 8,
+                 run_window=None):
+        if segment_timesteps < 1:
+            raise ValueError(
+                f"segment_timesteps must be >= 1, got {segment_timesteps}"
+            )
+        self.cfg = cfg
+        self._carry = init_carry(input_ids, cfg)
+        if key is None:
+            key = jax.random.key(0)
+        self._keys = jax.random.split(key, cfg.timesteps)
+        self._ts = jnp.arange(cfg.timesteps, dtype=jnp.float32)
+        self._windows = [
+            (s, min(s + segment_timesteps, cfg.timesteps))
+            for s in range(0, cfg.timesteps, segment_timesteps)
+        ]
+        self._i = 0
+        self.done = False
+        self.codes = None
+        self.last_window = None
+        if run_window is None:
+            def run_window(carry, ts, step_keys):
+                return run_timestep_window(
+                    forward_fn, carry, ts, step_keys, cfg,
+                    uncond_input_ids=uncond_input_ids,
+                    attention_mask=attention_mask,
+                    uncond_attention_mask=uncond_attention_mask,
+                )
+        self._run_window = run_window
+
+    @property
+    def total_chunks(self) -> int:
+        return len(self._windows)
+
+    def step(self) -> bool:
+        """Run ONE window; True once the final window has executed."""
+        if not self.done:
+            s0, s1 = self._windows[self._i]
+            self._carry, sampled = self._run_window(
+                self._carry, self._ts[s0:s1], self._keys[s0:s1]
+            )
+            self.last_window = sampled
+            self._i += 1
+            if self._i == len(self._windows):
+                self.done = True
+                self.codes = sampled[-1]
+        return self.done
+
+
+def t2i_generate_segmented(
+    forward_fn, input_ids, cfg: MaskGITConfig, key=None,
+    uncond_input_ids=None, attention_mask=None,
+    uncond_attention_mask=None, segment_timesteps: int = 8,
+    run_window=None,
+) -> jax.Array:
+    """`t2i_generate` as multiple ≤segment_timesteps-step device programs
+    (token-identical where numerics are program-independent; see the text
+    sampler's round-3g notes for the TPU near-tie caveat)."""
+    run = SegmentedT2IRun(
+        forward_fn, input_ids, cfg, key=key,
+        uncond_input_ids=uncond_input_ids, attention_mask=attention_mask,
+        uncond_attention_mask=uncond_attention_mask,
+        segment_timesteps=segment_timesteps, run_window=run_window,
+    )
+    while not run.step():
+        pass
+    return run.codes
 
 
 def t2i_generate(

@@ -133,6 +133,11 @@ class T2ISettings:
     num_vq_tokens: int = 1024
     block_kv_cache: bool = False       # approximate cached decode (opt-in)
     cache_refresh_every: int = 0       # cached-mode staleness knob
+    # >0: run the MaskGIT loop as <=N-timestep device programs so a
+    # multi-second t2i request stops blocking text/mmu requests — the
+    # dispatcher interleaves other work between windows (exact;
+    # sampling/t2i.SegmentedT2IRun)
+    segment_timesteps: int = 0
 
 
 @dataclasses.dataclass
@@ -143,6 +148,33 @@ class _Request:
     future: Future
     seed: int
     enqueue_time: float
+
+
+class _T2ITask:
+    """A chunked t2i generation in flight — the t2i counterpart of
+    `_Stream` minus joining (stochastic t2i groups are solo by design:
+    one batch key). Duck-typed to the dispatcher's step()/done/fail_all
+    protocol so `_step_active` round-robins it with text streams."""
+
+    def __init__(self, run, grp):
+        self.run = run            # t2i.SegmentedT2IRun
+        self.grp = grp
+
+    @property
+    def done(self) -> bool:
+        return self.run.done
+
+    def step(self):
+        if self.run.step():
+            codes = np.asarray(self.run.codes)
+            return [(r, codes[i]) for i, r in enumerate(self.grp)]
+        return []
+
+    def fail_all(self, exc: Exception):
+        for r in self.grp:
+            if not r.future.done():
+                r.future.set_exception(exc)
+        self.grp = []
 
 
 class _Stream:
@@ -600,6 +632,31 @@ class ServingEngine:
                     arr = np.concatenate([arr, np.repeat(arr[-1:], bucket - n, 0)])
                 return jnp.asarray(arr)
 
+            if settings.segment_timesteps > 0:
+                # chunked t2i: the dispatcher interleaves other work
+                # between <=N-timestep windows instead of owning the
+                # device for the full MaskGIT loop. No mid-flight
+                # joining (t2i groups are usually solo: stochastic
+                # sampling shares one batch key) — _T2ITask just
+                # iterates windows.
+                if settings.block_kv_cache:
+                    raise ValueError(
+                        "segment_timesteps is exact-sampler only — "
+                        "unset block_kv_cache"
+                    )
+                run = self.model.t2i_segmented_run(
+                    stack(0), uncond_input_ids=stack(1),
+                    attention_mask=stack(2),
+                    uncond_attention_mask=stack(3),
+                    temperature=settings.temperature,
+                    timesteps=settings.timesteps,
+                    guidance_scale=settings.guidance_scale,
+                    num_vq_tokens=settings.num_vq_tokens,
+                    key=key,
+                    segment_timesteps=settings.segment_timesteps,
+                )
+                self._active.append(_T2ITask(run, grp))
+                return
             codes = np.asarray(
                 _jit_t2i(
                     self.model, stack(0), stack(1), stack(2), stack(3),

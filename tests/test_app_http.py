@@ -186,3 +186,16 @@ def test_generate_segment_steps_at_socket(server):
     both = post("/generate", {**base, "segment_steps": 2,
                               "kv_cache": True})
     assert isinstance(both["text"], str)  # resolved, not a 500
+
+
+def test_t2i_segment_timesteps_at_socket(server):
+    """t2i segment_timesteps routes through the chunked dispatcher and
+    must return the same image as the monolithic engine path (same solo
+    batch key); with kv_cache both set, the cached decode wins."""
+    base = {"prompt": "a cat", "timesteps": 4, "seed": 11}
+    mono = post("/t2i", base, timeout=600)
+    seg = post("/t2i", {**base, "segment_timesteps": 2}, timeout=600)
+    assert seg["image_png_b64"] == mono["image_png_b64"]
+    both = post("/t2i", {**base, "segment_timesteps": 2, "kv_cache": True},
+                timeout=600)
+    assert "image_png_b64" in both

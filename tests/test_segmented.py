@@ -148,3 +148,116 @@ def test_row_keys_require_stochastic():
     keys = jax.vmap(jax.random.key)(jnp.arange(2, dtype=jnp.uint32))
     with pytest.raises(ValueError, match="row_keys requires stochastic"):
         text_sampling.SegmentedRun(prompt, scfg, row_keys=keys)
+
+
+# ------------------------------------------------------------------- t2i
+
+TEXT_LEN = 64
+CODEBOOK = 16
+N_IMG = 16
+
+
+def _t2i_setup(gs):
+    data = np.load(os.path.join(GOLDENS, "t2i_generate.npz"))
+    state = {k[len("w::"):]: data[k] for k in data.files if k.startswith("w::")}
+    cfg = llada.LLaDAConfig(
+        d_model=64, n_heads=4, n_layers=2, mlp_hidden_size=128,
+        vocab_size=96, embedding_size=96, max_sequence_length=128,
+        rope_theta=10000.0, mask_token_id=MASK_ID,
+    )
+    params = params_from_torch_state_dict(state, cfg)
+
+    def window_forward(tokens, attention_mask):
+        logits = llada.forward(
+            params, cfg, tokens, attention_mask=attention_mask,
+            logit_window=(TEXT_LEN, TEXT_LEN + CODEBOOK),
+        )
+        return logits[:, -(N_IMG + 1):-1, :]
+
+    from mmada_tpu.sampling import t2i as t2i_sampling
+
+    mcfg = t2i_sampling.MaskGITConfig(
+        timesteps=6, temperature=1.0, guidance_scale=gs,
+        mask_id=MASK_ID, num_vq_tokens=N_IMG, codebook_size=CODEBOOK,
+        text_vocab_size=TEXT_LEN, greedy=False,
+    )
+    kw = dict(
+        uncond_input_ids=jnp.asarray(data["uncond_ids"]) if gs > 0 else None,
+        attention_mask=jnp.asarray(data["attn"]),
+        uncond_attention_mask=(
+            jnp.asarray(data["uncond_attn"]) if gs > 0 else None
+        ),
+    )
+    return t2i_sampling, window_forward, jnp.asarray(data["input_ids"]), mcfg, kw
+
+
+@pytest.mark.parametrize("segment_timesteps", [1, 4, 6])
+@pytest.mark.parametrize("gs", [0.0, 2.0])
+def test_t2i_segmented_matches_monolithic(gs, segment_timesteps):
+    """Windowed MaskGIT (incl. non-dividing window sizes and CFG
+    batch-doubling) is bit-identical to the monolithic scan: temperature
+    compounding, schedule ratios, and per-step keys all ride the scanned
+    rows. Stochastic (categorical) sampling included — the key schedule
+    is split once up front in both paths."""
+    t2i_sampling, fwd, input_ids, mcfg, kw = _t2i_setup(gs)
+    key = jax.random.key(3)
+    want = np.asarray(t2i_sampling.t2i_generate(fwd, input_ids, mcfg,
+                                                key=key, **kw))
+    got = np.asarray(t2i_sampling.t2i_generate_segmented(
+        fwd, input_ids, mcfg, key=key,
+        segment_timesteps=segment_timesteps, **kw,
+    ))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_t2i_segmented_windows_match_stepwise_trajectory():
+    """Concatenated per-window grids == the monolithic stepwise
+    trajectory — the incremental-streaming contract (frames shown during
+    generation are exactly the frames the monolithic demo would show)."""
+    t2i_sampling, fwd, input_ids, mcfg, kw = _t2i_setup(2.0)
+    key = jax.random.key(5)
+    traj = np.asarray(t2i_sampling.t2i_generate_stepwise(
+        fwd, input_ids, mcfg, key=key, **kw,
+    ))
+    run = t2i_sampling.SegmentedT2IRun(
+        fwd, input_ids, mcfg, key=key, segment_timesteps=4, **kw,
+    )
+    windows = []
+    while not run.step():
+        windows.append(np.asarray(run.last_window))
+    windows.append(np.asarray(run.last_window))
+    np.testing.assert_array_equal(np.concatenate(windows, axis=0), traj)
+    np.testing.assert_array_equal(np.asarray(run.codes), traj[-1])
+
+
+def test_model_t2i_segment_timesteps():
+    """Model entry point: segment_timesteps output equals the monolithic
+    sampler's; kv-cache and stepwise combinations are rejected."""
+    vl = tiny_layout()
+    cfg = llada.tiny_config(vocab_size=vl.total_vocab_size)
+    m = MMadaModel.init(jax.random.key(0), cfg, vl)
+    n_img = 16
+    frame = np.concatenate([
+        np.full((2, 6), 5),
+        np.full((2, 1), 230),
+        np.full((2, n_img), vl.mask_token_id),
+        np.full((2, 1), 231),
+    ], axis=1).astype(np.int32)
+    uncond = frame.copy()
+    uncond[:, :6] = vl.pad_token_id
+    kw = dict(
+        uncond_input_ids=jnp.asarray(uncond), timesteps=6,
+        guidance_scale=1.5, num_vq_tokens=n_img, key=jax.random.key(1),
+    )
+    want = np.asarray(m.t2i_generate(jnp.asarray(frame), **kw))
+    for seg in (2, 4):
+        got = np.asarray(
+            m.t2i_generate(jnp.asarray(frame), segment_timesteps=seg, **kw)
+        )
+        np.testing.assert_array_equal(got, want)
+    with pytest.raises(ValueError, match="exact sampler only"):
+        m.t2i_generate(jnp.asarray(frame), segment_timesteps=2,
+                       block_kv_cache=True, **kw)
+    with pytest.raises(ValueError, match="stepwise"):
+        m.t2i_generate(jnp.asarray(frame), segment_timesteps=2,
+                       stepwise=True, **kw)

@@ -669,3 +669,60 @@ def test_engine_stress_mixed_workload(model):
         assert len(jobs) == 24
     finally:
         engine.stop()
+
+
+def test_t2i_chunked_matches_direct(model):
+    """segment_timesteps routes t2i through the chunked dispatcher
+    (_T2ITask) and must reproduce the monolithic engine result exactly
+    (same solo batch key), while a text request submitted behind the
+    multi-window t2i overtakes it."""
+    import jax.numpy as jnp
+
+    engine = ServingEngine(model, max_wait_ms=5).start()
+    try:
+        n_img = 16
+        frame = np.concatenate([
+            np.full(6, 5), [280], np.full(n_img, VOCAB.mask_token_id), [281]
+        ]).astype(np.int64)
+        uncond = frame.copy()
+        uncond[:6] = VOCAB.pad_token_id
+        mono = T2ISettings(timesteps=6, guidance_scale=1.5,
+                           num_vq_tokens=n_img)
+        chunked = dataclasses.replace(mono, segment_timesteps=1)
+
+        want = engine.submit_t2i(frame, uncond, mono, seed=3).result(240)
+        order = []
+        f_img = engine.submit_t2i(frame, uncond, chunked, seed=3)
+        f_img.add_done_callback(lambda f: order.append("t2i"))
+        chunks0 = engine.stats["chunks"]
+        deadline = time.time() + 60
+        while engine.stats["chunks"] <= chunks0 and time.time() < deadline:
+            time.sleep(0.005)
+        f_txt = engine.submit_text(
+            np.arange(3, 9),
+            TextSettings(gen_length=8, steps=2, block_length=8),
+        )
+        f_txt.add_done_callback(lambda f: order.append("text"))
+        got = f_img.result(timeout=240)
+        f_txt.result(timeout=240)
+        time.sleep(0.05)
+        np.testing.assert_array_equal(got, want)
+        assert order == ["text", "t2i"], order
+    finally:
+        engine.stop()
+
+
+def test_t2i_chunked_rejects_kv_cache(model):
+    engine = ServingEngine(model, max_wait_ms=5).start()
+    try:
+        n_img = 16
+        frame = np.concatenate([
+            np.full(6, 5), [280], np.full(n_img, VOCAB.mask_token_id), [281]
+        ]).astype(np.int64)
+        settings = T2ISettings(timesteps=3, num_vq_tokens=n_img,
+                               segment_timesteps=1, block_kv_cache=True)
+        f = engine.submit_t2i(frame, frame.copy(), settings)
+        with pytest.raises(ValueError, match="exact-sampler only"):
+            f.result(timeout=120)
+    finally:
+        engine.stop()
