@@ -250,6 +250,45 @@ class AppState:
                 frames.append(arr.clip(0, 255).astype(np.uint8))
         return frames
 
+    def t2i_stepwise_iter(self, prompt, timesteps=15, guidance_scale=3.5,
+                          temperature=1.0, seed=0, segment_timesteps=1):
+        """INCREMENTAL stepwise frames: yields each decoded step image as
+        soon as its ≤segment_timesteps window finishes on device
+        (sampling/t2i.SegmentedT2IRun) — the monolithic `t2i_stepwise`
+        cannot emit anything until the whole trajectory program returns.
+        Frame-for-frame identical to it (tests pin the byte-equality)."""
+        import jax
+        import jax.numpy as jnp
+
+        from mmada_tpu.models import magvit2
+
+        num_vq = int(self.cfg.get_path("model.mmada.num_vq_tokens", 1024))
+        mask_id = self.vocab.mask_token_id
+        image_ids = np.full((1, num_vq), mask_id, np.int64)
+        input_ids, attn = self.prompting(([prompt], image_ids), "t2i_gen")
+        uncond_ids, uncond_attn = self.prompting.t2i_gen_uncond(1, num_vq, mask_id)
+        with self.lock:
+            run = self.model.t2i_segmented_run(
+                jnp.asarray(input_ids),
+                uncond_input_ids=jnp.asarray(uncond_ids),
+                attention_mask=jnp.asarray(attn),
+                uncond_attention_mask=jnp.asarray(uncond_attn),
+                temperature=temperature, timesteps=timesteps,
+                guidance_scale=guidance_scale, num_vq_tokens=num_vq,
+                key=jax.random.key(seed),
+                segment_timesteps=max(1, int(segment_timesteps)),
+            )
+            while True:
+                done = run.step()
+                for step_codes in np.asarray(run.last_window):
+                    pixels = magvit2.decode_code(
+                        self.vq_params, self.vq_cfg, jnp.asarray(step_codes)
+                    )
+                    arr = np.asarray((np.asarray(pixels[0]) + 1.0) * 127.5)
+                    yield arr.clip(0, 255).astype(np.uint8)
+                if done:
+                    break
+
     def mmu(self, image_arr, question, max_new_tokens=128, steps=64,
             block_length=64, temperature=0.0, cfg_scale=0.0,
             remasking="low_confidence", seed=0, kv_cache=None,
@@ -400,13 +439,45 @@ def run_http(state: AppState, port: int):
                         {"image_png_b64": base64.b64encode(buf.getvalue()).decode()}
                     )
                 elif self.path == "/t2i_stepwise":
-                    frames = state.t2i_stepwise(
-                        req.get("prompt", ""),
+                    kw = dict(
                         timesteps=int(req.get("timesteps", 15)),
                         guidance_scale=float(req.get("guidance_scale", 3.5)),
                         temperature=float(req.get("temperature", 1.0)),
                         seed=int(req.get("seed", 0)),
                     )
+                    if req.get("stream"):
+                        # NDJSON over chunked transfer: one line per frame,
+                        # emitted as soon as its device window finishes —
+                        # time-to-first-frame is one window, not the whole
+                        # trajectory (AppState.t2i_stepwise_iter)
+                        self.send_response(200)
+                        self.send_header("Content-Type",
+                                         "application/x-ndjson")
+                        self.send_header("Transfer-Encoding", "chunked")
+                        self.end_headers()
+
+                        def emit(obj):
+                            data = (json.dumps(obj) + "\n").encode()
+                            self.wfile.write(
+                                f"{len(data):X}\r\n".encode()
+                                + data + b"\r\n"
+                            )
+                            self.wfile.flush()
+
+                        for arr in state.t2i_stepwise_iter(
+                            req.get("prompt", ""),
+                            segment_timesteps=int(
+                                req.get("segment_timesteps", 1)
+                            ),
+                            **kw,
+                        ):
+                            buf = io.BytesIO()
+                            Image.fromarray(arr).save(buf, format="PNG")
+                            emit({"frame_png_b64":
+                                  base64.b64encode(buf.getvalue()).decode()})
+                        self.wfile.write(b"0\r\n\r\n")
+                        return
+                    frames = state.t2i_stepwise(req.get("prompt", ""), **kw)
                     out = []
                     for arr in frames:
                         buf = io.BytesIO()

@@ -199,3 +199,26 @@ def test_t2i_segment_timesteps_at_socket(server):
     both = post("/t2i", {**base, "segment_timesteps": 2, "kv_cache": True},
                 timeout=600)
     assert "image_png_b64" in both
+
+
+def test_t2i_stepwise_stream_matches_batch(server):
+    """stream=true yields NDJSON frames over chunked transfer, one per
+    denoise step, byte-identical to the batch endpoint's frames (same
+    seed) — the incremental-streaming contract at the socket."""
+    payload = {"prompt": "a dog", "timesteps": 4, "seed": 7}
+    batch = post("/t2i_stepwise", payload, timeout=600)["frames_png_b64"]
+
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{PORT}/t2i_stepwise",
+        json.dumps({**payload, "stream": True,
+                    "segment_timesteps": 2}).encode(),
+        {"Content-Type": "application/json"},
+    )
+    streamed = []
+    with urllib.request.urlopen(req, timeout=600) as resp:
+        assert resp.headers.get("Content-Type") == "application/x-ndjson"
+        for line in resp:
+            line = line.strip()
+            if line:
+                streamed.append(json.loads(line)["frame_png_b64"])
+    assert streamed == batch
