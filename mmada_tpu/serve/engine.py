@@ -176,6 +176,16 @@ class _T2ITask:
                 r.future.set_exception(exc)
         self.grp = []
 
+    def evict_cancelled(self) -> int:
+        """Abort once EVERY awaiting request is cancelled (t2i rows share
+        one batch program, so individual rows cannot be dropped)."""
+        if self.grp and all(r.future.cancelled() for r in self.grp):
+            n = len(self.grp)
+            self.grp = []
+            self.run.done = True
+            return n
+        return 0
+
 
 class _Stream:
     """Continuous batching for chunked exact-sampler requests: one slot
@@ -391,6 +401,20 @@ class _Stream:
                 s["req"].future.set_exception(exc)
         self.slots = [None] * self.bucket
 
+    def evict_cancelled(self) -> int:
+        """Free slots whose request was cancelled — the device stops
+        paying for them at the NEXT chunk boundary. The freed row is
+        cleared to the maskless free-slot state (a cancelled row's
+        leftover masks could otherwise commit via parallel_threshold)."""
+        n = 0
+        for i, s in enumerate(self.slots):
+            if s is not None and s["req"].future.cancelled():
+                self.slots[i] = None
+                self.x = self.x.at[i].set(0)
+                self.pi = self.pi.at[i].set(True)
+                n += 1
+        return n
+
 
 
 
@@ -417,7 +441,7 @@ class ServingEngine:
         self._thread: Optional[threading.Thread] = None
         self._stats_lock = threading.Lock()
         self.stats = {"requests": 0, "batches": 0, "batched_requests": 0,
-                      "chunks": 0, "stream_joins": 0}
+                      "chunks": 0, "stream_joins": 0, "cancelled": 0}
 
     # ------------------------------------------------------------ public
     def start(self):
@@ -515,6 +539,11 @@ class ServingEngine:
         granularity is what keeps short requests from waiting out a heavy
         generation's full duration."""
         stream = self._active.popleft()
+        evicted = stream.evict_cancelled()
+        if evicted:
+            self._bump("cancelled", evicted)
+        if stream.done:
+            return
         try:
             finished = stream.step()
             self._bump("chunks")
@@ -523,11 +552,20 @@ class ServingEngine:
             stream.fail_all(e)
             return
         for req, tokens in finished:
-            req.future.set_result(tokens)
+            if not req.future.cancelled():
+                req.future.set_result(tokens)
         if not stream.done:
             self._active.append(stream)
 
     def _flush(self, requests: list[_Request]):
+        # drop requests cancelled while queued (futures are never marked
+        # running, so Future.cancel() works until delivery)
+        live = [r for r in requests if not r.future.cancelled()]
+        if len(live) != len(requests):
+            self._bump("cancelled", len(requests) - len(live))
+        requests = live
+        if not requests:
+            return
         # group by (kind, settings, payload length). Stochastic text/mmu
         # batches use one PRNG key PER ROW (_jit_text_per_row_keys), so each
         # request reproduces its solo run bit-exactly regardless of batch
@@ -621,7 +659,8 @@ class ServingEngine:
                     _jit_text(self.model, jnp.asarray(prompts), settings, key)
                 )
             for i, r in enumerate(grp):
-                r.future.set_result(out[i])
+                if not r.future.cancelled():
+                    r.future.set_result(out[i])
         elif kind == "t2i":
             def stack(idx):
                 rows = [r.payload[idx] for r in grp]
@@ -664,6 +703,7 @@ class ServingEngine:
                 )
             )
             for i, r in enumerate(grp):
-                r.future.set_result(codes[i])
+                if not r.future.cancelled():
+                    r.future.set_result(codes[i])
         else:
             raise ValueError(kind)

@@ -726,3 +726,54 @@ def test_t2i_chunked_rejects_kv_cache(model):
             f.result(timeout=120)
     finally:
         engine.stop()
+
+
+def test_cancellation_queued_and_mid_stream(model):
+    """Future.cancel() works at both seams: a request cancelled while
+    queued never runs (dropped at _flush), and a chunked request
+    cancelled mid-flight frees its stream slot at the next chunk
+    boundary — the engine stops paying for it while other requests
+    (including batch-mates) complete exactly."""
+    import jax.numpy as jnp
+
+    engine = ServingEngine(model, max_wait_ms=40).start()
+    try:
+        # (a) cancel inside the batching window -> dropped before dispatch
+        settings = TextSettings(gen_length=8, steps=4, block_length=8)
+        pa, pb = np.arange(3, 9), np.arange(4, 10)
+        f1 = engine.submit_text(pa, settings)
+        f2 = engine.submit_text(pb, settings)
+        assert f2.cancel()
+        want = np.asarray(
+            model.generate(jnp.asarray(pa)[None], gen_length=8, steps=4,
+                           block_length=8, temperature=0.0)
+        )[0]
+        np.testing.assert_array_equal(f1.result(timeout=120), want)
+        assert f2.cancelled()
+        deadline = time.time() + 30
+        while engine.stats["cancelled"] < 1 and time.time() < deadline:
+            time.sleep(0.01)
+        assert engine.stats["cancelled"] >= 1
+
+        # (b) cancel a heavy chunked request mid-flight -> slot freed,
+        # chunk production for it stops; a same-stream mate finishes exact
+        heavy = TextSettings(gen_length=32, steps=32, block_length=8,
+                             segment_steps=1)   # 32 chunks if left alone
+        f_mate = engine.submit_text(pa, heavy)
+        deadline = time.time() + 60
+        while engine.stats["chunks"] < 2 and time.time() < deadline:
+            time.sleep(0.005)
+        f_victim = engine.submit_text(pb, heavy)   # joins the stream
+        deadline = time.time() + 60
+        while engine.stats["stream_joins"] < 1 and time.time() < deadline:
+            time.sleep(0.005)
+        assert f_victim.cancel()
+        want = np.asarray(
+            model.generate(jnp.asarray(pa)[None], gen_length=32, steps=32,
+                           block_length=8, temperature=0.0)
+        )[0]
+        np.testing.assert_array_equal(f_mate.result(timeout=240), want)
+        assert f_victim.cancelled()
+        assert engine.stats["cancelled"] >= 2
+    finally:
+        engine.stop()
