@@ -212,6 +212,7 @@ class AppState:
                     temperature=temperature, timesteps=timesteps,
                     guidance_scale=guidance_scale, num_vq_tokens=num_vq,
                     key=jax.random.key(seed), block_kv_cache=kv_cache,
+                    segment_timesteps=segment_timesteps,
                 )
                 pixels = magvit2.decode_code(self.vq_params, self.vq_cfg, codes)
         arr = np.asarray((np.asarray(pixels[0]) + 1.0) * 127.5).clip(0, 255)
@@ -267,27 +268,33 @@ class AppState:
         image_ids = np.full((1, num_vq), mask_id, np.int64)
         input_ids, attn = self.prompting(([prompt], image_ids), "t2i_gen")
         uncond_ids, uncond_attn = self.prompting.t2i_gen_uncond(1, num_vq, mask_id)
-        with self.lock:
-            run = self.model.t2i_segmented_run(
-                jnp.asarray(input_ids),
-                uncond_input_ids=jnp.asarray(uncond_ids),
-                attention_mask=jnp.asarray(attn),
-                uncond_attention_mask=jnp.asarray(uncond_attn),
-                temperature=temperature, timesteps=timesteps,
-                guidance_scale=guidance_scale, num_vq_tokens=num_vq,
-                key=jax.random.key(seed),
-                segment_timesteps=max(1, int(segment_timesteps)),
-            )
-            while True:
+        run = self.model.t2i_segmented_run(
+            jnp.asarray(input_ids),
+            uncond_input_ids=jnp.asarray(uncond_ids),
+            attention_mask=jnp.asarray(attn),
+            uncond_attention_mask=jnp.asarray(uncond_attn),
+            temperature=temperature, timesteps=timesteps,
+            guidance_scale=guidance_scale, num_vq_tokens=num_vq,
+            key=jax.random.key(seed),
+            segment_timesteps=max(1, int(segment_timesteps)),
+        )
+        while True:
+            # device work under the lock; yields (socket writes to a
+            # possibly-slow client) OUTSIDE it — one stalled streaming
+            # client must not block every other lock-using endpoint
+            with self.lock:
                 done = run.step()
+                frames = []
                 for step_codes in np.asarray(run.last_window):
                     pixels = magvit2.decode_code(
                         self.vq_params, self.vq_cfg, jnp.asarray(step_codes)
                     )
                     arr = np.asarray((np.asarray(pixels[0]) + 1.0) * 127.5)
-                    yield arr.clip(0, 255).astype(np.uint8)
-                if done:
-                    break
+                    frames.append(arr.clip(0, 255).astype(np.uint8))
+            for arr in frames:
+                yield arr
+            if done:
+                break
 
     def mmu(self, image_arr, question, max_new_tokens=128, steps=64,
             block_length=64, temperature=0.0, cfg_scale=0.0,
@@ -354,6 +361,11 @@ def run_http(state: AppState, port: int):
     from PIL import Image
 
     class Handler(BaseHTTPRequestHandler):
+        # chunked Transfer-Encoding (the /t2i_stepwise stream) is an
+        # HTTP/1.1 feature; _reply always sends Content-Length so
+        # keep-alive stays correct on every other path
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, *a):
             pass
 
@@ -464,18 +476,32 @@ def run_http(state: AppState, port: int):
                             )
                             self.wfile.flush()
 
-                        for arr in state.t2i_stepwise_iter(
-                            req.get("prompt", ""),
-                            segment_timesteps=int(
-                                req.get("segment_timesteps", 1)
-                            ),
-                            **kw,
-                        ):
-                            buf = io.BytesIO()
-                            Image.fromarray(arr).save(buf, format="PNG")
-                            emit({"frame_png_b64":
-                                  base64.b64encode(buf.getvalue()).decode()})
-                        self.wfile.write(b"0\r\n\r\n")
+                        # headers are out: any failure must resolve
+                        # INSIDE the chunked framing (an error line or a
+                        # dropped connection), never a second HTTP
+                        # response spliced into the body
+                        try:
+                            for arr in state.t2i_stepwise_iter(
+                                req.get("prompt", ""),
+                                segment_timesteps=int(
+                                    req.get("segment_timesteps", 1)
+                                ),
+                                **kw,
+                            ):
+                                buf = io.BytesIO()
+                                Image.fromarray(arr).save(buf, format="PNG")
+                                emit({"frame_png_b64":
+                                      base64.b64encode(
+                                          buf.getvalue()).decode()})
+                            self.wfile.write(b"0\r\n\r\n")
+                        except (BrokenPipeError, ConnectionResetError):
+                            self.close_connection = True
+                        except Exception as e:
+                            try:
+                                emit({"error": str(e)})
+                                self.wfile.write(b"0\r\n\r\n")
+                            except Exception:
+                                self.close_connection = True
                         return
                     frames = state.t2i_stepwise(req.get("prompt", ""), **kw)
                     out = []

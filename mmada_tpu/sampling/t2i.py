@@ -74,21 +74,12 @@ def _scan(forward_fn, input_ids, cfg, key, uncond_input_ids,
     n = cfg.num_vq_tokens
     img_lo = l - (n + 1)          # image span is [-(n+1), -1) inside the frame
     prompt_len = l - (n + 2)      # text portion before <|soi|>
-    use_cfg = uncond_input_ids is not None and cfg.guidance_scale > 0
 
-    x = input_ids.astype(jnp.int32)
-    # current image tokens in VQ space; masked positions keep mask_id
-    cur = x[:, img_lo:-1]
-    cur = jnp.where(cur == cfg.mask_id, cfg.mask_id, cur - cfg.text_vocab_size)
-
-    if use_cfg:
-        uncond_prefix = uncond_input_ids[:, :prompt_len].astype(jnp.int32)
-        if attention_mask is not None and uncond_attention_mask is not None:
-            full_mask = jnp.concatenate([attention_mask, uncond_attention_mask], 0)
-        else:
-            full_mask = None
-    else:
-        full_mask = attention_mask
+    x, cur, _ = init_carry(input_ids, cfg)
+    use_cfg, uncond_prefix, full_mask = _cfg_preamble(
+        cfg, prompt_len, uncond_input_ids, attention_mask,
+        uncond_attention_mask,
+    )
 
     if cache_fns is not None:
         capture_fn, step_fn = cache_fns
@@ -113,7 +104,7 @@ def _scan(forward_fn, input_ids, cfg, key, uncond_input_ids,
 
     step = _make_step(
         forward_fn, cfg, b, n, img_lo, prompt_len, use_cfg,
-        uncond_prefix if use_cfg else None, full_mask,
+        uncond_prefix, full_mask,
         cache_fns, capture if cached else None,
     )
 
@@ -206,6 +197,26 @@ def _make_step(forward_fn, cfg, b, n, img_lo, prompt_len, use_cfg,
     return step
 
 
+def _cfg_preamble(cfg, prompt_len, uncond_input_ids, attention_mask,
+                  uncond_attention_mask):
+    """(use_cfg, uncond_prefix, full_mask) shared by the monolithic scan
+    and the windowed runner — one copy so the segmented-equals-monolithic
+    invariant cannot drift."""
+    use_cfg = uncond_input_ids is not None and cfg.guidance_scale > 0
+    if use_cfg:
+        uncond_prefix = uncond_input_ids[:, :prompt_len].astype(jnp.int32)
+        if attention_mask is not None and uncond_attention_mask is not None:
+            full_mask = jnp.concatenate(
+                [attention_mask, uncond_attention_mask], 0
+            )
+        else:
+            full_mask = None
+    else:
+        uncond_prefix = None
+        full_mask = attention_mask
+    return use_cfg, uncond_prefix, full_mask
+
+
 def init_carry(input_ids: jax.Array, cfg: MaskGITConfig):
     """Initial (x, cur, temperature) carry of the non-cached MaskGIT loop
     — the seam the segmented runner threads between windows."""
@@ -232,18 +243,10 @@ def run_timestep_window(forward_fn, carry, ts, step_keys, cfg,
     n = cfg.num_vq_tokens
     img_lo = l - (n + 1)
     prompt_len = l - (n + 2)
-    use_cfg = uncond_input_ids is not None and cfg.guidance_scale > 0
-    if use_cfg:
-        uncond_prefix = uncond_input_ids[:, :prompt_len].astype(jnp.int32)
-        if attention_mask is not None and uncond_attention_mask is not None:
-            full_mask = jnp.concatenate(
-                [attention_mask, uncond_attention_mask], 0
-            )
-        else:
-            full_mask = None
-    else:
-        uncond_prefix = None
-        full_mask = attention_mask
+    use_cfg, uncond_prefix, full_mask = _cfg_preamble(
+        cfg, prompt_len, uncond_input_ids, attention_mask,
+        uncond_attention_mask,
+    )
     step = _make_step(forward_fn, cfg, b, n, img_lo, prompt_len, use_cfg,
                       uncond_prefix, full_mask, None, None)
     return jax.lax.scan(step, carry, (ts, step_keys))

@@ -25,7 +25,7 @@ import queue
 import threading
 import time
 from collections import deque
-from concurrent.futures import Future
+from concurrent.futures import Future, InvalidStateError
 from typing import Any, Optional
 
 import numpy as np
@@ -33,6 +33,28 @@ import jax
 import jax.numpy as jnp
 
 logger = logging.getLogger(__name__)
+
+
+def _deliver(fut: Future, value) -> None:
+    """set_result tolerant of a cancel() racing in after the
+    cancelled() check — futures are never marked running, so the client
+    can cancel right up to delivery; losing that race must not kill the
+    dispatcher thread."""
+    if fut.cancelled():
+        return
+    try:
+        fut.set_result(value)
+    except InvalidStateError:
+        pass
+
+
+def _fail(fut: Future, exc: Exception) -> None:
+    if fut.done():
+        return
+    try:
+        fut.set_exception(exc)
+    except InvalidStateError:
+        pass
 
 def _buckets_up_to(max_batch: int) -> tuple:
     out, b = [], 1
@@ -172,8 +194,7 @@ class _T2ITask:
 
     def fail_all(self, exc: Exception):
         for r in self.grp:
-            if not r.future.done():
-                r.future.set_exception(exc)
+            _fail(r.future, exc)
         self.grp = []
 
     def evict_cancelled(self) -> int:
@@ -397,8 +418,8 @@ class _Stream:
 
     def fail_all(self, exc: Exception):
         for s in self.slots:
-            if s is not None and not s["req"].future.done():
-                s["req"].future.set_exception(exc)
+            if s is not None:
+                _fail(s["req"].future, exc)
         self.slots = [None] * self.bucket
 
     def evict_cancelled(self) -> int:
@@ -459,8 +480,7 @@ class ServingEngine:
                 req = self._queue.get_nowait()
             except queue.Empty:
                 break
-            if not req.future.done():
-                req.future.set_exception(RuntimeError("engine stopped"))
+            _fail(req.future, RuntimeError("engine stopped"))
 
     def submit_text(self, prompt_ids: np.ndarray, settings: TextSettings,
                     seed: int = 0) -> Future:
@@ -552,8 +572,7 @@ class ServingEngine:
             stream.fail_all(e)
             return
         for req, tokens in finished:
-            if not req.future.cancelled():
-                req.future.set_result(tokens)
+            _deliver(req.future, tokens)
         if not stream.done:
             self._active.append(stream)
 
@@ -570,10 +589,11 @@ class ServingEngine:
         # batches use one PRNG key PER ROW (_jit_text_per_row_keys), so each
         # request reproduces its solo run bit-exactly regardless of batch
         # composition — text batching is the big serving win (2.2x aggregate
-        # at batch 8, BASELINE.md). Stochastic t2i stays UNBATCHED: its
-        # sampler takes one batch key, and t2i throughput is flat across
-        # batch sizes anyway (compute-bound from batch 1), so batching would
-        # only break seed reproducibility for zero gain.
+        # at batch 8, BASELINE.md). t2i stays UNBATCHED: its sampler takes
+        # one batch key and samples categorically at every temperature, and
+        # t2i throughput is flat across batch sizes anyway (compute-bound
+        # from batch 1), so batching would only break seed reproducibility
+        # for zero gain.
         groups: dict[tuple, list[_Request]] = {}
         for r in requests:
             if r.kind == "t2i":
@@ -583,7 +603,12 @@ class ServingEngine:
                     r.payload[0].shape[-1], r.payload[1].shape[-1],
                     r.payload[2] is not None, r.payload[3] is not None,
                 )
-                solo = id(r) if r.settings.temperature > 0 else None
+                # t2i token sampling is categorical at ANY temperature
+                # (temperature only gates re-mask noise), so batching
+                # would share one key across seeds — every t2i request
+                # runs solo to keep per-seed reproducibility; throughput
+                # is flat across batch sizes anyway (compute-bound)
+                solo = id(r)
             else:
                 length = r.payload.shape[-1]
                 solo = None
@@ -596,8 +621,7 @@ class ServingEngine:
             except Exception as e:  # pragma: no cover
                 logger.exception("batch failed")
                 for r in grp:
-                    if not r.future.done():
-                        r.future.set_exception(e)
+                    _fail(r.future, e)
 
     def _run_group(self, kind: str, settings, grp: list[_Request]):
         n = len(grp)
@@ -659,8 +683,7 @@ class ServingEngine:
                     _jit_text(self.model, jnp.asarray(prompts), settings, key)
                 )
             for i, r in enumerate(grp):
-                if not r.future.cancelled():
-                    r.future.set_result(out[i])
+                _deliver(r.future, out[i])
         elif kind == "t2i":
             def stack(idx):
                 rows = [r.payload[idx] for r in grp]
@@ -703,7 +726,6 @@ class ServingEngine:
                 )
             )
             for i, r in enumerate(grp):
-                if not r.future.cancelled():
-                    r.future.set_result(codes[i])
+                _deliver(r.future, codes[i])
         else:
             raise ValueError(kind)
