@@ -56,8 +56,8 @@ class AppState:
         """Route text/mmu/t2i requests through the batched ServingEngine:
         concurrent deterministic requests of the same shape micro-batch
         (measured 2.2x aggregate text throughput at batch 8, BASELINE.md;
-        stochastic t2i runs solo for seed reproducibility — it is
-        compute-bound from batch 1 anyway), and the single dispatcher
+        t2i runs solo for seed reproducibility — it is compute-bound from
+        batch 1 anyway), and the single dispatcher
         thread owns the device. VQ decode stays in the caller thread."""
         from mmada_tpu.serve.engine import ServingEngine
 

@@ -116,6 +116,20 @@ def _t2i_window(model, carry, ts, step_keys, uncond_input_ids,
     )
 
 
+@functools.partial(jax.jit, static_argnames=("mcfg",))
+def _t2m_window(model, carry, ts, step_keys, attention_mask, mcfg):
+    """One ≤segment_timesteps window of the MotionGIT t2m loop (model as
+    pytree argument; sampling/motion.run_timestep_window)."""
+    window = (
+        model.vocab.motion_offset,
+        model.vocab.motion_offset + model.vocab.motion_codebook_size,
+    )
+    fwd = model._window_forward_fn(mcfg.num_motion_tokens, window)
+    return motion_sampling.run_timestep_window(
+        fwd, carry, ts, step_keys, mcfg, attention_mask=attention_mask,
+    )
+
+
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["params"],
@@ -706,7 +720,11 @@ class MMadaModel:
     def t2m_generate(self, input_ids, attention_mask=None, temperature=1.0,
                      timesteps=18, noise_schedule=cosine_schedule,
                      num_motion_tokens=256, key=None, greedy=False,
-                     block_kv_cache=False, cache_refresh_every=0):
+                     block_kv_cache=False, cache_refresh_every=0,
+                     segment_timesteps=0):
+        """`segment_timesteps` (0 = off): run the EXACT sampler as
+        multiple ≤N-step device programs (host loop; the motion twin of
+        t2i's knob)."""
         if self.vocab.motion_codebook_size == 0:
             raise ValueError("vocab has no motion window; use vocab.with_motion()")
         mcfg = motion_sampling.MotionGITConfig(
@@ -722,6 +740,23 @@ class MMadaModel:
             self.vocab.motion_offset + self.vocab.motion_codebook_size,
         )
         fwd = self._window_forward_fn(num_motion_tokens, window)
+        if segment_timesteps:
+            if block_kv_cache:
+                raise ValueError(
+                    "segment_timesteps supports the exact sampler only "
+                    "(per-window K/V recapture would change the cache's "
+                    "staleness semantics)"
+                )
+
+            def run_window(carry, ts, step_keys):
+                return _t2m_window(self, carry, ts, step_keys,
+                                   attention_mask, mcfg)
+
+            return motion_sampling.t2m_generate_segmented(
+                None, input_ids, mcfg, key=key,
+                attention_mask=attention_mask,
+                segment_timesteps=segment_timesteps, run_window=run_window,
+            )
         return motion_sampling.t2m_generate(
             fwd, input_ids, mcfg, key=key, attention_mask=attention_mask,
             cache_fns=(self._span_cache_fns(window, num_motion_tokens,

@@ -59,8 +59,7 @@ def t2m_generate(
     n = cfg.num_motion_tokens
     span_lo = l - (n + 1)  # motion span inside frame ending with <|eom|>
 
-    x = input_ids.astype(jnp.int32)
-    cur = x[:, span_lo:-1]  # offset-space tokens or mask_id
+    x, cur = init_carry(input_ids, cfg)  # cur: offset-space or mask_id
 
     if cache_fns is not None:
         capture_fn, step_fn = cache_fns
@@ -72,6 +71,24 @@ def t2m_generate(
     step_keys = jax.random.split(key, cfg.timesteps)
 
     cached = cache_fns is not None
+
+    step = _make_step(forward_fn, cfg, b, n, span_lo, attention_mask,
+                      cache_fns, capture_fn if cached else None)
+
+    ts = jnp.arange(cfg.timesteps, dtype=jnp.float32)
+    carry0 = (x, cur, kv) if cached else (x, cur)
+    _, sampled_steps = jax.lax.scan(step, carry0, (ts, step_keys))
+    return sampled_steps[-1]
+
+
+def _make_step(forward_fn, cfg, b, n, span_lo, attention_mask, cache_fns,
+               capture_fn):
+    """Per-timestep MotionGIT body shared by the monolithic scan
+    (`t2m_generate`) and the segmented window runner
+    (`run_timestep_window`)."""
+    cached = cache_fns is not None
+    refresh = cfg.cache_refresh_every
+    step_fn = cache_fns[1] if cached else None
 
     def step(carry, inp):
         if cached:
@@ -133,7 +150,93 @@ def t2m_generate(
             return (x, new_cur, kv_c), sampled_vq
         return (x, new_cur), sampled_vq
 
-    ts = jnp.arange(cfg.timesteps, dtype=jnp.float32)
-    carry0 = (x, cur, kv) if cached else (x, cur)
-    _, sampled_steps = jax.lax.scan(step, carry0, (ts, step_keys))
-    return sampled_steps[-1]
+    return step
+
+
+def init_carry(input_ids: jax.Array, cfg: MotionGITConfig):
+    """Initial (x, cur) carry of the non-cached MotionGIT loop — the
+    seam the segmented runner threads between windows."""
+    l = input_ids.shape[1]
+    span_lo = l - (cfg.num_motion_tokens + 1)
+    x = input_ids.astype(jnp.int32)
+    return (x, x[:, span_lo:-1])
+
+
+def run_timestep_window(forward_fn, carry, ts, step_keys, cfg,
+                        attention_mask=None):
+    """Scan one ≤N-timestep window of the (non-cached) MotionGIT loop
+    from `carry` — exact continuation: the schedule ratio and the
+    last-step commit-everything rule ride the absolute `ts` rows (the
+    same associativity argument as t2i.run_timestep_window). Returns
+    (carry, (W, B, n) grids)."""
+    x = carry[0]
+    b, l = x.shape
+    n = cfg.num_motion_tokens
+    span_lo = l - (n + 1)
+    step = _make_step(forward_fn, cfg, b, n, span_lo, attention_mask,
+                      None, None)
+    return jax.lax.scan(step, carry, (ts, step_keys))
+
+
+class SegmentedT2MRun:
+    """Incremental MotionGIT generation: `step()` runs ONE
+    ≤segment_timesteps window; `.codes` holds the final (B, n) motion VQ
+    grid once done. The motion twin of t2i.SegmentedT2IRun (KV-cached
+    mode deliberately unsupported — per-window recapture would change
+    the cache's staleness semantics)."""
+
+    def __init__(self, forward_fn, input_ids, cfg: MotionGITConfig,
+                 key=None, attention_mask=None, segment_timesteps: int = 8,
+                 run_window=None):
+        if segment_timesteps < 1:
+            raise ValueError(
+                f"segment_timesteps must be >= 1, got {segment_timesteps}"
+            )
+        self.cfg = cfg
+        self._carry = init_carry(input_ids, cfg)
+        if key is None:
+            key = jax.random.key(0)
+        self._keys = jax.random.split(key, cfg.timesteps)
+        self._ts = jnp.arange(cfg.timesteps, dtype=jnp.float32)
+        self._windows = [
+            (s, min(s + segment_timesteps, cfg.timesteps))
+            for s in range(0, cfg.timesteps, segment_timesteps)
+        ]
+        self._i = 0
+        self.done = False
+        self.codes = None
+        self.last_window = None
+        if run_window is None:
+            def run_window(carry, ts, step_keys):
+                return run_timestep_window(
+                    forward_fn, carry, ts, step_keys, cfg,
+                    attention_mask=attention_mask,
+                )
+        self._run_window = run_window
+
+    def step(self) -> bool:
+        if not self.done:
+            s0, s1 = self._windows[self._i]
+            self._carry, sampled = self._run_window(
+                self._carry, self._ts[s0:s1], self._keys[s0:s1]
+            )
+            self.last_window = sampled
+            self._i += 1
+            if self._i == len(self._windows):
+                self.done = True
+                self.codes = sampled[-1]
+        return self.done
+
+
+def t2m_generate_segmented(forward_fn, input_ids, cfg: MotionGITConfig,
+                           key=None, attention_mask=None,
+                           segment_timesteps: int = 8, run_window=None):
+    """`t2m_generate` as multiple ≤segment_timesteps-step programs."""
+    run = SegmentedT2MRun(
+        forward_fn, input_ids, cfg, key=key,
+        attention_mask=attention_mask,
+        segment_timesteps=segment_timesteps, run_window=run_window,
+    )
+    while not run.step():
+        pass
+    return run.codes

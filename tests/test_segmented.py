@@ -261,3 +261,32 @@ def test_model_t2i_segment_timesteps():
     with pytest.raises(ValueError, match="stepwise"):
         m.t2i_generate(jnp.asarray(frame), segment_timesteps=2,
                        stepwise=True, **kw)
+
+
+# ------------------------------------------------------------------- t2m
+
+def test_t2m_segmented_matches_monolithic():
+    """Windowed MotionGIT — incl. the last-step commit-everything rule
+    riding absolute ts rows — is bit-identical to the monolithic scan."""
+    from mmada_tpu.sampling import motion as motion_sampling
+
+    vl = tiny_layout().with_motion(codebook_size=32)
+    cfg = llada.tiny_config(vocab_size=vl.total_vocab_size)
+    m = MMadaModel.init(jax.random.key(0), cfg, vl)
+    n = 16
+    frame = np.concatenate([
+        np.full((2, 6), 5),
+        np.full((2, 1), 230),
+        np.full((2, n), vl.mask_token_id),
+        np.full((2, 1), 231),
+    ], axis=1).astype(np.int32)
+    kw = dict(timesteps=6, num_motion_tokens=n, key=jax.random.key(2))
+    want = np.asarray(m.t2m_generate(jnp.asarray(frame), **kw))
+    for seg in (1, 4):
+        got = np.asarray(
+            m.t2m_generate(jnp.asarray(frame), segment_timesteps=seg, **kw)
+        )
+        np.testing.assert_array_equal(got, want)
+    with pytest.raises(ValueError, match="exact sampler only"):
+        m.t2m_generate(jnp.asarray(frame), segment_timesteps=2,
+                       block_kv_cache=True, **kw)
