@@ -163,6 +163,47 @@ class AppState:
             out.append(toks)
         return out
 
+    def generate_text_stepwise_iter(self, prompt, gen_length=128, steps=64,
+                                    block_length=32, temperature=1.0,
+                                    cfg_scale=0.0, thinking=False, seed=0,
+                                    segment_steps=1):
+        """INCREMENTAL stepwise token states: yields each denoise step's
+        state list as soon as its ≤segment_steps chunk finishes on device
+        (MMadaModel.segmented_stepwise_run) — time-to-first-step is one
+        chunk, not the whole trajectory program. Step-for-step identical
+        to `generate_text_stepwise` (socket-pinned)."""
+        import jax
+        import jax.numpy as jnp
+
+        if thinking:
+            prompt = THINK_PREFIX + "\n" + prompt
+        ids = self.tokenizer([prompt])["input_ids"]
+        mask_id = self.vocab.mask_token_id
+        run = self.model.segmented_stepwise_run(
+            jnp.asarray(ids, jnp.int32),
+            gen_length=gen_length, steps=steps, block_length=block_length,
+            temperature=temperature, cfg_scale=cfg_scale,
+            key=jax.random.key(seed) if temperature > 0 else None,
+            segment_steps=max(1, int(segment_steps)),
+        )
+        while True:
+            with self.lock:  # device work inside; socket writes outside
+                done = run.step()
+                states = np.asarray(run.last_states)[:, 0, len(ids[0]):]
+            for state in states:
+                toks = []
+                for t in state.tolist():
+                    if t == mask_id:
+                        toks.append({"token": "[MASK]", "state": "MASK"})
+                    elif t < self.vocab.text_vocab_size:
+                        toks.append({"token": self.tokenizer.decode([t]),
+                                     "state": "GEN"})
+                    else:
+                        toks.append({"token": f"<{t}>", "state": "GEN"})
+                yield toks
+            if done:
+                break
+
     def t2i(self, prompt, timesteps=15, guidance_scale=3.5,
             temperature=1.0, seed=0, kv_cache=None,
             segment_timesteps=None):
@@ -421,8 +462,7 @@ def run_http(state: AppState, port: int):
                     )
                     self._reply({"text": text})
                 elif self.path == "/generate_stepwise":
-                    steps = state.generate_text_stepwise(
-                        req.get("prompt", ""),
+                    skw = dict(
                         gen_length=int(req.get("gen_length", 128)),
                         steps=int(req.get("steps", 64)),
                         block_length=int(req.get("block_length", 32)),
@@ -431,6 +471,45 @@ def run_http(state: AppState, port: int):
                         thinking=bool(req.get("thinking", False)),
                         seed=int(req.get("seed", 0)),
                     )
+                    if req.get("stream"):
+                        # NDJSON: one line per denoise step, emitted as
+                        # its chunk finishes (time-to-first-step is one
+                        # chunk; same framing rules as /t2i_stepwise)
+                        self.send_response(200)
+                        self.send_header("Content-Type",
+                                         "application/x-ndjson")
+                        self.send_header("Transfer-Encoding", "chunked")
+                        self.end_headers()
+
+                        def emit(obj):
+                            data = (json.dumps(obj) + "\n").encode()
+                            self.wfile.write(
+                                f"{len(data):X}\r\n".encode()
+                                + data + b"\r\n"
+                            )
+                            self.wfile.flush()
+
+                        try:
+                            for toks in state.generate_text_stepwise_iter(
+                                req.get("prompt", ""),
+                                segment_steps=int(
+                                    req.get("segment_steps", 1)
+                                ),
+                                **skw,
+                            ):
+                                emit({"step": toks})
+                            self.wfile.write(b"0\r\n\r\n")
+                        except (BrokenPipeError, ConnectionResetError):
+                            self.close_connection = True
+                        except Exception as e:
+                            try:
+                                emit({"error": str(e)})
+                                self.wfile.write(b"0\r\n\r\n")
+                            except Exception:
+                                self.close_connection = True
+                        return
+                    steps = state.generate_text_stepwise(
+                        req.get("prompt", ""), **skw)
                     self._reply({"steps": steps})
                 elif self.path == "/t2i":
                     arr = state.t2i(

@@ -78,6 +78,20 @@ def _segment_block(model, x, prompt_index, block_end, step_keys,
 
 
 @functools.partial(jax.jit, static_argnames=("block_cfg",))
+def _segment_block_stepwise(model, x, prompt_index, block_end, step_keys,
+                            transfers, block_cfg):
+    """`_segment_block` that ALSO returns the chunk's (W, B, L) per-step
+    token states — the streamed stepwise demo's runner."""
+    return text_sampling.run_block_eager(
+        block_cfg, x, prompt_index, block_end, step_keys, transfers,
+        window_forward_fn=model._text_window_forward_fn(
+            block_cfg.block_length
+        ),
+        collect_states=True,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("block_cfg",))
 def _segment_block_per_row(model, x, prompt_index, block_ends, step_keys,
                            transfers, block_cfg):
     """Per-row variant of `_segment_block`: `step_keys` is (B, chunk)
@@ -444,6 +458,33 @@ class MMadaModel:
             )
 
         return run
+
+    def segmented_stepwise_run(self, prompt, gen_length=128, steps=128,
+                               block_length=128, temperature=0.0,
+                               cfg_scale=0.0, remasking="low_confidence",
+                               key=None, segment_steps=8):
+        """Incremental stepwise generation: after each `.step()`,
+        `.last_states` holds the chunk's (W, B, L) per-step token states
+        — the streamed text demo emits them while later chunks compute
+        (concatenated states == `generate_stepwise`'s trajectory)."""
+        scfg = text_sampling.SemiARConfig(
+            gen_length=gen_length, steps=steps, block_length=block_length,
+            temperature=temperature, cfg_scale=cfg_scale,
+            remasking=remasking, mask_id=self.vocab.mask_token_id,
+        )
+        block_cfg = dataclasses.replace(
+            scfg, gen_length=scfg.block_length, steps=scfg.steps_per_block,
+            block_length=scfg.block_length,
+        )
+
+        def run_block(cfg_, x_, pi_, be_, sk_, tr_):
+            return _segment_block_stepwise(self, x_, pi_, be_, sk_, tr_,
+                                           block_cfg)
+
+        return text_sampling.SegmentedRun(
+            prompt, scfg, key=key, segment_steps=segment_steps,
+            run_block=run_block, collect_states=True,
+        )
 
     def segmented_run(self, prompt, gen_length=128, steps=128,
                       block_length=128, temperature=0.0, cfg_scale=0.0,

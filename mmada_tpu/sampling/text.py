@@ -417,6 +417,7 @@ def run_block_eager(
     *,
     window_forward_fn: Optional[WindowForwardFn] = None,
     cache_fns: Optional[tuple[CaptureFn, CachedStepFn]] = None,
+    collect_states: bool = False,
 ) -> jax.Array:
     """One block of denoise steps as an eager `lax.scan`. `block_end` is a
     TRACED scalar so every block produces the same jaxpr. Callers that can
@@ -433,11 +434,13 @@ def run_block_eager(
             cfg, window_forward_fn, prompt_index
         )
 
-    x, _ = _run_block_steps(
+    x, states = _run_block_steps(
         cfg, x, block_logits_fn, block_end, step_keys, transfers,
-        needs_key, collect_states=False,
+        needs_key, collect_states=collect_states,
     )
-    return x
+    # collect_states: (x, (W, B, L) per-step token states) — powers the
+    # chunked stepwise stream (SegmentedRun(collect_states=True))
+    return (x, states) if collect_states else x
 
 
 def generate_segmented(
@@ -505,7 +508,8 @@ class SegmentedRun:
 
     def __init__(self, prompt, cfg: SemiARConfig, key=None, row_keys=None,
                  segment_steps: int = 64, forward_fn=None,
-                 window_forward_fn=None, run_block=None):
+                 window_forward_fn=None, run_block=None,
+                 collect_states: bool = False):
         if segment_steps < 1:
             raise ValueError(
                 f"segment_steps must be >= 1, got {segment_steps}"
@@ -548,6 +552,14 @@ class SegmentedRun:
         else:
             self._block_keys = jnp.zeros((nb, spb, 2), jnp.uint32)
 
+        # collect_states: each chunk also returns its (W, B, L)
+        # per-step token states (self.last_states) — powers the streamed
+        # stepwise demo (frames shown while later chunks compute).
+        # Per-row keys don't compose with it (no caller needs both).
+        self.collect_states = collect_states
+        self.last_states = None
+        if collect_states and self._per_row:
+            raise ValueError("collect_states + row_keys is unsupported")
         if run_block is None:
             if window_forward_fn is None:
                 window_forward_fn = as_window_forward_fn(
@@ -566,6 +578,7 @@ class SegmentedRun:
                     return run_block_eager(
                         cfg_, x_, pi_, be_, sk_, tr_,
                         window_forward_fn=window_forward_fn,
+                        collect_states=collect_states,
                     )
         self._run_block = run_block
 
@@ -586,10 +599,14 @@ class SegmentedRun:
                 s1 = min(s0 + segment_steps, spb)
                 keys = (self._block_keys[:, bi, s0:s1] if self._per_row
                         else self._block_keys[bi, s0:s1])
-                self.x = self._run_block(
+                out = self._run_block(
                     self.cfg, self.x, self._prompt_index,
                     jnp.int32(block_end), keys, transfers[:, s0:s1],
                 )
+                if self.collect_states:
+                    self.x, self.last_states = out
+                else:
+                    self.x = out
                 yield
 
     def step(self) -> bool:

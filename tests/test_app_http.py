@@ -222,3 +222,24 @@ def test_t2i_stepwise_stream_matches_batch(server):
             if line:
                 streamed.append(json.loads(line)["frame_png_b64"])
     assert streamed == batch
+
+
+def test_generate_stepwise_stream_matches_batch(server):
+    """stream=true yields one NDJSON line per denoise step, identical to
+    the batch endpoint's steps list (same seed)."""
+    payload = {"prompt": "hi", "gen_length": 16, "steps": 8,
+               "block_length": 8, "temperature": 1.0, "seed": 5}
+    batch = post("/generate_stepwise", payload, timeout=600)["steps"]
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{PORT}/generate_stepwise",
+        json.dumps({**payload, "stream": True,
+                    "segment_steps": 3}).encode(),
+        {"Content-Type": "application/json"},
+    )
+    streamed = []
+    with urllib.request.urlopen(req, timeout=600) as resp:
+        for line in resp:
+            line = line.strip()
+            if line:
+                streamed.append(json.loads(line)["step"])
+    assert streamed == batch

@@ -290,3 +290,26 @@ def test_t2m_segmented_matches_monolithic():
     with pytest.raises(ValueError, match="exact sampler only"):
         m.t2m_generate(jnp.asarray(frame), segment_timesteps=2,
                        block_kv_cache=True, **kw)
+
+
+def test_segmented_stepwise_states_match_trajectory():
+    """collect_states: concatenated per-chunk states equal the monolithic
+    generate_stepwise trajectory, step for step — the streamed text
+    demo's exactness contract."""
+    vl = tiny_layout()
+    cfg = llada.tiny_config(vocab_size=vl.total_vocab_size)
+    m = MMadaModel.init(jax.random.key(0), cfg, vl)
+    prompt = jax.random.randint(jax.random.key(1), (1, 12), 3, 200)
+    traj = np.asarray(m.generate_stepwise(
+        prompt, gen_length=16, steps=8, block_length=8, temperature=0.7,
+        key=jax.random.key(4),
+    ))
+    run = m.segmented_stepwise_run(
+        prompt, gen_length=16, steps=8, block_length=8, temperature=0.7,
+        key=jax.random.key(4), segment_steps=3,
+    )
+    chunks = []
+    while not run.step():
+        chunks.append(np.asarray(run.last_states))
+    chunks.append(np.asarray(run.last_states))
+    np.testing.assert_array_equal(np.concatenate(chunks, axis=0), traj)
