@@ -71,7 +71,41 @@ def model_flops_per_token(cfg, seq_len, head_positions, head_width):
     )
 
 
+def _require_backend(timeout_s: float = 600.0):
+    """Fail FAST if the device backend cannot initialize. The tunneled
+    axon backend has been observed fully down for hours (init hangs or
+    raises UNAVAILABLE; BASELINE.md round-3h notes) — without this guard
+    a driver-invoked bench would hang indefinitely instead of reporting
+    a diagnosable environment failure."""
+    import threading
+
+    out = {}
+
+    def probe():
+        try:
+            out["devices"] = jax.devices()
+        except Exception as e:  # noqa: BLE001 — report any init failure
+            out["error"] = repr(e)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        print(
+            f"bench: device backend init still hanging after {timeout_s:.0f}s"
+            " — tunnel down? (BASELINE.md round-3h); aborting",
+            file=sys.stderr,
+        )
+        os._exit(2)  # the hung init thread cannot be joined
+    if "error" in out:
+        print(f"bench: device backend unavailable: {out['error']}",
+              file=sys.stderr)
+        sys.exit(2)
+    print(f"bench: devices {out['devices']}", file=sys.stderr)
+
+
 def main():
+    _require_backend()
     from mmada_tpu.core.vocab import MMADA_8B
     from mmada_tpu.models import llada
     from mmada_tpu.models.mmada import MMadaModel
