@@ -203,3 +203,40 @@ def test_train_step_collective_byte_budget():
     assert res["total_ici_bytes"] < 16 * param_bytes, (
         res["total_ici_bytes"], param_bytes,
     )
+
+
+def test_stream_chunk_collective_budget_batch_independent():
+    """The serving streams' per-row vmapped chunk program
+    (mmada._segment_block_per_row) must not mint PER-ROW collectives
+    under GSPMD: its collective counts are pinned equal across slot-pool
+    sizes (a bad vmap/sharding interaction would scale them with the
+    bucket) and within a small multiple of the plain forward budget."""
+    from mmada_tpu.models.mmada import _segment_block_per_row
+    from mmada_tpu.sampling.text import SemiARConfig
+
+    mesh = make_mesh(data=2, fsdp=2, tensor=2)
+    cfg, params = build(mesh)
+    model = MMadaModel(cfg=cfg, params=params, vocab=VOCAB, mesh=mesh)
+    block_cfg = SemiARConfig(
+        gen_length=8, steps=2, block_length=8,
+        mask_id=VOCAB.mask_token_id,
+    )
+
+    def lower(bucket):
+        x = jnp.zeros((bucket, 24), jnp.int32)
+        pi = jnp.ones((bucket, 24), bool)
+        ends = jnp.full((bucket,), 16, jnp.int32)
+        keys = jnp.zeros((bucket, 2, 2), jnp.uint32)
+        tr = jnp.zeros((bucket, 2), jnp.int32)
+        compiled = _segment_block_per_row.lower(
+            model, x, pi, ends, keys, tr, block_cfg=block_cfg
+        ).compile()
+        return collective_counts(compiled.as_text())
+
+    c2, c4 = lower(2), lower(4)
+    assert c2 == c4, (c2, c4)   # batch-independence: no per-row collectives
+    total = sum(c4.values())
+    # the chunk scans 2 denoise steps, each one forward (+CFG off):
+    # generous multiple of the <=20 forward budget, but a per-row or
+    # per-step-per-row runaway blows past it
+    assert total <= 60, c4
