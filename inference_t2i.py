@@ -32,6 +32,13 @@ def main(argv):
     kv_cache = parse_kv_cache(
         cfg.get("kv_cache", cfg.get_path("serving.kv_cache", False))
     )
+    # exact sampler as <=N-timestep device programs (token-identical;
+    # bounds single-program wall time on execution-limited workers)
+    segment_timesteps = int(cfg.get(
+        "segment_timesteps", cfg.get_path("serving.segment_timesteps", 0)
+    ))
+    if kv_cache:
+        segment_timesteps = 0  # cached decode wins when both are set
     seed = int(cfg.get("seed", 0))
     output_dir = cfg.get("output_dir", "t2i_outputs")
     prompts_file = cfg.get(
@@ -78,6 +85,7 @@ def main(argv):
             num_vq_tokens=num_vq_tokens,
             key=sub,
             block_kv_cache=kv_cache,
+            segment_timesteps=segment_timesteps,
         )
         pixels = magvit2.decode_code(vq_params, vq_cfg, codes)
         pixels = np.asarray(jnp.clip((pixels + 1.0) * 127.5, 0, 255)).astype(np.uint8)
