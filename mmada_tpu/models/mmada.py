@@ -805,6 +805,35 @@ class MMadaModel:
                        if block_kv_cache else None),
         )
 
+    def t2m_segmented_run(self, input_ids, attention_mask=None,
+                          temperature=1.0, timesteps=18,
+                          noise_schedule=cosine_schedule,
+                          num_motion_tokens=256, key=None, greedy=False,
+                          segment_timesteps=8):
+        """`t2m_generate`'s incremental form: returns a `SegmentedT2MRun`
+        — call `.step()` until True, then read `.codes`. Used by the
+        serving engine for chunk-granularity t2m scheduling."""
+        if self.vocab.motion_codebook_size == 0:
+            raise ValueError(
+                "vocab has no motion window; use vocab.with_motion()"
+            )
+        mcfg = motion_sampling.MotionGITConfig(
+            timesteps=timesteps, temperature=temperature,
+            noise_schedule=noise_schedule, mask_id=self.vocab.mask_token_id,
+            num_motion_tokens=num_motion_tokens,
+            motion_vocab_size=self.vocab.motion_codebook_size,
+            motion_offset=self.vocab.motion_offset, greedy=greedy,
+        )
+
+        def run_window(carry, ts, step_keys):
+            return _t2m_window(self, carry, ts, step_keys,
+                               attention_mask, mcfg)
+
+        return motion_sampling.SegmentedT2MRun(
+            None, input_ids, mcfg, key=key, attention_mask=attention_mask,
+            segment_timesteps=segment_timesteps, run_window=run_window,
+        )
+
     # ------------------------------------------------------------ training
     def forward_process(self, *args, **kwargs):
         from mmada_tpu.training.losses import forward_process

@@ -108,6 +108,20 @@ def _jit_text_per_row_keys(model, prompts, settings, keys):
 
 
 @functools.partial(jax.jit, static_argnames=("settings",))
+def _jit_t2m(model, frames, attns, settings, key):
+    return model.t2m_generate(
+        frames,
+        attention_mask=attns,
+        temperature=settings.temperature,
+        timesteps=settings.timesteps,
+        num_motion_tokens=settings.num_motion_tokens,
+        key=key,
+        block_kv_cache=settings.block_kv_cache,
+        cache_refresh_every=settings.cache_refresh_every,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("settings",))
 def _jit_t2i(model, frames, unconds, attns, uncond_attns, settings, key):
     return model.t2i_generate(
         frames,
@@ -160,6 +174,16 @@ class T2ISettings:
     # dispatcher interleaves other work between windows (exact;
     # sampling/t2i.SegmentedT2IRun)
     segment_timesteps: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class T2MSettings:
+    timesteps: int = 18
+    temperature: float = 1.0
+    num_motion_tokens: int = 256
+    block_kv_cache: bool = False       # approximate cached decode (opt-in)
+    cache_refresh_every: int = 0
+    segment_timesteps: int = 0         # >0: chunked windows (exact)
 
 
 @dataclasses.dataclass
@@ -490,6 +514,12 @@ class ServingEngine:
                    seed: int = 0) -> Future:
         return self._submit("mmu", frame_ids, settings, seed)
 
+    def submit_t2m(self, frame_ids: np.ndarray, settings: T2MSettings,
+                   seed: int = 0,
+                   attention_mask: Optional[np.ndarray] = None) -> Future:
+        return self._submit("t2m", (frame_ids, attention_mask), settings,
+                            seed)
+
     def submit_t2i(self, frame: np.ndarray, uncond: np.ndarray,
                    settings: T2ISettings, seed: int = 0,
                    attention_mask: Optional[np.ndarray] = None,
@@ -596,7 +626,10 @@ class ServingEngine:
         # for zero gain.
         groups: dict[tuple, list[_Request]] = {}
         for r in requests:
-            if r.kind == "t2i":
+            if r.kind == "t2m":
+                length = (r.payload[0].shape[-1], r.payload[1] is not None)
+                solo = id(r)   # categorical sampling: same solo rule as t2i
+            elif r.kind == "t2i":
                 # both frame AND uncond lengths shape the program, as does
                 # mask presence (None vs array changes the jit signature)
                 length = (
@@ -684,6 +717,34 @@ class ServingEngine:
                 )
             for i, r in enumerate(grp):
                 _deliver(r.future, out[i])
+        elif kind == "t2m":
+            frame = jnp.asarray(
+                np.asarray(grp[0].payload[0], np.int64).reshape(1, -1)
+            )
+            attn = (jnp.asarray(
+                        np.asarray(grp[0].payload[1]).reshape(1, -1))
+                    if grp[0].payload[1] is not None else None)
+            if settings.segment_timesteps > 0:
+                if settings.block_kv_cache:
+                    raise ValueError(
+                        "segment_timesteps is exact-sampler only — "
+                        "unset block_kv_cache"
+                    )
+                run = self.model.t2m_segmented_run(
+                    frame, attention_mask=attn,
+                    temperature=settings.temperature,
+                    timesteps=settings.timesteps,
+                    num_motion_tokens=settings.num_motion_tokens,
+                    key=key,
+                    segment_timesteps=settings.segment_timesteps,
+                )
+                self._active.append(_T2ITask(run, grp))
+                return
+            codes = np.asarray(
+                _jit_t2m(self.model, frame, attn, settings, key)
+            )
+            for i, r in enumerate(grp):
+                _deliver(r.future, codes[i])
         elif kind == "t2i":
             def stack(idx):
                 rows = [r.payload[idx] for r in grp]

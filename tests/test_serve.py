@@ -777,3 +777,46 @@ def test_cancellation_queued_and_mid_stream(model):
         assert engine.stats["cancelled"] >= 2
     finally:
         engine.stop()
+
+
+def test_t2m_requests_match_direct():
+    """The engine serves t2m (completing all-modal coverage): monolithic
+    and chunked results both equal the direct t2m_generate call with the
+    request's seed."""
+    import dataclasses as _dc
+
+    import jax.numpy as jnp
+
+    from mmada_tpu.serve.engine import T2MSettings
+
+    vl = tiny_layout(text_vocab_size=256,
+                     image_codebook_size=64).with_motion(codebook_size=32)
+    cfg = llada.tiny_config(
+        vocab_size=vl.total_vocab_size, d_model=32, n_heads=2, n_layers=2,
+        mlp_hidden_size=64,
+    )
+    cfg = _dc.replace(cfg, mask_token_id=vl.mask_token_id)
+    params = llada.init_params(jax.random.key(0), cfg)
+    m = MMadaModel(cfg=cfg, params=params, vocab=vl)
+    engine = ServingEngine(m, max_wait_ms=20).start()
+    try:
+        n = 16
+        frame = np.concatenate([
+            np.full(6, 5), [280], np.full(n, vl.mask_token_id), [281]
+        ]).astype(np.int64)
+        settings = T2MSettings(timesteps=4, num_motion_tokens=n)
+        want = np.asarray(m.t2m_generate(
+            jnp.asarray(frame)[None], timesteps=4, num_motion_tokens=n,
+            key=jax.random.key(9),
+        ))[0]
+        got = engine.submit_t2m(frame, settings, seed=9).result(timeout=240)
+        np.testing.assert_array_equal(got, want)
+        chunked = _dc.replace(settings, segment_timesteps=2)
+        got2 = engine.submit_t2m(frame, chunked, seed=9).result(timeout=240)
+        np.testing.assert_array_equal(got2, want)
+        bad = _dc.replace(chunked, block_kv_cache=True)
+        f = engine.submit_t2m(frame, bad, seed=9)
+        with pytest.raises(ValueError, match="exact-sampler only"):
+            f.result(timeout=120)
+    finally:
+        engine.stop()
