@@ -432,6 +432,7 @@ def run_http(state: AppState, port: int):
                 }
                 if state.engine is not None:
                     payload["engine"] = dict(state.engine.stats)
+                    payload["latency"] = state.engine.latency_stats()
                 self._reply(payload)
             else:
                 self._reply({"error": "not found"}, 404)

@@ -487,6 +487,14 @@ class ServingEngine:
         self._stats_lock = threading.Lock()
         self.stats = {"requests": 0, "batches": 0, "batched_requests": 0,
                       "chunks": 0, "stream_joins": 0, "cancelled": 0}
+        self._draining = False
+        # dispatcher-owned: True only when no stream is in flight AND the
+        # queue was empty at the end of a loop iteration (drain waits on
+        # this — sampling _active from another thread races with the
+        # popleft/step/append cycle)
+        self._quiescent = True
+        # rolling completion latencies per kind (last 256), for /stats
+        self._latencies: dict = {}
 
     # ------------------------------------------------------------ public
     def start(self):
@@ -494,7 +502,17 @@ class ServingEngine:
         self._thread.start()
         return self
 
-    def stop(self):
+    def stop(self, drain: bool = False, drain_timeout_s: float = 300.0):
+        """`drain=True` (rolling-restart mode): reject new submissions,
+        FINISH queued and in-flight work (chunked streams keep stepping),
+        then stop — no accepted request is failed unless the drain
+        timeout expires. Default: fail everything still pending."""
+        if drain:
+            self._draining = True   # submit() starts rejecting
+            deadline = time.time() + drain_timeout_s
+            while (not self._quiescent and time.time() < deadline
+                   and self._thread and self._thread.is_alive()):
+                time.sleep(0.01)
         self._stop.set()
         if self._thread:
             self._thread.join(timeout=5)
@@ -531,6 +549,9 @@ class ServingEngine:
 
     def _submit(self, kind, payload, settings, seed) -> Future:
         fut: Future = Future()
+        if self._draining or self._stop.is_set():
+            fut.set_exception(RuntimeError("engine draining"))
+            return fut
         try:
             self._queue.put_nowait(
                 _Request(kind, payload, settings, fut, seed, time.time())
@@ -542,6 +563,25 @@ class ServingEngine:
             return fut
         self._bump("requests")
         return fut
+
+    def _record_latency(self, req: _Request):
+        with self._stats_lock:
+            dq = self._latencies.setdefault(req.kind, deque(maxlen=256))
+            dq.append(time.time() - req.enqueue_time)
+
+    def latency_stats(self) -> dict:
+        """Rolling per-kind completion latency (seconds since enqueue):
+        count / p50 / p95 over the last 256 requests of each kind."""
+        out = {}
+        with self._stats_lock:
+            items = {k: sorted(v) for k, v in self._latencies.items()}
+        for kind, xs in items.items():
+            out[kind] = {
+                "count": len(xs),
+                "p50_s": round(xs[len(xs) // 2], 4),
+                "p95_s": round(xs[min(len(xs) - 1, int(len(xs) * 0.95))], 4),
+            }
+        return out
 
     def _bump(self, name: str, n: int = 1):
         # read-modify-write on the counters happens from HTTP worker
@@ -559,6 +599,7 @@ class ServingEngine:
                 self._flush(pending)
             if self._active:
                 self._step_active()
+            self._quiescent = not self._active and self._queue.empty()
         if not self._active:  # final drain only if nothing will hang
             pending = self._collect(block=False)
             if pending:
@@ -602,6 +643,7 @@ class ServingEngine:
             stream.fail_all(e)
             return
         for req, tokens in finished:
+            self._record_latency(req)
             _deliver(req.future, tokens)
         if not stream.done:
             self._active.append(stream)
@@ -716,6 +758,7 @@ class ServingEngine:
                     _jit_text(self.model, jnp.asarray(prompts), settings, key)
                 )
             for i, r in enumerate(grp):
+                self._record_latency(r)
                 _deliver(r.future, out[i])
         elif kind == "t2m":
             frame = jnp.asarray(
@@ -744,6 +787,7 @@ class ServingEngine:
                 _jit_t2m(self.model, frame, attn, settings, key)
             )
             for i, r in enumerate(grp):
+                self._record_latency(r)
                 _deliver(r.future, codes[i])
         elif kind == "t2i":
             def stack(idx):

@@ -820,3 +820,31 @@ def test_t2m_requests_match_direct():
             f.result(timeout=120)
     finally:
         engine.stop()
+
+
+def test_drain_finishes_inflight_and_rejects_new(model):
+    """stop(drain=True): accepted work — including an in-flight chunked
+    stream — completes with real results; submissions after draining
+    starts are rejected; latency percentiles are recorded."""
+    import jax.numpy as jnp
+
+    engine = ServingEngine(model, max_wait_ms=5).start()
+    settings = TextSettings(
+        gen_length=16, steps=16, block_length=8, segment_steps=1,
+    )
+    prompt = np.arange(3, 9)
+    f = engine.submit_text(prompt, settings)
+    deadline = time.time() + 60
+    while engine.stats["chunks"] < 1 and time.time() < deadline:
+        time.sleep(0.005)
+    engine.stop(drain=True)
+    want = np.asarray(
+        model.generate(jnp.asarray(prompt)[None], gen_length=16, steps=16,
+                       block_length=8, temperature=0.0)
+    )[0]
+    np.testing.assert_array_equal(f.result(timeout=5), want)
+    f2 = engine.submit_text(prompt, settings)
+    with pytest.raises(RuntimeError, match="draining"):
+        f2.result(timeout=5)
+    lat = engine.latency_stats()
+    assert lat["text"]["count"] == 1 and lat["text"]["p50_s"] > 0
