@@ -40,7 +40,12 @@ from mmada_tpu.ops.attention import (
     bidirectional_attention,
     xla_attention,
 )
-from mmada_tpu.ops.quantization import QuantizedTensor, W8A8Tensor, maybe_matmul
+from mmada_tpu.ops.quantization import (
+    Int4Tensor,
+    QuantizedTensor,
+    W8A8Tensor,
+    maybe_matmul,
+)
 from mmada_tpu.ops.norms import layer_norm, rms_norm
 
 Params = dict[str, Any]
@@ -569,13 +574,21 @@ def _head(
     policy: Policy,
 ) -> jax.Array:
     head = params["wte"].T if cfg.weight_tying else params["ff_out"]
-    if isinstance(head, (QuantizedTensor, W8A8Tensor)):
+    if isinstance(head, (QuantizedTensor, W8A8Tensor, Int4Tensor)):
         if logit_window is not None:
+            # window the head's OUTPUT channels (vocab ids) — last dim of
+            # both the quantized values and their per-channel/group scales
             start, stop = logit_window
-            head = type(head)(
-                values=head.values[..., :, start:stop],
-                scales=head.scales[..., start:stop],
-            )
+            if isinstance(head, Int4Tensor):
+                head = Int4Tensor(
+                    packed=head.packed[..., :, start:stop],
+                    scales=head.scales[..., :, start:stop],
+                )
+            else:
+                head = type(head)(
+                    values=head.values[..., :, start:stop],
+                    scales=head.scales[..., start:stop],
+                )
         logits = maybe_matmul(x, head).astype(policy.logits_dtype)
     else:
         if logit_window is not None:

@@ -89,6 +89,56 @@ def w8a8_matmul(x: jax.Array, qw: "W8A8Tensor") -> jax.Array:
     return out.astype(orig_dtype)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Int4Tensor:
+    """Grouped int4 weight (ops/int4_matmul.py layout: 2 nibbles/byte along
+    the contracting dim, GROUP=128 rows per f32 scale). Serving-only, like
+    the other quantized leaves; matmuls run the Pallas dequant-in-VMEM
+    kernel on TPU (the XLA fallback materializes the bf16 weight, which
+    costs MORE HBM traffic than int8 — kernel or don't bother)."""
+
+    packed: jax.Array   # int8, (..., K/2, N)
+    scales: jax.Array   # float32, (..., K/GROUP, N)
+
+    @property
+    def shape(self):
+        s = self.packed.shape
+        return (*s[:-2], s[-2] * 2, s[-1])
+
+    def dequantize(self, dtype=jnp.bfloat16) -> jax.Array:
+        from mmada_tpu.ops.int4_matmul import unpack_int4
+
+        return unpack_int4(self.packed, self.scales, dtype)
+
+
+_INTERPRET = False  # test hook: run the int4 kernel in interpret mode
+
+
+def quantize_tensor_int4(w: jax.Array) -> Int4Tensor:
+    from mmada_tpu.ops.int4_matmul import pack_int4
+
+    packed, scales = pack_int4(w)
+    return Int4Tensor(packed=packed, scales=scales)
+
+
+def int4_matmul_dispatch(x: jax.Array, qw: Int4Tensor) -> jax.Array:
+    """Kernel when the backend runs Mosaic and shapes are tile-aligned,
+    else the XLA dequant fallback (correctness on CPU / odd shapes)."""
+    from mmada_tpu.ops.attention import _is_tpu_backend
+
+    k, n = qw.shape[-2], qw.shape[-1]
+    kernel_layout = (
+        k % 128 == 0 and n % 128 == 0
+        and qw.scales.shape[-2] * 128 == k   # GROUP=128 packing, not the
+    )                                        # per-channel small-K fallback
+    if (_INTERPRET or _is_tpu_backend()) and kernel_layout:
+        from mmada_tpu.ops.int4_matmul import int4_matmul
+
+        return int4_matmul(x, qw.packed, qw.scales, interpret=_INTERPRET)
+    return x @ qw.dequantize(x.dtype)
+
+
 QUANT_TARGETS = (
     "q_proj", "k_proj", "v_proj", "att_proj", "attn_out",
     "ff_proj", "up_proj", "ff_out",
@@ -96,21 +146,33 @@ QUANT_TARGETS = (
 
 
 def quantize_llada_params(
-    params: Any, quantize_head: bool = True, activations: bool = False
+    params: Any, quantize_head: bool = True, activations: bool = False,
+    bits: int = 8,
 ) -> Any:
     """Quantize block matmul weights (+optionally the vocab head/embedding
     output path). Norm weights, biases, and the input embedding stay in
     their original dtype (embedding lookups need full rows).
-    `activations=True` produces W8A8Tensors (int8 MXU execution)."""
-    wrap = _to_w8a8 if activations else (lambda q: q)
+    `activations=True` produces W8A8Tensors (int8 MXU execution);
+    `bits=4` produces grouped Int4Tensors (halved weight stream — the
+    cached-decode bandwidth lever; incompatible with `activations`)."""
+    if bits == 4:
+        if activations:
+            raise ValueError("int4 weights have no activation-quant path")
+        quant = quantize_tensor_int4
+        wrap = lambda q: q  # noqa: E731
+    elif bits == 8:
+        quant = quantize_tensor
+        wrap = _to_w8a8 if activations else (lambda q: q)
+    else:
+        raise ValueError(f"unsupported weight bits: {bits}")
     out = dict(params)
     blocks = dict(params["blocks"])
     for name in QUANT_TARGETS:
         if name in blocks:
-            blocks[name] = wrap(quantize_tensor(blocks[name]))
+            blocks[name] = wrap(quant(blocks[name]))
     out["blocks"] = blocks
     if quantize_head and "ff_out" in params:
-        out["ff_out"] = wrap(quantize_tensor(params["ff_out"]))
+        out["ff_out"] = wrap(quant(params["ff_out"]))
     return out
 
 
@@ -119,7 +181,7 @@ def _to_w8a8(q: QuantizedTensor) -> W8A8Tensor:
 
 
 def is_quantized(leaf) -> bool:
-    return isinstance(leaf, (QuantizedTensor, W8A8Tensor))
+    return isinstance(leaf, (QuantizedTensor, W8A8Tensor, Int4Tensor))
 
 
 def maybe_matmul(x: jax.Array, w) -> jax.Array:
@@ -127,6 +189,8 @@ def maybe_matmul(x: jax.Array, w) -> jax.Array:
         return w8a8_matmul(x, w)
     if isinstance(w, QuantizedTensor):
         return qmatmul(x, w)
+    if isinstance(w, Int4Tensor):
+        return int4_matmul_dispatch(x, w)
     return x @ w
 
 

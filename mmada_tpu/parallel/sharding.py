@@ -83,13 +83,24 @@ def shard_params(params: Any, specs: Any, mesh: Mesh) -> Any:
     divisible by their axis size fall back to replication on that dim.
     Quantized leaves (ops/quantization) shard their int8 values with the
     weight's spec; the tiny scale vectors replicate."""
-    from mmada_tpu.ops.quantization import QuantizedTensor, W8A8Tensor
+    from mmada_tpu.ops.quantization import (
+        Int4Tensor, QuantizedTensor, W8A8Tensor,
+    )
 
     def place(param, spec):
         if isinstance(param, (QuantizedTensor, W8A8Tensor)):
             vspec = _divisibility_fallback(param.values.shape, spec, mesh)
             return type(param)(
                 values=jax.device_put(param.values, NamedSharding(mesh, vspec)),
+                scales=jax.device_put(param.scales, NamedSharding(mesh, P())),
+            )
+        if isinstance(param, Int4Tensor):
+            # packed (.., K/2, N) shards on the same spec (nibble packing
+            # is within-group, group 128 ≫ any axis size here); scales
+            # replicate like the int8 scale vectors
+            vspec = _divisibility_fallback(param.packed.shape, spec, mesh)
+            return Int4Tensor(
+                packed=jax.device_put(param.packed, NamedSharding(mesh, vspec)),
                 scales=jax.device_put(param.scales, NamedSharding(mesh, P())),
             )
         fixed = _divisibility_fallback(param.shape, spec, mesh)
@@ -102,9 +113,9 @@ def shard_params(params: Any, specs: Any, mesh: Mesh) -> Any:
 
 
 def _is_quantized_leaf(x) -> bool:
-    from mmada_tpu.ops.quantization import QuantizedTensor, W8A8Tensor
+    from mmada_tpu.ops.quantization import is_quantized
 
-    return isinstance(x, (QuantizedTensor, W8A8Tensor))
+    return is_quantized(x)
 
 
 def _axis_size(mesh: Mesh, axis) -> int:

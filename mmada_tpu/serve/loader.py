@@ -177,12 +177,13 @@ def build_model(cfg: Config, vocab: VocabLayout) -> MMadaModel:
     model = MMadaModel.from_pretrained(
         path, vocab, dtype=policy.param_dtype, policy=policy, remat=remat
     )
-    if m.get("quantize") in ("int8", "w8", "w8a8", "w8a8_smooth"):
+    if m.get("quantize") in ("int8", "w8", "w8a8", "w8a8_smooth", "int4"):
         # full-depth 8B on one 16 GB chip (ops/quantization.py);
         # 'w8a8_smooth' folds SmoothQuant scale migration in first
         # (ops/smoothquant.py) — calibrate with real prompt ids via
         # model.mmada.smoothquant_calib (path to an int32 (N, L) .npy)
-        # or fall back to synthetic text+t2i-frame batches.
+        # or fall back to synthetic text+t2i-frame batches. 'int4' is the
+        # grouped-nibble capacity/bandwidth scheme (ops/int4_matmul.py).
         from mmada_tpu.ops.quantization import quantize_llada_params
 
         if m.get("quantize") == "w8a8_smooth":
@@ -195,7 +196,9 @@ def build_model(cfg: Config, vocab: VocabLayout) -> MMadaModel:
             )
         else:
             params = quantize_llada_params(
-                model.params, activations=m.get("quantize") == "w8a8"
+                model.params,
+                activations=m.get("quantize") == "w8a8",
+                bits=4 if m.get("quantize") == "int4" else 8,
             )
         model = dataclasses.replace(model, params=params)
     return _maybe_shard(cfg, model)

@@ -142,3 +142,151 @@ def test_w8a8_forward_and_sampler():
         np.asarray(win), np.asarray(llada.forward(qparams, cfg, ids)[..., 32:96]),
         rtol=1e-4, atol=1e-4,
     )
+
+
+# ---------------------------------------------------------------- int4 ----
+
+def test_int4_pack_unpack_roundtrip_exact_on_grid():
+    """Values already on the quantization grid survive pack→unpack exactly."""
+    from mmada_tpu.ops.int4_matmul import GROUP, pack_int4, unpack_int4
+
+    key = jax.random.key(0)
+    scales = jax.random.uniform(key, (2, 256), minval=0.01, maxval=0.1)
+    nibbles = jax.random.randint(jax.random.key(1), (2, GROUP, 256), -7, 8)
+    # pack_int4 recovers scale as absmax/7: pin one ±7 per (group, column)
+    nibbles = nibbles.at[:, 0, :].set(7)
+    w = (
+        nibbles.astype(jnp.float32) * scales[:, None, :]
+    ).reshape(2 * GROUP, 256)
+    packed, s = pack_int4(w)
+    assert packed.shape == (GROUP, 256) and s.shape == (2, 256)
+    deq = unpack_int4(packed, s, jnp.float32)
+    # grid points round-trip bit-near-exactly (one fp32 mul each way)
+    np.testing.assert_allclose(np.asarray(deq), np.asarray(w), rtol=1e-5)
+
+
+def test_int4_quant_error_bounded():
+    w = jax.random.normal(jax.random.key(2), (512, 256)) * 0.05
+    qw = Q.quantize_tensor_int4(w)
+    deq = qw.dequantize(jnp.float32)
+    rel = float(jnp.linalg.norm(deq - w) / jnp.linalg.norm(w))
+    assert rel < 0.12, rel  # grouped int4 on gaussian weights
+    assert qw.shape == (512, 256)
+    # 2 nibbles per byte + 1 f32 scale per 128 weights
+    assert qw.packed.size == w.size // 2
+    assert qw.scales.size == w.size // 128
+
+
+def test_int4_kernel_matches_xla_fallback():
+    from mmada_tpu.ops.int4_matmul import int4_matmul
+
+    w = jax.random.normal(jax.random.key(3), (512, 384)) * 0.05
+    x = jax.random.normal(jax.random.key(4), (2, 5, 512)).astype(jnp.bfloat16)
+    qw = Q.quantize_tensor_int4(w)
+    got = int4_matmul(x, qw.packed, qw.scales, interpret=True)
+    want = x @ qw.dequantize(jnp.bfloat16)
+    assert got.shape == (2, 5, 384)
+    rel = float(
+        jnp.linalg.norm(got.astype(jnp.float32) - want.astype(jnp.float32))
+        / jnp.linalg.norm(want.astype(jnp.float32))
+    )
+    assert rel < 2e-2, rel
+
+
+def test_int4_kernel_k_tile_remainder_and_row_padding():
+    """K=128 (single group, block_k falls back to GROUP) and M not a
+    multiple of the row tile both take the padded path."""
+    from mmada_tpu.ops.int4_matmul import int4_matmul
+
+    w = jax.random.normal(jax.random.key(5), (128, 128)) * 0.05
+    x = jax.random.normal(jax.random.key(6), (3, 128)).astype(jnp.bfloat16)
+    qw = Q.quantize_tensor_int4(w)
+    got = int4_matmul(x, qw.packed, qw.scales, interpret=True)
+    want = x @ qw.dequantize(jnp.bfloat16)
+    rel = float(
+        jnp.linalg.norm(got.astype(jnp.float32) - want.astype(jnp.float32))
+        / jnp.linalg.norm(want.astype(jnp.float32))
+    )
+    assert rel < 2e-2, rel
+
+
+def test_int4_maybe_matmul_dispatch(monkeypatch):
+    """maybe_matmul routes Int4Tensor through the kernel under _INTERPRET
+    and through the XLA fallback for non-128-aligned N."""
+    monkeypatch.setattr(Q, "_INTERPRET", True)
+    w = jax.random.normal(jax.random.key(7), (256, 128)) * 0.05
+    x = jax.random.normal(jax.random.key(8), (4, 256)).astype(jnp.bfloat16)
+    qw = Q.quantize_tensor_int4(w)
+    got = Q.maybe_matmul(x, qw)
+    want = x @ qw.dequantize(jnp.bfloat16)
+    np.testing.assert_allclose(
+        np.asarray(got, dtype=np.float32), np.asarray(want, dtype=np.float32),
+        rtol=2e-2, atol=1e-3,
+    )
+
+
+def test_int4_forward_and_sampler():
+    """Full tiny-model forward + semi-AR sampler with int4 block weights
+    (d_model 128 so every contracting dim is a GROUP multiple)."""
+    from mmada_tpu.core.vocab import tiny_layout
+    from mmada_tpu.models.mmada import MMadaModel
+
+    vocab = tiny_layout()
+    cfg = llada.tiny_config(
+        vocab_size=vocab.total_vocab_size, d_model=128, mlp_hidden_size=256,
+    )
+    cfg = dataclasses.replace(cfg, mask_token_id=vocab.mask_token_id)
+    params = llada.init_params(jax.random.key(0), cfg)
+    qparams = Q.quantize_llada_params(params, bits=4)
+    ids = jnp.arange(16, dtype=jnp.int32)[None] % 100
+    full = llada.forward(params, cfg, ids)
+    quant = llada.forward(qparams, cfg, ids)
+    rel = float(jnp.linalg.norm(quant - full) / jnp.linalg.norm(full))
+    assert rel < 0.25, rel
+
+    model = MMadaModel(cfg=cfg, params=qparams, vocab=vocab)
+    out = model.generate(
+        jnp.arange(8, dtype=jnp.int32)[None] + 3,
+        gen_length=16, steps=8, block_length=16,
+    )
+    assert out.shape == (1, 24)
+    assert (np.asarray(out) != vocab.mask_token_id).all()
+
+
+def test_int4_rejects_activation_quant():
+    import pytest
+
+    cfg = llada.tiny_config(d_model=128, mlp_hidden_size=256)
+    params = llada.init_params(jax.random.key(0), cfg)
+    with pytest.raises(ValueError):
+        Q.quantize_llada_params(params, bits=4, activations=True)
+    with pytest.raises(ValueError):
+        Q.quantize_llada_params(params, bits=3)
+
+
+def test_int4_small_k_per_channel_fallback():
+    """K < GROUP packs per-channel and maybe_matmul uses the XLA path."""
+    w = jax.random.normal(jax.random.key(9), (64, 128)) * 0.05
+    qw = Q.quantize_tensor_int4(w)
+    assert qw.scales.shape == (1, 128)
+    got = Q.maybe_matmul(
+        jax.random.normal(jax.random.key(10), (4, 64)).astype(jnp.bfloat16),
+        qw,
+    )
+    assert got.shape == (4, 128)
+    deq = qw.dequantize(jnp.float32)
+    rel = float(jnp.linalg.norm(deq - w) / jnp.linalg.norm(w))
+    assert rel < 0.2, rel
+
+
+def test_int4_default_tiny_dims_quantize():
+    """quantize_llada_params(bits=4) works at the default tiny dims
+    (d_model 64) via the per-channel fallback — harness dryruns use this."""
+    cfg = llada.tiny_config()
+    params = llada.init_params(jax.random.key(0), cfg)
+    qparams = Q.quantize_llada_params(params, bits=4)
+    ids = jnp.arange(12, dtype=jnp.int32)[None] % 100
+    full = llada.forward(params, cfg, ids)
+    quant = llada.forward(qparams, cfg, ids)
+    rel = float(jnp.linalg.norm(quant - full) / jnp.linalg.norm(full))
+    assert rel < 0.35, rel

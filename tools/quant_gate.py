@@ -286,6 +286,9 @@ def run_ckpt_gate(args):
     qparams = Q.quantize_llada_params(params)
     int8 = drive(qparams, "int8")
     w8a8 = drive(_w8a8_view(qparams), "w8a8")
+    # grouped int4 (ops/int4_matmul.py): the cached-decode bandwidth /
+    # capacity scheme — same promotion bar as the other arms
+    int4 = drive(Q.quantize_llada_params(params, bits=4), "int4")
 
     # SmoothQuant arms: migrate activation outliers into the weights
     # (ops/smoothquant.py), calibrated on the same in-distribution
@@ -344,7 +347,8 @@ def run_ckpt_gate(args):
         "bf16": {"text_tokens_per_s": bf16["text_tokens_per_s"],
                  "t2i_images_per_s": bf16["t2i_images_per_s"]},
     }
-    for name, res in (("int8", int8), ("w8a8", w8a8), *smooth.items()):
+    for name, res in (("int8", int8), ("w8a8", w8a8), ("int4", int4),
+                      *smooth.items()):
         logits = res.pop("logits")
         top1 = logits.argmax(-1)
         report[name] = {
@@ -406,6 +410,12 @@ def run_ckpt_gate(args):
             if best_smooth is None or score > best_smooth[1]:
                 best_smooth = (name, score)
 
+    # int4 faces the same bar; it never takes the speed headline (the
+    # int4 win is cached-decode bandwidth + capacity, not exact-sampler
+    # throughput) — promote_int4 governs `quantize: int4` deployments.
+    report["int4"]["checks"] = _arm_checks("int4")
+    report["promote_int4"] = all(report["int4"]["checks"].values())
+
     if best_smooth:
         report["headline_scheme"] = "w8a8_smooth"
         report["headline_smooth_arm"] = best_smooth[0]
@@ -419,7 +429,7 @@ def run_ckpt_gate(args):
     with open(out_path, "w") as f:
         json.dump(report, f, indent=2, default=str)
     print(json.dumps({k: report[k] for k in
-                      ("promote_w8a8", "promote_w8a8_smooth",
+                      ("promote_w8a8", "promote_w8a8_smooth", "promote_int4",
                        "headline_scheme", "checks", "margin_stats")}))
     logger.info("wrote %s", out_path)
     return 0

@@ -297,7 +297,8 @@ def main(argv):
     from mmada_tpu.ops import smoothquant as SQ
 
     for scheme, kwargs in (("int8", {}), ("w8a8", {"activations": True}),
-                           ("w8a8_smooth", {"smooth": True})):
+                           ("w8a8_smooth", {"smooth": True}),
+                           ("int4", {"bits": 4})):
         if kwargs.pop("smooth", False):
             # SmoothQuant scale migration (ops/smoothquant.py) before the
             # same W8A8 quantizer — on real 8B weights (where channel
@@ -336,6 +337,7 @@ def main(argv):
         "ok": True, **gate,
         "promote_w8a8": bool(_promotes("w8a8")),
         "promote_w8a8_smooth": bool(_promotes("w8a8_smooth")),
+        "promote_int4": bool(_promotes("int4")),
     }
 
     # ------------------------------------------------- 5b. kv-cache gate
