@@ -111,7 +111,7 @@ def int4_matmul(
     *,
     block_m: int = 0,      # 0 → fit to M (≤512)
     block_n: int = 512,
-    block_k: int = 512,
+    block_k: int = 1024,   # 8 GROUPs — the minimum legal scales tile
     interpret: bool = False,
 ) -> jax.Array:
     """x (..., K) @ dequant(packed (K/2, N), scales (K/GROUP, N)) → (..., N).
@@ -125,8 +125,11 @@ def int4_matmul(
         raise ValueError(f"x K={K} vs packed K/2={packed.shape[-2]}")
     if N % 128:
         raise ValueError(f"N={N} not 128-aligned")
-    bk = block_k if K % block_k == 0 else GROUP
-    if K % bk:
+    # Mosaic tiling: the scales block's first dim must be 8-divisible or
+    # the FULL array dim — so the k tile is 8 groups (1024) when K divides
+    # it (all flagship contracting dims do), else whole-K in one step.
+    bk = block_k if K % block_k == 0 and (block_k // GROUP) % 8 == 0 else K
+    if K % GROUP:
         raise ValueError(f"K={K} not a {GROUP} multiple")
     bn = block_n if N % block_n == 0 else 128
     x2 = x.reshape(-1, K)

@@ -290,3 +290,20 @@ def test_int4_default_tiny_dims_quantize():
     quant = llada.forward(qparams, cfg, ids)
     rel = float(jnp.linalg.norm(quant - full) / jnp.linalg.norm(full))
     assert rel < 0.35, rel
+
+
+def test_int4_kernel_k_grid_accumulation():
+    """K=2048 exercises the 8-group k-grid tile (1024) with accumulation
+    across two k steps — the flagship-shape path."""
+    from mmada_tpu.ops.int4_matmul import int4_matmul
+
+    w = jax.random.normal(jax.random.key(11), (2048, 256)) * 0.05
+    x = jax.random.normal(jax.random.key(12), (4, 2048)).astype(jnp.bfloat16)
+    qw = Q.quantize_tensor_int4(w)
+    got = int4_matmul(x, qw.packed, qw.scales, interpret=True)
+    want = x @ qw.dequantize(jnp.bfloat16)
+    rel = float(
+        jnp.linalg.norm(got.astype(jnp.float32) - want.astype(jnp.float32))
+        / jnp.linalg.norm(want.astype(jnp.float32))
+    )
+    assert rel < 2e-2, rel
