@@ -1,12 +1,18 @@
-"""Pallas int4 grouped-quantized matmul for weight-bandwidth-bound decode.
+"""Pallas int4 grouped-quantized matmul — a CAPACITY mode (measured).
 
-The block-KV-cached decode step is weight-stream-bound: per-step work is
-~64 block tokens against the 32-layer weight stream, so HBM weight bytes —
-not MXU FLOPs — set the step time (BASELINE.md: the 134k head contributes
-<1 ms of the ~20 ms batch-1 cached step; int8 weights already halved bf16).
-int4 halves the weight stream again. The reference has no quantization
-story at all (SURVEY.md §2 — pure bf16 torch); this is a TPU-capacity play
-on top of parity: 8B blocks drop to ~3.7 GB (+2% f32 group scales).
+Built on the hypothesis that the weight-stream-bound cached decode step
+(BASELINE.md: the batch-1 cached step is ~the 32-layer weight read) would
+track the halved weight bytes. The end-to-end A/B (tools/bench_int4.py,
+INT4_r03.json) refuted it on this chip: full-8B kv-cached text decodes at
+0.61× int8 speed, because the kernel's HBM→VMEM stream tops out at
+~30–66 GB/s — invariant to block geometry (a block-major re-layout with
+fully-contiguous 1–2 MB per-block DMAs measured the same) and to the VPU
+unpack math (a compute-ablated kernel is equally slow) — while XLA's own
+dequant-in-dot prefetcher streams int8 weights ~2× faster. What survives
+is the unconditional win: 8B block weights in ~5.1 GB (vs 8.6 int8) on a
+16 GB chip — headroom for KV caches, batch growth, or a second resident
+model. The reference has no quantization story at all (SURVEY.md §2 —
+pure bf16 torch).
 
 XLA cannot express this efficiently: a dot operand must be materialized, so
 `x @ dequant(packed)` would WRITE the full bf16 weight to HBM each step

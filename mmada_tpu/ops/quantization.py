@@ -96,7 +96,9 @@ class Int4Tensor:
     the contracting dim, GROUP=128 rows per f32 scale). Serving-only, like
     the other quantized leaves; matmuls run the Pallas dequant-in-VMEM
     kernel on TPU (the XLA fallback materializes the bf16 weight, which
-    costs MORE HBM traffic than int8 — kernel or don't bother)."""
+    costs MORE HBM traffic than int8 — kernel or don't bother). Measured a
+    CAPACITY mode, not a speed mode: cached decode runs 0.61× int8
+    (INT4_r03.json; see ops/int4_matmul.py for why)."""
 
     packed: jax.Array   # int8, (..., K/2, N)
     scales: jax.Array   # float32, (..., K/GROUP, N)

@@ -183,7 +183,8 @@ def build_model(cfg: Config, vocab: VocabLayout) -> MMadaModel:
         # (ops/smoothquant.py) — calibrate with real prompt ids via
         # model.mmada.smoothquant_calib (path to an int32 (N, L) .npy)
         # or fall back to synthetic text+t2i-frame batches. 'int4' is the
-        # grouped-nibble capacity/bandwidth scheme (ops/int4_matmul.py).
+        # grouped-nibble CAPACITY scheme (ops/int4_matmul.py — measured
+        # 0.61x int8 decode speed, INT4_r03.json; use for memory headroom).
         from mmada_tpu.ops.quantization import quantize_llada_params
 
         if m.get("quantize") == "w8a8_smooth":
