@@ -411,8 +411,8 @@ def run_ckpt_gate(args):
                 best_smooth = (name, score)
 
     # int4 faces the same bar; it never takes the speed headline (the
-    # int4 win is cached-decode bandwidth + capacity, not exact-sampler
-    # throughput) — promote_int4 governs `quantize: int4` deployments.
+    # int4 win is CAPACITY only — measured 0.61x int8 cached-decode speed,
+    # INT4_r03.json) — promote_int4 governs `quantize: int4` deployments.
     report["int4"]["checks"] = _arm_checks("int4")
     report["promote_int4"] = all(report["int4"]["checks"].values())
 

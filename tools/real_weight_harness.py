@@ -315,6 +315,13 @@ def main(argv):
             lambda m, p: m.generate(p, gen_length=gen_len, steps=steps,
                                     block_length=block, temperature=0.0)
         )(qmodel, rng_ids))
+        q_t2i = np.asarray(jax.jit(
+            lambda m, f, u: m.t2i_generate(
+                f, uncond_input_ids=u, temperature=0.0, greedy=True,
+                timesteps=15, guidance_scale=3.5, num_vq_tokens=n_vq,
+                key=jax.random.key(0),
+            )
+        )(qmodel, jnp.asarray(frame), jnp.asarray(uncond)))
         gate[scheme] = {
             "forward_top1_agreement": float(
                 (q_logits.argmax(-1) == ref_top1).mean()
@@ -324,13 +331,22 @@ def main(argv):
                 / max(np.linalg.norm(ref_logits), 1e-9)
             ),
             "text_decode_agreement": float((q_text == text_out).mean()),
+            "t2i_decode_agreement": float((q_t2i == t2i_out).mean()),
         }
         del qparams, qmodel
+
+    # Promotion bar matches tools/quant_gate.py (top-1 >= 0.99 AND both
+    # decode agreements within 0.01 of the int8 control) so this artifact
+    # and QUANT_r*.json can never disagree on a promote/headline decision
+    # for the same weights — round-3's PROXY_GATES promoted w8a8 on a
+    # text-only rule while quant_gate demoted it on the t2i slack.
     def _promotes(scheme):
         return (
             gate[scheme]["forward_top1_agreement"] >= 0.99
             and gate[scheme]["text_decode_agreement"]
             >= gate["int8"]["text_decode_agreement"] - 0.01
+            and gate[scheme]["t2i_decode_agreement"]
+            >= gate["int8"]["t2i_decode_agreement"] - 0.01
         )
 
     report["stages"]["quant_gate"] = {
