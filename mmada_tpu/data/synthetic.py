@@ -109,6 +109,32 @@ def text_batches(batch_size: int, n_sentences: int = 64, seed: int = 1):
         yield {"input_ids": [bank[i] for i in idx]}
 
 
+def gate_forward_ids(tokenizer, n: int = 16, seq_len: int = 48,
+                     start: int = 4) -> np.ndarray:
+    """Fixed (n, seq_len) in-distribution token grid for the quantization
+    gates' forward-agreement check.
+
+    tools/quant_gate.py (ckpt mode) and tools/real_weight_harness.py
+    (stage 5) both call this so their artifacts measure the SAME quantity:
+    round 3 learned that two tools independently sampling 24 vs 96
+    positions can disagree on a promote decision by pure sampling noise
+    (a 0.99 bar on 96 positions is a zero-flip coin toss). 768 positions
+    give the bar a real resolution of ~7 tolerated flips.
+
+    Rows start at bank `sentence(start + row)`; short tokenizations are
+    filled by concatenating further bank sentences, then truncated.
+    """
+    rows = []
+    for r in range(n):
+        ids: list = []
+        j = start + r
+        while len(ids) < seq_len:
+            ids.extend(tokenizer([sentence(j)])["input_ids"][0])
+            j += n
+        rows.append(ids[:seq_len])
+    return np.asarray(rows, np.int64)
+
+
 def build_structured_flows(cfg) -> dict:
     """Flows dict for CombinedLoader from `dataset.synthetic_structured`."""
     tr = cfg.training

@@ -22,6 +22,17 @@ Promotion rule (recorded in the artifact):
              (int8 is the shipping headline; W8A8 must not be worse)
              AND full-depth W8A8-vs-int8 decode agreement >= 0.99.
 
+Trained-checkpoint promotion rule (ckpt mode, revised after the first
+r3 proxy run): the absolute >= 0.99 top-1 bar binds on MARGIN-CONFIDENT
+positions (bf16 top-1 margin > 0.05); raw top-1 over all positions is
+gated relative to the int8 control (>= int8 - 0.01), because near-tied
+logits flip under ANY perturbation — the shipping int8 control itself
+measured 0.9792 raw on the trained proxy, making an absolute raw bar
+unsatisfiable even for the scheme it is meant to protect. The forward
+sample is 768 in-distribution positions (data/synthetic.gate_forward_ids,
+shared with tools/real_weight_harness.py so the two artifacts can never
+disagree by sampling noise). Decode-agreement checks are unchanged.
+
 Random weights are the only option in this zero-egress environment; they
 are harsher than trained weights for argmax agreement (near-tied logits
 flip under any perturbation), so margin-filtered agreement (positions
@@ -182,6 +193,8 @@ def _agreement(a, b):
     import numpy as np
 
     a, b = np.asarray(a), np.asarray(b)
+    if a.size == 0:
+        return 1.0  # vacuous (e.g. margin-filtered set empty on random init)
     return float((a == b).mean())
 
 
@@ -234,10 +247,10 @@ def run_ckpt_gate(args):
     uncond, _ = prompting.t2i_gen_uncond(2, num_vq, vocab.mask_token_id)
     frame = jnp.asarray(frame, jnp.int32)
     uncond = jnp.asarray(uncond, jnp.int32)
-    fwd_ids = jnp.asarray([
-        tokenizer([synthetic.sentence(i)])["input_ids"][0][:48]
-        for i in range(4, 6)
-    ], jnp.int32)
+    # 16x48 = 768 in-distribution positions, shared with
+    # tools/real_weight_harness.py stage 5 (same helper -> same quantity;
+    # see gate_forward_ids docstring for the round-3 sampling-noise lesson)
+    fwd_ids = jnp.asarray(synthetic.gate_forward_ids(tokenizer), jnp.int32)
 
     @jax.jit
     def run_text(model, prompt):
@@ -311,8 +324,11 @@ def run_ckpt_gate(args):
 
     ref_logits = bf16.pop("logits")
     ref_top1 = ref_logits.argmax(-1)
-    sorted_top2 = np.sort(ref_logits, axis=-1)[..., -2:]
-    margins = sorted_top2[..., 1] - sorted_top2[..., 0]
+    # np.partition(kth=-2): [-2] is the 2nd-largest, [-1] the max —
+    # full sort of 768x134k fp32 logits is needlessly slow
+    part = np.partition(ref_logits, -2, axis=-1)
+    margins = part[..., -1] - part[..., -2]
+    del part
     confident = margins > MARGIN
     report = {
         "mode": "trained_proxy_checkpoint",
@@ -340,9 +356,11 @@ def run_ckpt_gate(args):
             "confident_fraction_at_0.05": float(confident.mean()),
         },
         "thresholds": {
-            "forward_top1_min": FWD_THRESHOLD,
+            "forward_margin_top1_min": FWD_THRESHOLD,
+            "forward_raw_vs_int8_slack": DECODE_SLACK,
             "decode_vs_int8_slack": DECODE_SLACK,
             "margin": MARGIN,
+            "forward_sample_positions": int(confident.size),
         },
         "bf16": {"text_tokens_per_s": bf16["text_tokens_per_s"],
                  "t2i_images_per_s": bf16["t2i_images_per_s"]},
@@ -366,29 +384,20 @@ def run_ckpt_gate(args):
             "t2i_decode_agreement": round(
                 _agreement(res["t2i_tokens"], bf16["t2i_tokens"]), 4),
         }
-    checks = {
-        "forward_top1_ok":
-            report["w8a8"]["forward_top1_agreement"] >= FWD_THRESHOLD,
-        "text_decode_not_worse_than_int8":
-            report["w8a8"]["text_decode_agreement"]
-            >= report["int8"]["text_decode_agreement"] - DECODE_SLACK,
-        "t2i_decode_not_worse_than_int8":
-            report["w8a8"]["t2i_decode_agreement"]
-            >= report["int8"]["t2i_decode_agreement"] - DECODE_SLACK,
-        "int8_control_decodes_cleanly":
-            report["int8"]["text_decode_agreement"] >= 0.95,
-        "margins_separated":
-            report["margin_stats"]["confident_fraction_at_0.05"] >= 0.5,
-    }
-    report["checks"] = checks
-    report["promote_w8a8"] = all(checks.values())
-
-    # SmoothQuant arms face the SAME promotion bar as plain w8a8; the
-    # best passing arm (by summed decode agreement) wins the headline.
+    # Every arm faces the SAME bar. The absolute >= 0.99 top-1 bar binds
+    # on MARGIN-CONFIDENT positions: on near-tied logits argmax flips
+    # under ANY perturbation — the shipping int8 control itself scores
+    # ~0.98 raw on a trained proxy — so raw agreement is gated RELATIVE
+    # to the int8 control (same slack as the decode checks), and absolute
+    # quality is demanded exactly where the model is confident.
     def _arm_checks(name):
         return {
-            "forward_top1_ok":
-                report[name]["forward_top1_agreement"] >= FWD_THRESHOLD,
+            "forward_margin_top1_ok":
+                report[name]["forward_top1_agreement_margin"]
+                >= FWD_THRESHOLD,
+            "forward_top1_not_worse_than_int8":
+                report[name]["forward_top1_agreement"]
+                >= report["int8"]["forward_top1_agreement"] - DECODE_SLACK,
             "text_decode_not_worse_than_int8":
                 report[name]["text_decode_agreement"]
                 >= report["int8"]["text_decode_agreement"] - DECODE_SLACK,
@@ -396,9 +405,14 @@ def run_ckpt_gate(args):
                 report[name]["t2i_decode_agreement"]
                 >= report["int8"]["t2i_decode_agreement"] - DECODE_SLACK,
             "int8_control_decodes_cleanly":
-                checks["int8_control_decodes_cleanly"],
-            "margins_separated": checks["margins_separated"],
+                report["int8"]["text_decode_agreement"] >= 0.95,
+            "margins_separated":
+                report["margin_stats"]["confident_fraction_at_0.05"] >= 0.5,
         }
+
+    checks = _arm_checks("w8a8")
+    report["checks"] = checks
+    report["promote_w8a8"] = all(checks.values())
 
     best_smooth = None
     for name in smooth:

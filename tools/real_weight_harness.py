@@ -165,6 +165,10 @@ def main(argv):
         rng_ids = jnp.asarray([
             _tok([_synth.sentence(0)])["input_ids"][0][:24]
         ], jnp.int32)
+        # 768-position forward grid SHARED with tools/quant_gate.py ckpt
+        # mode (same helper -> same measured quantity -> the two gate
+        # artifacts cannot disagree by sampling noise)
+        fwd_gate_ids = jnp.asarray(_synth.gate_forward_ids(_tok), jnp.int32)
         report["prompt_distribution"] = "training (synthetic banks)"
 
     # ------------------------------------------------- 2. torch logit parity
@@ -288,11 +292,18 @@ def main(argv):
     }
 
     # --------------------------------------------------------- 5. quant gate
-    # bf16 forward logits are the reference (on real weights the top-1
-    # margins are large, making agreement meaningful — unlike the random
-    # proxy in QUANT_r*.json)
-    ref_logits = np.asarray(model.forward(rng_ids).astype(jnp.float32))
+    # bf16 forward logits are the reference, measured over the SAME
+    # 768-position in-distribution grid as tools/quant_gate.py ckpt mode
+    # (data/synthetic.gate_forward_ids) whenever a tokenizer is configured;
+    # dryrun falls back to the tiny rng batch.
+    if in_dist_prompting is None:
+        fwd_gate_ids = rng_ids
+    ref_logits = np.asarray(model.forward(fwd_gate_ids).astype(jnp.float32))
     ref_top1 = ref_logits.argmax(-1)
+    # np.partition: [-2] is the 2nd-largest, [-1] the max
+    _part = np.partition(ref_logits, -2, axis=-1)
+    confident = (_part[..., -1] - _part[..., -2]) > 0.05
+    del _part
     gate = {}
     from mmada_tpu.ops import smoothquant as SQ
 
@@ -310,7 +321,8 @@ def main(argv):
         else:
             qparams = Q.quantize_llada_params(params, **kwargs)
         qmodel = MMadaModel(cfg=cfg, params=qparams, vocab=vocab, policy=BF16)
-        q_logits = np.asarray(qmodel.forward(rng_ids).astype(jnp.float32))
+        q_logits = np.asarray(
+            qmodel.forward(fwd_gate_ids).astype(jnp.float32))
         q_text = np.asarray(jax.jit(
             lambda m, p: m.generate(p, gen_length=gen_len, steps=steps,
                                     block_length=block, temperature=0.0)
@@ -322,10 +334,12 @@ def main(argv):
                 key=jax.random.key(0),
             )
         )(qmodel, jnp.asarray(frame), jnp.asarray(uncond)))
+        q_top1 = q_logits.argmax(-1)
         gate[scheme] = {
-            "forward_top1_agreement": float(
-                (q_logits.argmax(-1) == ref_top1).mean()
-            ),
+            "forward_top1_agreement": float((q_top1 == ref_top1).mean()),
+            "forward_top1_agreement_margin": float(
+                (q_top1[confident] == ref_top1[confident]).mean()
+            ) if confident.any() else 1.0,
             "logit_rel_l2": float(
                 np.linalg.norm(q_logits - ref_logits)
                 / max(np.linalg.norm(ref_logits), 1e-9)
@@ -335,14 +349,18 @@ def main(argv):
         }
         del qparams, qmodel
 
-    # Promotion bar matches tools/quant_gate.py (top-1 >= 0.99 AND both
-    # decode agreements within 0.01 of the int8 control) so this artifact
-    # and QUANT_r*.json can never disagree on a promote/headline decision
-    # for the same weights — round-3's PROXY_GATES promoted w8a8 on a
-    # text-only rule while quant_gate demoted it on the t2i slack.
+    # Promotion bar matches tools/quant_gate.py ckpt mode exactly
+    # (absolute 0.99 top-1 bar on margin-confident positions, raw top-1
+    # and both decode agreements within 0.01 of the int8 control), and
+    # the forward sample is the same shared 768-position grid, so this
+    # artifact and QUANT_r*.json can never disagree on a promote decision
+    # for the same weights — round-3's first run proved 24- vs 96-position
+    # samples flip the verdict by pure noise.
     def _promotes(scheme):
         return (
-            gate[scheme]["forward_top1_agreement"] >= 0.99
+            gate[scheme]["forward_top1_agreement_margin"] >= 0.99
+            and gate[scheme]["forward_top1_agreement"]
+            >= gate["int8"]["forward_top1_agreement"] - 0.01
             and gate[scheme]["text_decode_agreement"]
             >= gate["int8"]["text_decode_agreement"] - 0.01
             and gate[scheme]["t2i_decode_agreement"]
