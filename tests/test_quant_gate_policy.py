@@ -1,0 +1,102 @@
+"""Pin the trained-checkpoint quantization promotion policy.
+
+tools/quant_gate.py (ckpt mode) and tools/real_weight_harness.py (stage 5)
+share one policy function, `ckpt_promotion_checks`. These tests pin its
+semantics — the round-3 lesson being that independently-maintained copies
+of the rule diverged (text-only vs t2i-slack), and that an absolute raw
+top-1 bar is unsatisfiable by the int8 control itself (~0.98 raw on a
+trained proxy: near-tied logits flip under any perturbation), so the bar
+binds absolutely only on margin-confident positions and relatively
+(vs the int8 control) everywhere else.
+"""
+
+import importlib.util
+import os
+
+_spec = importlib.util.spec_from_file_location(
+    "quant_gate",
+    os.path.join(os.path.dirname(__file__), "..", "tools", "quant_gate.py"),
+)
+quant_gate = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(quant_gate)
+
+ckpt_promotion_checks = quant_gate.ckpt_promotion_checks
+
+
+def _report(**arms):
+    """Report skeleton with a healthy int8 control and separated margins."""
+    base = {
+        "int8": {
+            "forward_top1_agreement": 0.983,
+            "forward_top1_agreement_margin": 0.999,
+            "text_decode_agreement": 1.0,
+            "t2i_decode_agreement": 0.989,
+        },
+        "margin_stats": {"confident_fraction_at_0.05": 0.94},
+    }
+    base.update(arms)
+    return base
+
+
+def _arm(raw=0.98, margin=0.997, text=0.995, t2i=0.985):
+    return {
+        "forward_top1_agreement": raw,
+        "forward_top1_agreement_margin": margin,
+        "text_decode_agreement": text,
+        "t2i_decode_agreement": t2i,
+    }
+
+
+def test_healthy_arm_promotes():
+    checks = ckpt_promotion_checks(_report(w8a8=_arm()), "w8a8")
+    assert all(checks.values()), checks
+
+
+def test_raw_bar_is_relative_not_absolute():
+    # raw 0.979 < 0.99 but within 0.01 of the control's 0.983: the
+    # round-3 w8a8 case. An absolute raw bar would wrongly demote.
+    checks = ckpt_promotion_checks(_report(w8a8=_arm(raw=0.979)), "w8a8")
+    assert checks["forward_top1_not_worse_than_int8"]
+    assert all(checks.values())
+
+
+def test_raw_clearly_below_control_demotes():
+    checks = ckpt_promotion_checks(_report(w8a8=_arm(raw=0.96)), "w8a8")
+    assert not checks["forward_top1_not_worse_than_int8"]
+
+
+def test_margin_agreement_bar_is_absolute():
+    # the int4 case: raw fine relative, but confident positions disagree
+    checks = ckpt_promotion_checks(_report(int4=_arm(margin=0.93)), "int4")
+    assert not checks["forward_margin_top1_ok"]
+
+
+def test_t2i_decode_slack_vs_control():
+    # the w8a8_smooth alpha=0.7 case: perfect text, t2i 0.9756 vs the
+    # control's 0.989 - 0.01 bar
+    checks = ckpt_promotion_checks(
+        _report(a07=_arm(text=1.0, t2i=0.9756)), "a07")
+    assert not checks["t2i_decode_not_worse_than_int8"]
+
+
+def test_margin_starvation_blocks_everything():
+    # random/undertrained weights: <50% confident positions means the
+    # gate is uninformative and must refuse to promote any arm
+    rep = _report(w8a8=_arm())
+    rep["margin_stats"]["confident_fraction_at_0.05"] = 0.3
+    checks = ckpt_promotion_checks(rep, "w8a8")
+    assert not checks["margins_separated"]
+
+
+def test_broken_control_blocks_everything():
+    rep = _report(w8a8=_arm())
+    rep["int8"]["text_decode_agreement"] = 0.9
+    checks = ckpt_promotion_checks(rep, "w8a8")
+    assert not checks["int8_control_decodes_cleanly"]
+
+
+def test_harness_uses_same_function():
+    """The harness must not re-grow its own copy of the rule."""
+    src = open(os.path.join(os.path.dirname(__file__), "..", "tools",
+                            "real_weight_harness.py")).read()
+    assert "from quant_gate import ckpt_promotion_checks" in src

@@ -52,6 +52,7 @@ import tempfile
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # quant_gate
 
 logger = logging.getLogger("real_weight_harness")
 
@@ -349,23 +350,21 @@ def main(argv):
         }
         del qparams, qmodel
 
-    # Promotion bar matches tools/quant_gate.py ckpt mode exactly
-    # (absolute 0.99 top-1 bar on margin-confident positions, raw top-1
-    # and both decode agreements within 0.01 of the int8 control), and
-    # the forward sample is the same shared 768-position grid, so this
-    # artifact and QUANT_r*.json can never disagree on a promote decision
-    # for the same weights — round-3's first run proved 24- vs 96-position
-    # samples flip the verdict by pure noise.
+    # Promotion bar IS tools/quant_gate.py's (same function,
+    # ckpt_promotion_checks), and the forward sample is the same shared
+    # 768-position grid, so this artifact and QUANT_r*.json can never
+    # disagree on a promote decision for the same weights — round-3's
+    # first run proved 24- vs 96-position samples flip the verdict by
+    # pure noise, and independently-maintained rule copies had already
+    # diverged once (text-only vs t2i-slack).
+    from quant_gate import ckpt_promotion_checks
+
+    gate["margin_stats"] = {
+        "confident_fraction_at_0.05": float(confident.mean()),
+    }
+
     def _promotes(scheme):
-        return (
-            gate[scheme]["forward_top1_agreement_margin"] >= 0.99
-            and gate[scheme]["forward_top1_agreement"]
-            >= gate["int8"]["forward_top1_agreement"] - 0.01
-            and gate[scheme]["text_decode_agreement"]
-            >= gate["int8"]["text_decode_agreement"] - 0.01
-            and gate[scheme]["t2i_decode_agreement"]
-            >= gate["int8"]["t2i_decode_agreement"] - 0.01
-        )
+        return all(ckpt_promotion_checks(gate, scheme).values())
 
     report["stages"]["quant_gate"] = {
         "ok": True, **gate,
