@@ -90,10 +90,20 @@ def main(argv):
         del qparams, out
 
     print(json.dumps(report, indent=2))
-    # the serving decision in one line
-    w8a8_ok = report["w8a8"]["top1_agreement"] >= 0.99
-    print(f"# w8a8 quality-safe for greedy decoding: {w8a8_ok} "
-          f"(threshold: top-1 agreement >= 0.99)", file=sys.stderr)
+    # the serving decision in one line — control-relative, matching the
+    # promotion policy (tools/quant_gate.ckpt_promotion_checks): near-tied
+    # logits flip under any perturbation, so w8a8 is judged against the
+    # int8 control, not an absolute bar it could fail on sampling noise.
+    # (This is a forward-only screen; the full gate also checks decode
+    # agreement and margin-confident top-1 — run tools/quant_gate.py
+    # ckpt=... for a promote/demote decision.)
+    w8a8_ok = (report["w8a8"]["top1_agreement"]
+               >= report["int8"]["top1_agreement"] - 0.01)
+    print(f"# w8a8 forward screen vs int8 control: {w8a8_ok} "
+          f"(w8a8 {report['w8a8']['top1_agreement']} >= "
+          f"int8 {report['int8']['top1_agreement']} - 0.01); "
+          f"full promote/demote decision: tools/quant_gate.py ckpt mode",
+          file=sys.stderr)
     return 0
 
 
