@@ -240,3 +240,34 @@ def test_stream_chunk_collective_budget_batch_independent():
     # generous multiple of the <=20 forward budget, but a per-row or
     # per-step-per-row runaway blows past it
     assert total <= 60, c4
+
+
+def test_quantized_forward_allgather_bytes_shrink():
+    """The promoted w8a8 scheme must all-gather int8 VALUES, not bf16
+    dequants: FSDP gathers of the quantized forward move roughly half the
+    bf16 program's all-gather bytes (blocks + head are int8; wte and the
+    replicated scales are unchanged). A dequantize-before-gather
+    regression would push the ratio back to ~1.0 and multiply ICI traffic
+    at scale (PROJECTION_r03.json w8a8 arm) — pin it well below that."""
+    from mmada_tpu.ops import quantization as Q
+    from mmada_tpu.utils.hlo_analysis import analyze_collectives
+
+    mesh = make_mesh(data=2, fsdp=2, tensor=2)
+    cfg, params = build(mesh)
+    raw = llada.init_params(jax.random.key(0), cfg)
+    qparams = sharding.shard_params(
+        Q.quantize_llada_params(raw, activations=True),
+        sharding.llada_param_specs(cfg), mesh,
+    )
+    model_bf = MMadaModel(cfg=cfg, params=params, vocab=VOCAB, mesh=mesh)
+    model_q = MMadaModel(cfg=cfg, params=qparams, vocab=VOCAB, mesh=mesh)
+    ids = jnp.zeros((8, 16), jnp.int32)
+    fwd = lambda m, i: m.forward(i)  # noqa: E731
+    ag = {}
+    for name, m in (("bf16", model_bf), ("w8a8", model_q)):
+        hlo = jax.jit(fwd).lower(m, ids).compile().as_text()
+        ag[name] = analyze_collectives(hlo)["per_op"].get(
+            "all-gather", {}).get("ici_bytes", 0)
+    assert ag["bf16"] > 0, ag
+    assert ag["w8a8"] > 0, ag
+    assert ag["w8a8"] < 0.8 * ag["bf16"], ag
