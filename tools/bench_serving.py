@@ -19,8 +19,14 @@ Measures, on real hardware with the trained 165M proxy
 Each arm runs twice; the FIRST pass warms every executable (incl. the
 bucket-growth shapes joins trigger), the second is reported.
 
+  scenario "agg"  — 8 simultaneous identical requests at the r1 aggregate
+                    op point (gen128/steps64): they coalesce into ONE
+                    batch-8 program; arms exact vs gate-promoted block-KV
+                    cache. Aggregate tok/s is the serving-throughput
+                    headline (SERVING_AGG_r03.json).
+
     python tools/bench_serving.py ckpt=proxy-output/export \
-        out=SERVING_r03.json [cpu=1]
+        out=SERVING_r03.json [cpu=1] [scenarios=hol,join,agg]
 
 Reference has no serving engine at all (single-request Gradio,
 app.py:53-894); this benchmarks capability beyond it.
@@ -181,12 +187,15 @@ def main(argv):
         finally:
             engine.stop()
 
+    scenarios = set(args.get("scenarios", "hol,join").split(","))
     results = {"segment_steps": C, "model": ckpt, "stagger_s": stagger_s,
-               "heavy_op": heavy_kw, "short_op": short_kw}
-    for name, seg in (("mono", 0), ("chunked", C)):
-        run_hol(seg)               # warm every executable
-        results[f"hol_{name}"] = run_hol_timed(seg)
-        logging.info("hol %s: %s", name, results[f"hol_{name}"])
+               "heavy_op": heavy_kw, "short_op": short_kw,
+               "scenarios": sorted(scenarios)}
+    if "hol" in scenarios:
+        for name, seg in (("mono", 0), ("chunked", C)):
+            run_hol(seg)               # warm every executable
+            results[f"hol_{name}"] = run_hol_timed(seg)
+            logging.info("hol %s: %s", name, results[f"hol_{name}"])
 
     # --------------------------------------------------------------- join
     def run_join(seg):
@@ -227,17 +236,60 @@ def main(argv):
         finally:
             engine.stop()
 
-    for name, seg in (("mono", 0), ("chunked", C)):
-        run_join(seg)              # warm
-        results[f"join_{name}"] = run_join(seg)
-        logging.info("join %s: %s", name, results[f"join_{name}"])
+    if "join" in scenarios:
+        for name, seg in (("mono", 0), ("chunked", C)):
+            run_join(seg)              # warm
+            results[f"join_{name}"] = run_join(seg)
+            logging.info("join %s: %s", name, results[f"join_{name}"])
 
-    hol_gain = (results["hol_mono"]["short_p50_s"]
-                / max(results["hol_chunked"]["short_p50_s"], 1e-9))
-    join_gain = (results["join_mono"]["makespan_s"]
-                 / max(results["join_chunked"]["makespan_s"], 1e-9))
-    results["short_p50_speedup"] = round(hol_gain, 2)
-    results["join_makespan_speedup"] = round(join_gain, 2)
+    # ---------------------------------------------------------- aggregate
+    # Batched engine throughput at the r1 aggregate op point
+    # (gen128/steps64/block64): 8 simultaneous identical requests coalesce
+    # into ONE batch program inside the engine's batching window. Arms:
+    # exact vs the gate-promoted block-KV cache (PROXY_GATES_r03
+    # kv_cache_gate). The zero-weight 8B structure is valid here — cache
+    # mechanics and batching are shape-based, so timings are real even
+    # though tokens are degenerate (bench.py's trick).
+    # parallel_threshold is deliberately NOT an arm: with zero weights no
+    # confidence ever clears τ, so it would just re-measure exact.
+    agg_kw = dict(gen_length=128, steps=64, block_length=64)
+
+    def run_agg(kv):
+        engine = ServingEngine(model, max_wait_ms=50).start()
+        try:
+            s = TextSettings(temperature=0.0, block_kv_cache=kv, **agg_kw)
+            for _ in range(2):     # pass 1 warms the batch-8 executable
+                b0 = engine.stats["batches"]
+                t0 = time.perf_counter()
+                futs = [engine.submit_text(prompts[i], s) for i in range(8)]
+                for f in futs:
+                    f.result(timeout=1800)
+                dt = time.perf_counter() - t0
+            return {
+                "seconds": round(dt, 3),
+                "aggregate_tok_s": round(8 * agg_kw["gen_length"] / dt, 1),
+                "batch_programs": engine.stats["batches"] - b0,
+            }
+        finally:
+            engine.stop()
+
+    if "agg" in scenarios:
+        results["agg_op"] = agg_kw
+        for name, kv in (("exact", False), ("kv_cached", True)):
+            results[f"agg_{name}"] = run_agg(kv)
+            logging.info("agg %s: %s", name, results[f"agg_{name}"])
+        if results["agg_exact"]["aggregate_tok_s"]:
+            results["agg_kv_speedup"] = round(
+                results["agg_kv_cached"]["aggregate_tok_s"]
+                / results["agg_exact"]["aggregate_tok_s"], 2)
+
+    if "hol" in scenarios and "join" in scenarios:
+        hol_gain = (results["hol_mono"]["short_p50_s"]
+                    / max(results["hol_chunked"]["short_p50_s"], 1e-9))
+        join_gain = (results["join_mono"]["makespan_s"]
+                     / max(results["join_chunked"]["makespan_s"], 1e-9))
+        results["short_p50_speedup"] = round(hol_gain, 2)
+        results["join_makespan_speedup"] = round(join_gain, 2)
 
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)

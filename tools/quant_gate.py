@@ -222,6 +222,31 @@ def ckpt_promotion_checks(report, name,
     }
 
 
+def smooth_calibration(tokenizer, prompting, vocab, num_vq):
+    """Shared SmoothQuant calibration prompts (text batch + forward grid +
+    t2i frame). The smooth arms are CALIBRATION-DEPENDENT — scale
+    migration is computed from activation stats — so quant_gate ckpt mode
+    and the real-weight harness must build their smooth-quantized params
+    from the SAME prompts, or identical weights can yield different
+    quantized models and different promote verdicts (observed in round 3:
+    a text-only harness calibration promoted the arm the balanced
+    calibration demoted). Deterministic schemes (int8/w8a8/int4) need no
+    such sharing."""
+    import numpy as np
+
+    from mmada_tpu.data import synthetic
+
+    text_prompt = np.asarray([
+        tokenizer([synthetic.sentence(i)])["input_ids"][0][:24]
+        for i in range(8)
+    ], np.int64)
+    fwd = synthetic.gate_forward_ids(tokenizer)
+    captions = [synthetic.caption_for(k) for k in range(2)]
+    masked = np.full((2, num_vq), vocab.mask_token_id, np.int64)
+    frame, _ = prompting((captions, masked), "t2i_gen")
+    return [text_prompt, np.asarray(fwd), np.asarray(frame)]
+
+
 def _agreement(a, b):
     import numpy as np
 
@@ -266,7 +291,9 @@ def run_ckpt_gate(args):
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
 
     # in-distribution prompts -------------------------------------------
-    n_text, prompt_len = 2, 24
+    # batch 8 x gen 64 = 512 decode positions: the 0.01 decode slack must
+    # not be single-flip granularity (same lesson as the forward sample)
+    n_text, prompt_len = 8, 24
     text_prompt = jnp.asarray([
         tokenizer([synthetic.sentence(i)])["input_ids"][0][:prompt_len]
         for i in range(n_text)
@@ -343,8 +370,7 @@ def run_ckpt_gate(args):
     # well-conditioned) weight quantizer.
     from mmada_tpu.ops import smoothquant as SQ
 
-    calib = [np.asarray(text_prompt), np.asarray(fwd_ids),
-             np.asarray(frame)]
+    calib = smooth_calibration(tokenizer, prompting, vocab, num_vq)
     sq_stats = SQ.collect_stats(params, cfg, calib, policy=BF16)
     smooth = {}
     for alpha in (0.5, 0.7):

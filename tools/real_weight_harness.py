@@ -153,6 +153,7 @@ def main(argv):
     # proxy checkpoint (tools/quant_gate.py ckpt mode rationale: on
     # out-of-distribution prompts even a trained model is margin-starved)
     in_dist_prompting = None
+    gate_tokenizer = None
     if args.get("config") and not dryrun:
         from mmada_tpu.core.config import load_config
         from mmada_tpu.serve.loader import (
@@ -170,6 +171,7 @@ def main(argv):
         # mode (same helper -> same measured quantity -> the two gate
         # artifacts cannot disagree by sampling noise)
         fwd_gate_ids = jnp.asarray(_synth.gate_forward_ids(_tok), jnp.int32)
+        gate_tokenizer = _tok
         report["prompt_distribution"] = "training (synthetic banks)"
 
     # ------------------------------------------------- 2. torch logit parity
@@ -315,9 +317,22 @@ def main(argv):
             # SmoothQuant scale migration (ops/smoothquant.py) before the
             # same W8A8 quantizer — on real 8B weights (where channel
             # outliers are real, unlike the proxies) this is the arm
-            # expected to close the activation-quantization gap
+            # expected to close the activation-quantization gap. The
+            # calibration set is SHARED with quant_gate ckpt mode
+            # (smooth arms are calibration-dependent: same weights +
+            # different calib = different quantized model and possibly a
+            # different verdict — QUANT_r*.json stays authoritative for
+            # the headline; this stage is the mount-day screen).
+            from quant_gate import smooth_calibration
+
+            if gate_tokenizer is not None:
+                sq_calib = smooth_calibration(
+                    gate_tokenizer, in_dist_prompting, vocab, n_vq
+                )
+            else:
+                sq_calib = [np.asarray(rng_ids)]
             qparams = SQ.smooth_quantize(
-                params, cfg, [np.asarray(rng_ids)], alpha=0.5, policy=BF16
+                params, cfg, sq_calib, alpha=0.5, policy=BF16
             )
         else:
             qparams = Q.quantize_llada_params(params, **kwargs)
@@ -398,6 +413,28 @@ def main(argv):
     )
     t2i_agree = float((c_t2i == t2i_out).mean())
 
+    # int8-quantized cache variant (kv_cache="int8"): adds per-block-row
+    # K/V quantization error on top of the freeze approximation — gate it
+    # separately so halved-cache-HBM deployments have their own trained
+    # evidence (VERDICT r2 weak #4: previously only a toy-dims argmax
+    # check in tests/test_kv_cache.py)
+    i_text = np.asarray(jax.jit(
+        lambda m, p: m.generate(p, gen_length=gen_len, steps=steps,
+                                block_length=block, temperature=0.0,
+                                block_kv_cache="int8")
+    )(model, rng_ids))
+    i_t2i = np.asarray(jax.jit(
+        lambda m, f, u: m.t2i_generate(
+            f, uncond_input_ids=u, temperature=0.0, greedy=True,
+            timesteps=15, guidance_scale=3.5, num_vq_tokens=n_vq,
+            key=jax.random.key(0), block_kv_cache="int8",
+        )
+    )(model, jnp.asarray(frame), jnp.asarray(uncond)))
+    i_text_agree = float(
+        (i_text[:, rng_ids.shape[1]:] == text_out[:, rng_ids.shape[1]:]).mean()
+    )
+    i_t2i_agree = float((i_t2i == t2i_out).mean())
+
     # confidence-parallel decoding at the recommended τ=0.9: agreement vs
     # the exact sampler plus the wall-clock speedup actually realized on
     # these weights (step count is data-dependent — time IS the metric)
@@ -424,6 +461,11 @@ def main(argv):
         "text_decode_agreement": text_agree,
         "t2i_decode_agreement": t2i_agree,
         "promote_kv_cache": bool(text_agree >= 0.95 and t2i_agree >= 0.90),
+        "int8_text_decode_agreement": i_text_agree,
+        "int8_t2i_decode_agreement": i_t2i_agree,
+        "promote_kv_cache_int8": bool(
+            i_text_agree >= 0.95 and i_t2i_agree >= 0.90
+        ),
         "thresholds": {"text": 0.95, "t2i": 0.90},
         "parallel_tau": 0.9,
         "parallel_text_agreement": par_agree,
