@@ -112,6 +112,33 @@ def shard_params(params: Any, specs: Any, mesh: Mesh) -> Any:
     )
 
 
+def abstract_shard_params(shapes: Any, specs: Any, mesh: Mesh) -> Any:
+    """ShapeDtypeStruct analog of `shard_params` for AOT compilation
+    (tools/project_v5e8.py): attach NamedShardings to an eval_shape tree
+    with the same quantized-leaf rules (values take the weight's spec,
+    scales replicate) instead of device_put-ing real arrays."""
+    from mmada_tpu.ops.quantization import (
+        Int4Tensor, QuantizedTensor, W8A8Tensor,
+    )
+
+    def sds(s, spec):
+        return jax.ShapeDtypeStruct(
+            s.shape, s.dtype, sharding=NamedSharding(mesh, spec))
+
+    def place(leaf, spec):
+        if isinstance(leaf, (QuantizedTensor, W8A8Tensor)):
+            vspec = _divisibility_fallback(leaf.values.shape, spec, mesh)
+            return type(leaf)(values=sds(leaf.values, vspec),
+                              scales=sds(leaf.scales, P()))
+        if isinstance(leaf, Int4Tensor):
+            vspec = _divisibility_fallback(leaf.packed.shape, spec, mesh)
+            return Int4Tensor(packed=sds(leaf.packed, vspec),
+                              scales=sds(leaf.scales, P()))
+        return sds(leaf, _divisibility_fallback(leaf.shape, spec, mesh))
+
+    return jax.tree.map(place, shapes, specs, is_leaf=_is_quantized_leaf)
+
+
 def _is_quantized_leaf(x) -> bool:
     from mmada_tpu.ops.quantization import is_quantized
 

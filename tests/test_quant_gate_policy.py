@@ -95,8 +95,15 @@ def test_broken_control_blocks_everything():
     assert not checks["int8_control_decodes_cleanly"]
 
 
-def test_harness_uses_same_function():
-    """The harness must not re-grow its own copy of the rule."""
+def test_harness_shares_policy_and_inputs():
+    """The harness must not re-grow its own copies of the promotion rule
+    or the gate inputs (forward grid / decode prompts / calibration)."""
     src = open(os.path.join(os.path.dirname(__file__), "..", "tools",
                             "real_weight_harness.py")).read()
-    assert "from quant_gate import ckpt_promotion_checks" in src
+    import re
+    m = re.search(r"from quant_gate import \(([^)]*)\)", src)
+    assert m, "harness no longer imports the shared gate helpers"
+    imported = m.group(1)
+    for name in ("ckpt_promotion_checks", "gate_decode_inputs",
+                 "smooth_calibration", "GATE_TEXT_OP"):
+        assert name in imported, name

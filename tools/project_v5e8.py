@@ -158,10 +158,19 @@ def main(argv):
     vq_decode_s = 0.0293 * batch  # measured per-image decode, BASELINE.md
     win = (MMADA_8B.image_offset, MMADA_8B.image_offset + 8192)
 
-    def project_serving(name, data, fsdp, tensor):
+    def project_serving(name, data, fsdp, tensor, abstract_fn=None,
+                        achieved_tflops=None, scheme=None):
+        """AOT-compile the t2i step forward on a (data, fsdp, tensor) mesh
+        and roofline it. `abstract_fn(mesh)` overrides the bf16 abstract
+        param tree (e.g. quantized leaves); `achieved_tflops` switches the
+        compute model from V5E_BF16_PEAK*t2i_eff to a MEASURED per-chip
+        rate (used for w8a8, whose achieved rate exceeds bf16 peak)."""
         mesh_s = make_mesh(data=data, fsdp=fsdp, tensor=tensor,
                            devices=devices)
-        abstract = _shard_like(param_shapes, suffix_map, mesh_s)
+        if abstract_fn is None:
+            abstract = _shard_like(param_shapes, suffix_map, mesh_s)
+        else:
+            abstract = abstract_fn(mesh_s)
         model_s = MMadaModel(cfg=cfg, params=abstract, vocab=MMADA_8B,
                              policy=BF16, mesh=mesh_s)
         ids = jax.ShapeDtypeStruct(
@@ -182,7 +191,13 @@ def main(argv):
             2 * batch * seq
             * forward_matmul_flops_per_token(cfg, seq, num_vq, 8192)
         )
-        t_compute = flops_step / 8 / (V5E_BF16_PEAK * t2i_eff)
+        if achieved_tflops is None:
+            t_compute = flops_step / 8 / (V5E_BF16_PEAK * t2i_eff)
+            eff = {"mxu": t2i_eff, "ici_bw_bytes_s": ICI_BW}
+        else:
+            t_compute = flops_step / 8 / achieved_tflops
+            eff = {"achieved_model_tflops_per_chip": achieved_tflops,
+                   "ici_bw_bytes_s": ICI_BW}
         t_comm = col_fwd["total_ici_bytes"] / ICI_BW
         img_s_overlap = batch / (
             timesteps * max(t_compute, t_comm) + vq_decode_s
@@ -192,6 +207,7 @@ def main(argv):
         )
         entry = {
             "mesh": {"data": data, "fsdp": fsdp, "tensor": tensor},
+            **({"scheme": scheme} if scheme else {}),
             "per_device_memory": mem_fwd,
             "fits_16gb": mem_fwd["peak_gb"] < V5E_HBM_BYTES / 1e9,
             "collectives_per_step": {
@@ -201,8 +217,7 @@ def main(argv):
             "ici_bytes_per_step": round(col_fwd["total_ici_bytes"]),
             "step_compute_s": round(t_compute, 5),
             "step_comm_s": round(t_comm, 5),
-            "assumed_efficiencies": {"mxu": t2i_eff,
-                                     "ici_bw_bytes_s": ICI_BW},
+            "assumed_efficiencies": eff,
             "t2i_img_per_s_batch4": {
                 "comm_overlapped": round(img_s_overlap, 3),
                 "comm_serial": round(img_s_serial, 3),
@@ -223,11 +238,11 @@ def main(argv):
     # (a) REPLICATED: w8a8 fits the full 8B on ONE 16 GB chip, so the
     # max-THROUGHPUT v5e-8 serving topology is 8 independent replicas —
     # zero ICI traffic, measured single-chip throughput × 8. The sharded
-    # topologies above/below win on per-request LATENCY instead.
+    # topologies win on per-request LATENCY instead.
     w8a8_img_s = float(args.get("w8a8_img_s", 0.3948))  # bench.py 2026-08-18
     report["serving_t2i_w8a8_replicated8"] = {
         "mesh": {"data": 8, "fsdp": 1, "tensor": 1},
-        "basis": "measured single-chip bench.py headline (w8a8_smooth, "
+        "basis": "measured single-chip bench.py headline (w8a8, "
                  "full 8B 32L, batch 4, 15 steps cfg 3.5)",
         "single_chip_img_s": w8a8_img_s,
         "ici_bytes_per_step": 0,
@@ -239,13 +254,10 @@ def main(argv):
     # (b) SHARDED w8a8 (fsdp4 x tp2): int8 weight all-gathers move HALF
     # the bytes of the bf16 topology, and compute runs at the MEASURED
     # single-chip w8a8 rate (269.4 model TFLOP/s, bench.py — includes
-    # activation-quantization overhead). AOT-compiled like the bf16 arms
-    # so the collective bytes come from the real GSPMD lowering of the
-    # int8 program, not from halving the bf16 numbers by hand.
+    # activation-quantization overhead). Same AOT pipeline as the bf16
+    # arms so the collective bytes come from the real GSPMD lowering of
+    # the int8 program, not from halving the bf16 numbers by hand.
     from mmada_tpu.ops import quantization as Q
-    from mmada_tpu.parallel.sharding import (
-        _divisibility_fallback, _is_quantized_leaf,
-    )
 
     w8a8_tflops = float(args.get("w8a8_tflops", 269.4e12))
     qshapes = jax.eval_shape(
@@ -254,77 +266,11 @@ def main(argv):
         ),
         jax.random.key(0),
     )
-
-    def _abstract_shard_q(q, spec, mesh_s):
-        if _is_quantized_leaf(q):
-            vspec = _divisibility_fallback(q.values.shape, spec, mesh_s)
-            return type(q)(
-                values=jax.ShapeDtypeStruct(
-                    q.values.shape, q.values.dtype,
-                    sharding=NamedSharding(mesh_s, vspec)),
-                scales=jax.ShapeDtypeStruct(
-                    q.scales.shape, q.scales.dtype,
-                    sharding=NamedSharding(mesh_s, P())),
-            )
-        fixed = _divisibility_fallback(q.shape, spec, mesh_s)
-        return jax.ShapeDtypeStruct(
-            q.shape, q.dtype, sharding=NamedSharding(mesh_s, fixed))
-
-    mesh_q = make_mesh(data=1, fsdp=4, tensor=2, devices=devices)
-    abstract_q = jax.tree.map(
-        lambda q, s: _abstract_shard_q(q, s, mesh_q), qshapes, specs,
-        is_leaf=_is_quantized_leaf,
-    )
-    model_q = MMadaModel(cfg=cfg, params=abstract_q, vocab=MMADA_8B,
-                         policy=BF16, mesh=mesh_q)
-    ids_q = jax.ShapeDtypeStruct(
-        (2 * batch, seq), jnp.int32,
-        sharding=NamedSharding(mesh_q, sharding.batch_spec()),
-    )
-    logger.info("AOT-compiling serving t2i step forward (8B w8a8, fsdp4_tp2)")
-    c_q = jax.jit(
-        lambda m, i: m.forward(
-            i, logit_positions=(text_frame + 1, num_vq), logit_window=win,
-        )
-    ).lower(model_q, ids_q).compile()
-    mem_q = _mem(c_q)
-    col_q = H.analyze_collectives(c_q.as_text())
-    flops_step = (
-        2 * batch * seq
-        * forward_matmul_flops_per_token(cfg, seq, num_vq, 8192)
-    )
-    t_compute = flops_step / 8 / w8a8_tflops
-    t_comm = col_q["total_ici_bytes"] / ICI_BW
-    report["serving_t2i_w8a8_fsdp4_tp2"] = {
-        "mesh": {"data": 1, "fsdp": 4, "tensor": 2},
-        "scheme": "w8a8 (int8 values sharded, scales replicated)",
-        "per_device_memory": mem_q,
-        "fits_16gb": mem_q["peak_gb"] < V5E_HBM_BYTES / 1e9,
-        "collectives_per_step": {
-            k: {kk: round(vv, 1) for kk, vv in v.items()}
-            for k, v in col_q["per_op"].items()
-        },
-        "ici_bytes_per_step": round(col_q["total_ici_bytes"]),
-        "step_compute_s": round(t_compute, 5),
-        "step_comm_s": round(t_comm, 5),
-        "assumed_efficiencies": {
-            "achieved_model_tflops_per_chip": w8a8_tflops,
-            "ici_bw_bytes_s": ICI_BW,
-        },
-        "t2i_img_per_s_batch4": {
-            "comm_overlapped": round(
-                batch / (timesteps * max(t_compute, t_comm) + vq_decode_s),
-                3),
-            "comm_serial": round(
-                batch / (timesteps * (t_compute + t_comm) + vq_decode_s),
-                3),
-        },
-    }
-    logger.info(
-        "w8a8 fsdp4_tp2: peak %s GB/dev, %.1f MB ICI/step -> %.2f-%.2f img/s",
-        mem_q["peak_gb"], col_q["total_ici_bytes"] / 1e6,
-        report["serving_t2i_w8a8_fsdp4_tp2"]["t2i_img_per_s_batch4"]["comm_serial"],
-        report["serving_t2i_w8a8_fsdp4_tp2"]["t2i_img_per_s_batch4"]["comm_overlapped"],
+    project_serving(
+        "serving_t2i_w8a8_fsdp4_tp2", 1, 4, 2,
+        abstract_fn=lambda m: sharding.abstract_shard_params(qshapes, specs, m),
+        achieved_tflops=w8a8_tflops,
+        scheme="w8a8 (int8 values sharded, scales replicated)",
     )
 
     # ----------------------------------------------- training (fsdp 8)

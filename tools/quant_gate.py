@@ -222,6 +222,38 @@ def ckpt_promotion_checks(report, name,
     }
 
 
+# Shared text-decode operating point: batch 8 x gen 64 = 512 decode
+# positions, so the 0.01 decode slack is not single-flip granularity
+# (same lesson as the 768-position forward sample).
+GATE_TEXT_OP = {"gen_length": 64, "steps": 32, "block_length": 32}
+GATE_TEXT_PROMPT_LEN = 24
+
+
+def gate_decode_inputs(tokenizer, prompting, vocab, num_vq):
+    """Shared decode-agreement inputs: (text_prompt 8x24, t2i frame,
+    t2i uncond). quant_gate ckpt mode and the real-weight harness drive
+    the SAME greedy samplers on the SAME inputs (plus GATE_TEXT_OP), so
+    for deterministic schemes the two artifacts compare token-identical
+    quantities — round 3 observed different decode samples flip a
+    boundary arm's verdict between the tools. Prompt rows are built
+    fill-and-truncate (gate_forward_ids), never ragged: a real subword
+    tokenizer yields variable-length sentences where the proxy's
+    char-level ByteTokenizer did not."""
+    import numpy as np
+
+    from mmada_tpu.data import synthetic
+
+    text_prompt = synthetic.gate_forward_ids(
+        tokenizer, n=8, seq_len=GATE_TEXT_PROMPT_LEN, start=0
+    )
+    captions = [synthetic.caption_for(k) for k in range(2)]
+    masked = np.full((2, num_vq), vocab.mask_token_id, np.int64)
+    frame, _ = prompting((captions, masked), "t2i_gen")
+    uncond, _ = prompting.t2i_gen_uncond(2, num_vq, vocab.mask_token_id)
+    return (np.asarray(text_prompt, np.int64), np.asarray(frame),
+            np.asarray(uncond))
+
+
 def smooth_calibration(tokenizer, prompting, vocab, num_vq):
     """Shared SmoothQuant calibration prompts (text batch + forward grid +
     t2i frame). The smooth arms are CALIBRATION-DEPENDENT — scale
@@ -236,14 +268,10 @@ def smooth_calibration(tokenizer, prompting, vocab, num_vq):
 
     from mmada_tpu.data import synthetic
 
-    text_prompt = np.asarray([
-        tokenizer([synthetic.sentence(i)])["input_ids"][0][:24]
-        for i in range(8)
-    ], np.int64)
+    text_prompt, frame, _ = gate_decode_inputs(
+        tokenizer, prompting, vocab, num_vq
+    )
     fwd = synthetic.gate_forward_ids(tokenizer)
-    captions = [synthetic.caption_for(k) for k in range(2)]
-    masked = np.full((2, num_vq), vocab.mask_token_id, np.int64)
-    frame, _ = prompting((captions, masked), "t2i_gen")
     return [text_prompt, np.asarray(fwd), np.asarray(frame)]
 
 
@@ -290,23 +318,18 @@ def run_ckpt_gate(args):
     params = load_pretrained(ckpt, cfg, dtype=jnp.bfloat16)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
 
-    # in-distribution prompts -------------------------------------------
-    # batch 8 x gen 64 = 512 decode positions: the 0.01 decode slack must
-    # not be single-flip granularity (same lesson as the forward sample)
-    n_text, prompt_len = 8, 24
-    text_prompt = jnp.asarray([
-        tokenizer([synthetic.sentence(i)])["input_ids"][0][:prompt_len]
-        for i in range(n_text)
-    ], jnp.int32)
-    gen_len, steps, block = 64, 32, 32
-
+    # in-distribution prompts — SHARED builders with the harness ---------
     num_vq = int(yaml_cfg.get_path("model.mmada.num_vq_tokens", 1024))
-    captions = [synthetic.caption_for(k) for k in range(2)]
-    masked = np.full((2, num_vq), vocab.mask_token_id, np.int64)
-    frame, _ = prompting((captions, masked), "t2i_gen")
-    uncond, _ = prompting.t2i_gen_uncond(2, num_vq, vocab.mask_token_id)
+    text_prompt, frame, uncond = gate_decode_inputs(
+        tokenizer, prompting, vocab, num_vq
+    )
+    text_prompt = jnp.asarray(text_prompt, jnp.int32)
     frame = jnp.asarray(frame, jnp.int32)
     uncond = jnp.asarray(uncond, jnp.int32)
+    n_text, prompt_len = text_prompt.shape
+    gen_len = GATE_TEXT_OP["gen_length"]
+    steps = GATE_TEXT_OP["steps"]
+    block = GATE_TEXT_OP["block_length"]
     # 16x48 = 768 in-distribution positions, shared with
     # tools/real_weight_harness.py stage 5 (same helper -> same quantity;
     # see gate_forward_ids docstring for the round-3 sampling-noise lesson)
@@ -314,8 +337,7 @@ def run_ckpt_gate(args):
 
     @jax.jit
     def run_text(model, prompt):
-        return model.generate(prompt, gen_length=gen_len, steps=steps,
-                              block_length=block, temperature=0.0)
+        return model.generate(prompt, temperature=0.0, **GATE_TEXT_OP)
 
     @jax.jit
     def run_t2i(model, f, u):
@@ -356,12 +378,41 @@ def run_ckpt_gate(args):
         return res
 
     bf16 = drive(params, "bf16")
+    ref_logits = bf16.pop("logits")
+    ref_top1 = ref_logits.argmax(-1)
+    # np.partition(kth=-2): [-2] is the 2nd-largest, [-1] the max —
+    # full sort of 768x134k fp32 logits is needlessly slow
+    part = np.partition(ref_logits, -2, axis=-1)
+    margins = part[..., -1] - part[..., -2]
+    del part
+    confident = margins > MARGIN
+    ref_norm = max(float(np.linalg.norm(ref_logits)), 1e-9)
+
+    def finish(res):
+        # fold each arm's 768x134k fp32 logits (~413 MB) into its metrics
+        # IMMEDIATELY — holding all six arms' logits until a final report
+        # loop peaks ~2.9 GB host RAM for no reason
+        logits = res.pop("logits")
+        top1 = logits.argmax(-1)
+        res["forward_logit_rel_l2"] = round(
+            float(np.linalg.norm(logits - ref_logits)) / ref_norm, 5)
+        res["forward_top1_agreement"] = round(_agreement(top1, ref_top1), 4)
+        res["forward_top1_agreement_margin"] = round(
+            _agreement(top1[confident], ref_top1[confident]), 4)
+        res["text_decode_agreement"] = round(
+            _agreement(res.pop("text_tokens"), bf16["text_tokens"]), 4)
+        res["t2i_decode_agreement"] = round(
+            _agreement(res.pop("t2i_tokens"), bf16["t2i_tokens"]), 4)
+        return res
+
     qparams = Q.quantize_llada_params(params)
-    int8 = drive(qparams, "int8")
-    w8a8 = drive(_w8a8_view(qparams), "w8a8")
+    int8 = finish(drive(qparams, "int8"))
+    w8a8 = finish(drive(_w8a8_view(qparams), "w8a8"))
+    del qparams
+    gc.collect()
     # grouped int4 (ops/int4_matmul.py): the cached-decode bandwidth /
     # capacity scheme — same promotion bar as the other arms
-    int4 = drive(Q.quantize_llada_params(params, bits=4), "int4")
+    int4 = finish(drive(Q.quantize_llada_params(params, bits=4), "int4"))
 
     # SmoothQuant arms: migrate activation outliers into the weights
     # (ops/smoothquant.py), calibrated on the same in-distribution
@@ -377,18 +428,9 @@ def run_ckpt_gate(args):
         name = f"w8a8_smooth_a{alpha}"
         sq = SQ.smooth_quantize(params, cfg, calib, alpha=alpha,
                                 stats=sq_stats)
-        smooth[name] = drive(sq, name)
+        smooth[name] = finish(drive(sq, name))
         del sq
         gc.collect()
-
-    ref_logits = bf16.pop("logits")
-    ref_top1 = ref_logits.argmax(-1)
-    # np.partition(kth=-2): [-2] is the 2nd-largest, [-1] the max —
-    # full sort of 768x134k fp32 logits is needlessly slow
-    part = np.partition(ref_logits, -2, axis=-1)
-    margins = part[..., -1] - part[..., -2]
-    del part
-    confident = margins > MARGIN
     report = {
         "mode": "trained_proxy_checkpoint",
         "checkpoint": ckpt,
@@ -426,23 +468,7 @@ def run_ckpt_gate(args):
     }
     for name, res in (("int8", int8), ("w8a8", w8a8), ("int4", int4),
                       *smooth.items()):
-        logits = res.pop("logits")
-        top1 = logits.argmax(-1)
-        report[name] = {
-            "text_tokens_per_s": res["text_tokens_per_s"],
-            "t2i_images_per_s": res["t2i_images_per_s"],
-            "forward_logit_rel_l2": round(float(
-                np.linalg.norm(logits - ref_logits)
-                / max(np.linalg.norm(ref_logits), 1e-9)), 5),
-            "forward_top1_agreement": round(
-                _agreement(top1, ref_top1), 4),
-            "forward_top1_agreement_margin": round(
-                _agreement(top1[confident], ref_top1[confident]), 4),
-            "text_decode_agreement": round(
-                _agreement(res["text_tokens"], bf16["text_tokens"]), 4),
-            "t2i_decode_agreement": round(
-                _agreement(res["t2i_tokens"], bf16["t2i_tokens"]), 4),
-        }
+        report[name] = dict(res)  # metrics already folded in by finish()
     # Every arm faces the SAME bar (ckpt_promotion_checks — module-level,
     # pinned by tests/test_quant_gate_policy.py).
     def _arm_checks(name):

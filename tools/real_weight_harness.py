@@ -6,7 +6,13 @@ script banks every real-weight claim in one run and one JSON artifact:
 
     python tools/real_weight_harness.py \
         model_dir=/mnt/MMaDA-8B-Base vq_dir=/mnt/magvitv2 \
-        [torch_check=1] [run_bench=1] [out=REAL_WEIGHTS.json]
+        [torch_check=1] [run_bench=1] [out=REAL_WEIGHTS.json] \
+        [config=configs/mmada_demo.yaml]
+
+`config=` supplies the tokenizer/prompting stack the gates sample from;
+when omitted (and not dryrun) it DEFAULTS to configs/mmada_demo.yaml so
+the one-liner above is decision-grade — without a tokenizer the gates
+fall back to a 1x32 random-token grid that is only a plumbing check.
 
 Stages (each recorded with pass/fail in the artifact):
   1. import      — config.json -> LLaDAConfig, weights -> layer-stacked
@@ -154,25 +160,47 @@ def main(argv):
     # out-of-distribution prompts even a trained model is margin-starved)
     in_dist_prompting = None
     gate_tokenizer = None
+    if not dryrun and not args.get("config"):
+        # Decision-grade gates need a tokenizer/prompting stack: without
+        # one they fall back to a 1x32 random-token grid where the 0.01
+        # slack is sub-single-flip and the smooth calibration is a single
+        # text batch (the round-3 defect class). Default to the demo
+        # config so the documented mount-day one-liner is decision-grade.
+        args["config"] = "configs/mmada_demo.yaml"
+        logger.info("no config= given; defaulting to %s for gate prompts",
+                    args["config"])
     if args.get("config") and not dryrun:
-        from mmada_tpu.core.config import load_config
-        from mmada_tpu.serve.loader import (
-            build_prompting, build_text_tokenizer,
-        )
-        from mmada_tpu.data import synthetic as _synth
+        try:
+            from mmada_tpu.core.config import load_config
+            from mmada_tpu.serve.loader import (
+                build_prompting, build_text_tokenizer,
+            )
+            from mmada_tpu.data import synthetic as _synth
 
-        _ycfg = load_config(args["config"])
-        _tok = build_text_tokenizer(_ycfg)
-        in_dist_prompting = build_prompting(_ycfg, _tok, vocab)
-        rng_ids = jnp.asarray([
-            _tok([_synth.sentence(0)])["input_ids"][0][:24]
-        ], jnp.int32)
-        # 768-position forward grid SHARED with tools/quant_gate.py ckpt
-        # mode (same helper -> same measured quantity -> the two gate
-        # artifacts cannot disagree by sampling noise)
-        fwd_gate_ids = jnp.asarray(_synth.gate_forward_ids(_tok), jnp.int32)
-        gate_tokenizer = _tok
-        report["prompt_distribution"] = "training (synthetic banks)"
+            _ycfg = load_config(args["config"])
+            _tok = build_text_tokenizer(_ycfg)
+            in_dist_prompting = build_prompting(_ycfg, _tok, vocab)
+            rng_ids = jnp.asarray(
+                _synth.gate_forward_ids(_tok, n=1, seq_len=24, start=0),
+                jnp.int32,
+            )
+            # 768-position forward grid SHARED with tools/quant_gate.py
+            # ckpt mode (same helper -> same measured quantity -> the two
+            # gate artifacts cannot disagree by sampling noise)
+            fwd_gate_ids = jnp.asarray(
+                _synth.gate_forward_ids(_tok), jnp.int32
+            )
+            gate_tokenizer = _tok
+            report["prompt_distribution"] = "training (synthetic banks)"
+        except Exception as e:  # keep the one-command harness robust
+            in_dist_prompting = None
+            gate_tokenizer = None
+            logger.warning(
+                "gate prompt setup from %s failed (%r); gates fall back "
+                "to the rng grid — results are plumbing-grade only",
+                args["config"], e,
+            )
+            report["prompt_distribution"] = f"rng fallback ({e!r})"
 
     # ------------------------------------------------- 2. torch logit parity
     if torch_check:
@@ -295,12 +323,54 @@ def main(argv):
     }
 
     # --------------------------------------------------------- 5. quant gate
-    # bf16 forward logits are the reference, measured over the SAME
-    # 768-position in-distribution grid as tools/quant_gate.py ckpt mode
-    # (data/synthetic.gate_forward_ids) whenever a tokenizer is configured;
-    # dryrun falls back to the tiny rng batch.
+    # EVERY gate input is shared with tools/quant_gate.py ckpt mode when a
+    # tokenizer is configured: the 768-position forward grid
+    # (data/synthetic.gate_forward_ids), the decode prompts + operating
+    # point (quant_gate.gate_decode_inputs / GATE_TEXT_OP), and the smooth
+    # calibration — so for a given weight set the two artifacts compare
+    # token-identical quantities and the same promotion function. Round 3
+    # observed both failure modes the sharing closes: 24- vs 96-position
+    # forward samples flipping a verdict by noise, and different t2i
+    # decode samples flipping a boundary smooth arm. The dryrun /
+    # config-less path falls back to the tiny rng batch (plumbing check
+    # only — pass config= for a decision-grade run).
+    from quant_gate import (
+        GATE_TEXT_OP, GATE_TEXT_PROMPT_LEN, ckpt_promotion_checks,
+        gate_decode_inputs, smooth_calibration,
+    )
+
     if in_dist_prompting is None:
         fwd_gate_ids = rng_ids
+        g_prompt, g_frame, g_uncond = rng_ids, frame, uncond
+        g_text_fn, g_plen = exact_text_fn, rng_ids.shape[1]
+        g_t2i_fn = jax.jit(
+            lambda m, f, u: m.t2i_generate(
+                f, uncond_input_ids=u, temperature=0.0, greedy=True,
+                timesteps=15, guidance_scale=3.5, num_vq_tokens=n_vq,
+                key=jax.random.key(0),
+            )
+        )
+    else:
+        g_prompt, g_frame, g_uncond = gate_decode_inputs(
+            gate_tokenizer, in_dist_prompting, vocab, n_vq
+        )
+        g_prompt = jnp.asarray(g_prompt, jnp.int32)
+        g_frame = jnp.asarray(g_frame, jnp.int32)
+        g_uncond = jnp.asarray(g_uncond, jnp.int32)
+        g_plen = GATE_TEXT_PROMPT_LEN
+        g_text_fn = jax.jit(
+            lambda m, p: m.generate(p, temperature=0.0, **GATE_TEXT_OP)
+        )
+        g_t2i_fn = jax.jit(
+            lambda m, f, u: m.t2i_generate(
+                f, uncond_input_ids=u, temperature=0.0, greedy=True,
+                timesteps=15, guidance_scale=3.5, num_vq_tokens=n_vq,
+                key=jax.random.key(0),
+            )
+        )
+    g_ref_text = np.asarray(g_text_fn(model, g_prompt))[:, g_plen:]
+    g_ref_t2i = np.asarray(g_t2i_fn(model, jnp.asarray(g_frame),
+                                    jnp.asarray(g_uncond)))
     ref_logits = np.asarray(model.forward(fwd_gate_ids).astype(jnp.float32))
     ref_top1 = ref_logits.argmax(-1)
     # np.partition: [-2] is the 2nd-largest, [-1] the max
@@ -323,8 +393,6 @@ def main(argv):
             # different calib = different quantized model and possibly a
             # different verdict — QUANT_r*.json stays authoritative for
             # the headline; this stage is the mount-day screen).
-            from quant_gate import smooth_calibration
-
             if gate_tokenizer is not None:
                 sq_calib = smooth_calibration(
                     gate_tokenizer, in_dist_prompting, vocab, n_vq
@@ -339,17 +407,11 @@ def main(argv):
         qmodel = MMadaModel(cfg=cfg, params=qparams, vocab=vocab, policy=BF16)
         q_logits = np.asarray(
             qmodel.forward(fwd_gate_ids).astype(jnp.float32))
-        q_text = np.asarray(jax.jit(
-            lambda m, p: m.generate(p, gen_length=gen_len, steps=steps,
-                                    block_length=block, temperature=0.0)
-        )(qmodel, rng_ids))
-        q_t2i = np.asarray(jax.jit(
-            lambda m, f, u: m.t2i_generate(
-                f, uncond_input_ids=u, temperature=0.0, greedy=True,
-                timesteps=15, guidance_scale=3.5, num_vq_tokens=n_vq,
-                key=jax.random.key(0),
-            )
-        )(qmodel, jnp.asarray(frame), jnp.asarray(uncond)))
+        # decode agreement compares GENERATED tokens only (prompt rows
+        # trivially match and would dilute the slack)
+        q_text = np.asarray(g_text_fn(qmodel, g_prompt))[:, g_plen:]
+        q_t2i = np.asarray(g_t2i_fn(qmodel, jnp.asarray(g_frame),
+                                    jnp.asarray(g_uncond)))
         q_top1 = q_logits.argmax(-1)
         gate[scheme] = {
             "forward_top1_agreement": float((q_top1 == ref_top1).mean()),
@@ -360,20 +422,14 @@ def main(argv):
                 np.linalg.norm(q_logits - ref_logits)
                 / max(np.linalg.norm(ref_logits), 1e-9)
             ),
-            "text_decode_agreement": float((q_text == text_out).mean()),
-            "t2i_decode_agreement": float((q_t2i == t2i_out).mean()),
+            "text_decode_agreement": float((q_text == g_ref_text).mean()),
+            "t2i_decode_agreement": float((q_t2i == g_ref_t2i).mean()),
         }
         del qparams, qmodel
 
     # Promotion bar IS tools/quant_gate.py's (same function,
-    # ckpt_promotion_checks), and the forward sample is the same shared
-    # 768-position grid, so this artifact and QUANT_r*.json can never
-    # disagree on a promote decision for the same weights — round-3's
-    # first run proved 24- vs 96-position samples flip the verdict by
-    # pure noise, and independently-maintained rule copies had already
-    # diverged once (text-only vs t2i-slack).
-    from quant_gate import ckpt_promotion_checks
-
+    # ckpt_promotion_checks) over the same measured quantities (shared
+    # inputs above).
     gate["margin_stats"] = {
         "confident_fraction_at_0.05": float(confident.mean()),
     }
