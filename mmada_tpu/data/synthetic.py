@@ -109,6 +109,29 @@ def text_batches(batch_size: int, n_sentences: int = 64, seed: int = 1):
         yield {"input_ids": [bank[i] for i in idx]}
 
 
+def motion_clip(k: int, length: int = 192, pose_dim: int = 263) -> np.ndarray:
+    """Deterministic smooth motion clip for pattern id k: a rank-4
+    superposition of sinusoids (k-derived frequencies/phases) mixed into
+    pose_dim channels. The motion analog of `pattern_image`: through ANY
+    fixed VQ encoder each clip maps to one fixed code sequence, so
+    caption -> codes is a memorizable mapping — unlike the noise windows
+    of `train_motion_vq.py dataset.synthetic=true`, which exercise the
+    loop but cannot produce a model whose generations mean anything."""
+    rng = np.random.default_rng(1000 + k)
+    t = np.arange(length, dtype=np.float32)[:, None] / 32.0
+    freqs = rng.uniform(0.3, 2.0, size=(1, 4)).astype(np.float32)
+    phases = rng.uniform(0, 2 * np.pi, size=(1, 4)).astype(np.float32)
+    basis = np.sin(2 * np.pi * freqs * t + phases)           # (length, 4)
+    mix = (rng.normal(size=(4, pose_dim)) * 0.5).astype(np.float32)
+    return (basis @ mix).astype(np.float32)
+
+
+def motion_caption(k: int) -> str:
+    v = _VERB[k % len(_VERB)]
+    digits = " ".join(_DIGITS[int(c)] for c in f"{k:03d}")
+    return f"motion {digits} : a person {v} smoothly"
+
+
 def gate_forward_ids(tokenizer, n: int = 16, seq_len: int = 48,
                      start: int = 4) -> np.ndarray:
     """Fixed (n, seq_len) in-distribution token grid for the quantization

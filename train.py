@@ -222,7 +222,24 @@ def train_t2m(cfg):
         state = TrainState.create(model.params, opt)
         step = jax.jit(t2m.make_t2m_train_step(model, opt, sc))
 
-    if cfg.get_path("dataset.synthetic"):
+    if cfg.get_path("dataset.token_bank"):
+        # pre-tokenized deterministic bank (tools/motion_soak.py stage 2):
+        # caption -> fixed code sequence, so the mapping is LEARNABLE —
+        # unlike dataset.synthetic below, whose random tokens per sample
+        # only smoke-test the loop. Rows are already padded
+        # MotionTokenDataset-style (codes, EOM, PAD...).
+        bank = np.load(cfg.get_path("dataset.token_bank"))
+        bank_caps = [str(c) for c in bank["captions"]]
+        bank_toks = np.asarray(bank["tokens"], np.int64)
+        bank_lens = np.asarray(bank["lengths"], np.int64)
+
+        def samples():
+            rng = np.random.default_rng(0)
+            while True:
+                i = int(rng.integers(0, len(bank_caps)))
+                yield (bank_caps[i], bank_toks[i], int(bank_lens[i]))
+        stream = samples()
+    elif cfg.get_path("dataset.synthetic"):
         import itertools
 
         def samples():

@@ -51,7 +51,31 @@ def main(argv):
     vel_w = tr.get("vel_weight", 0.5)
     out_dir = cfg.get_path("experiment.output_dir", "motion-vq-output")
 
-    if cfg.get_path("dataset.synthetic"):
+    if cfg.get_path("dataset.synthetic_structured"):
+        # learnable deterministic clips (data/synthetic.motion_clip) at the
+        # CONFIGURED VQ size — the on-chip motion-family soak
+        # (tools/motion_soak.py); `dataset.synthetic=true` below stays the
+        # tiny noise smoke path
+        from mmada_tpu.data import synthetic as _synth
+
+        n_clips = int(cfg.get_path("dataset.n_patterns", 64))
+        bank = np.stack([
+            _synth.motion_clip(k, length=3 * window, pose_dim=mcfg.pose_dim)
+            for k in range(n_clips)
+        ])
+
+        def loader():
+            rng = np.random.default_rng(0)
+            while True:
+                ks = rng.integers(0, n_clips, size=batch_size)
+                starts = rng.integers(
+                    0, bank.shape[1] - window + 1, size=batch_size
+                )
+                yield np.stack([
+                    bank[k, s:s + window] for k, s in zip(ks, starts)
+                ])
+        batches = loader()
+    elif cfg.get_path("dataset.synthetic"):
         if tr.get("tiny", True):
             import dataclasses as _dc
 
