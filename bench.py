@@ -317,6 +317,25 @@ def main():
     sync(run_text_cached(model, text_prompt))
     text_cached_tok_s = text_gen / (time.perf_counter() - t0)
 
+    # cached + τ-parallel COMPOSED — the full promoted fast stack (both
+    # modes passed the trained-proxy gate; the composition is where the
+    # parallel commits actually pay: 2.9x vs exact on the proxy's cached
+    # config, PROXY_GATES_r03.json). Only measured when τ is promoted.
+    text_fast_tok_s = None
+    if par_tau is not None:
+        @jax.jit
+        def run_text_fast(model, prompt):
+            return model.generate(
+                prompt, gen_length=text_gen, steps=text_steps,
+                block_length=text_block, temperature=0.0,
+                block_kv_cache=True, parallel_threshold=par_tau,
+            )
+
+        sync(run_text_fast(model, text_prompt))
+        t0 = time.perf_counter()
+        sync(run_text_fast(model, text_prompt))
+        text_fast_tok_s = text_gen / (time.perf_counter() - t0)
+
     sync(run_mmu_cached(model, mmu_prefix))
     lats = []
     for _ in range(3):
@@ -370,6 +389,8 @@ def main():
                     "parallel_gate_artifact": par_artifact}
                    if text_par_tok_s else {}),
                 "text_tokens_per_s_kv_cached": round(text_cached_tok_s, 2),
+                **({"text_tokens_per_s_kv_parallel":
+                    round(text_fast_tok_s, 2)} if text_fast_tok_s else {}),
                 "mmu_p50_latency_s_kv_cached": round(mmu_cached_p50, 2),
                 **({"t2i_img_s_kv_cached": round(t2i_cached_img_s, 4)}
                    if t2i_cached_img_s else {}),
