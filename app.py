@@ -70,6 +70,20 @@ class AppState:
             self.engine = None
 
     # ------------------------------------------------------------- tasks
+    def _text_ids(self, prompt):
+        """Tokenize with a guaranteed leading BOS. Every LM training frame
+        starts with BOS (prompting/universal.py lm(); the reference's chat
+        template prepends bos_token, app.py:115), and plain tokenizers like
+        ByteTokenizer never insert it — serving a frame the model never saw
+        in training collapses output to EOS (found driving the trained
+        proxy, SERVE_PROXY_r03.json). Idempotent for HF tokenizers that
+        already add it."""
+        ids = list(self.tokenizer([prompt])["input_ids"][0])
+        bos = self.prompting.sp.bos
+        if not ids or ids[0] != bos:
+            ids = [bos] + ids
+        return [ids]
+
     def generate_text(self, prompt, gen_length=128, steps=64,
                       block_length=32, temperature=1.0, cfg_scale=0.0,
                       remasking="low_confidence", thinking=False, seed=0,
@@ -94,7 +108,7 @@ class AppState:
 
         if thinking:
             prompt = THINK_PREFIX + "\n" + prompt
-        ids = self.tokenizer([prompt])["input_ids"]
+        ids = self._text_ids(prompt)
         if self.engine is not None:
             from mmada_tpu.serve.engine import TextSettings
 
@@ -137,7 +151,7 @@ class AppState:
 
         if thinking:
             prompt = THINK_PREFIX + "\n" + prompt
-        ids = self.tokenizer([prompt])["input_ids"]
+        ids = self._text_ids(prompt)
         with self.lock:
             traj = self.model.generate_stepwise(
                 jnp.asarray(ids, jnp.int32),
@@ -177,7 +191,7 @@ class AppState:
 
         if thinking:
             prompt = THINK_PREFIX + "\n" + prompt
-        ids = self.tokenizer([prompt])["input_ids"]
+        ids = self._text_ids(prompt)
         mask_id = self.vocab.mask_token_id
         run = self.model.segmented_stepwise_run(
             jnp.asarray(ids, jnp.int32),

@@ -58,8 +58,13 @@ def main(argv):
             text = prompt_text
     else:
         text = prompt_text
-    ids = tokenizer([text])["input_ids"]
-    prompt = jnp.asarray(ids, jnp.int32)
+    ids = list(tokenizer([text])["input_ids"][0])
+    # every LM training frame starts with BOS (the reference chat template
+    # prepends bos_token, app.py:115); tokenizers without a chat template
+    # (ByteTokenizer) never insert it themselves — idempotent for HF ones
+    if not ids or ids[0] != vocab.bos_token_id:
+        ids = [vocab.bos_token_id] + ids
+    prompt = jnp.asarray([ids], jnp.int32)
 
     out = model.generate(
         prompt,

@@ -101,12 +101,30 @@ class PatternBank:
             }
 
 
-def text_batches(batch_size: int, n_sentences: int = 64, seed: int = 1):
+def text_batches(batch_size: int, n_sentences: int = 64, seed: int = 1,
+                 pack_chars: int = 0):
+    """`pack_chars > 0` concatenates randomly-drawn bank sentences up to
+    ~pack_chars characters per row, the way real LM corpora fill the
+    training frame. Without it, a ~60-char sentence inside the t2i-sized
+    concat frame (1090 tokens for the 512px proxy) drowns in EOS padding:
+    the reference keeps pad positions in the lm loss
+    (prompting_utils.py:249-250), so masked positions are ~95% EOS and
+    the model learns "masked → EOS" instead of the text (proxy campaign B
+    plateaued at loss_lm ≈ 0.12 with 0% infill accuracy; packing is the
+    data-side fix that keeps loss semantics reference-faithful)."""
     rng = np.random.default_rng(seed)
     bank = [sentence(i) for i in range(n_sentences)]
     while True:
-        idx = rng.integers(0, n_sentences, size=batch_size)
-        yield {"input_ids": [bank[i] for i in idx]}
+        rows = []
+        for _ in range(batch_size):
+            if pack_chars > 0:
+                parts = [bank[rng.integers(0, n_sentences)]]
+                while sum(len(p) + 1 for p in parts) < pack_chars:
+                    parts.append(bank[rng.integers(0, n_sentences)])
+                rows.append(" ".join(parts))
+            else:
+                rows.append(bank[rng.integers(0, n_sentences)])
+        yield {"input_ids": rows}
 
 
 def motion_clip(k: int, length: int = 192, pose_dim: int = 263) -> np.ndarray:
@@ -172,7 +190,8 @@ def build_structured_flows(cfg) -> dict:
         flows["t2i_flow"] = bank.batches(tr.batch_size_t2i, seed=2)
     if tr.get("batch_size_lm"):
         flows["lm_flow"] = text_batches(
-            tr.batch_size_lm, n_sentences=n_sentences, seed=3
+            tr.batch_size_lm, n_sentences=n_sentences, seed=3,
+            pack_chars=cfg.get_path("dataset.lm_pack_chars", 0),
         )
     if tr.get("batch_size_mmu"):
         flows["mmu_flow"] = bank.batches(tr.batch_size_mmu, seed=4)

@@ -18,6 +18,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from mmada_tpu.core.compile_cache import enable_compilation_cache
 from mmada_tpu.core.config import Config, parse_remat
 from mmada_tpu.core.precision import BF16, FP32, policy_from_name
 from mmada_tpu.core.vocab import MMADA_8B, VocabLayout, tiny_layout
@@ -39,8 +40,18 @@ def build_text_tokenizer(cfg: Config):
     if path and not cfg.get_path("model.mmada.random_init", False):
         from transformers import AutoTokenizer
 
-        tok = AutoTokenizer.from_pretrained(path, trust_remote_code=True)
-        return tok
+        try:
+            return AutoTokenizer.from_pretrained(path, trust_remote_code=True)
+        except Exception as e:
+            # locally-exported checkpoints (tools/export_checkpoint.py)
+            # carry weights + config.json but no tokenizer assets —
+            # serving one must not crash the app (found driving the
+            # trained proxy through app.py, round 3)
+            logger.warning(
+                "AutoTokenizer.from_pretrained(%s) failed (%s); falling "
+                "back to ByteTokenizer", path, e,
+            )
+            return ByteTokenizer()
     logger.warning("using ByteTokenizer (no pretrained tokenizer configured)")
     return ByteTokenizer()
 
@@ -126,6 +137,9 @@ def serving_mesh(cfg: Config):
 
 
 def build_model(cfg: Config, vocab: VocabLayout) -> MMadaModel:
+    # before any compile: serving cold-start is compile-dominated
+    # (core/compile_cache.py); every CLI/app builds its model here
+    enable_compilation_cache(cfg)
     m = cfg.get_path("model.mmada", Config())
     policy = policy_from_name(
         cfg.get_path("training.mixed_precision", "bf16")

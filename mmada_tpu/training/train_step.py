@@ -64,6 +64,9 @@ class StepConfig:
     mask_schedule: Callable = cosine_schedule
     lm_loss_mode: str = "llada"
     use_chat_lm: bool = False    # stage-3: lm rows carry prompt masks
+    lm_pad_loss: bool = True     # reference keeps EOS padding in the lm
+                                 # loss (prompting_utils.py:249-250);
+                                 # false = IGNORE pad labels (trainer)
     loss_chunk: int = 0          # >0: position-chunked vocab head (the
                                  # (B,L,134k) logits never materialize)
     log_param_grad_norms: bool = False  # per-weight-kind grad norms

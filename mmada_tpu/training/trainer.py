@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from mmada_tpu.core.compile_cache import enable_compilation_cache
 from mmada_tpu.core.config import Config
 from mmada_tpu.core.mesh import make_mesh
 from mmada_tpu.checkpoints.manager import CheckpointManager
@@ -67,6 +68,9 @@ class Trainer:
         self.prompting = prompting
         self.vq_params = vq_params
         self.vq_cfg = vq_cfg
+        # resumes/restarts skip the multi-minute train-step recompile when
+        # a cache dir is configured (core/compile_cache.py)
+        enable_compilation_cache(cfg)
 
         tr = cfg.get_path("training", Config())
         self.step_cfg = StepConfig(
@@ -86,6 +90,7 @@ class Trainer:
             lm_loss_mode=tr.get("lm_loss_mode", "llada"),
             loss_chunk=tr.get("loss_chunk", 0),
             use_chat_lm=tr.get("use_chat_lm", False),
+            lm_pad_loss=tr.get("lm_pad_loss", True),
             skip_nonfinite_updates=tr.get("skip_nonfinite_updates", True),
             log_param_grad_norms=tr.get("log_param_grad_norms", False),
         )
@@ -254,7 +259,21 @@ class Trainer:
                 )
                 batch["lm_prompt_masks"] = jnp.asarray(pmask)
             else:
-                ids, _, labels = self.prompting((flow["input_ids"], max_len), "lm")
+                ids, lm_mask, labels = self.prompting(
+                    (flow["input_ids"], max_len), "lm"
+                )
+                if not sc.lm_pad_loss:
+                    # training.lm_pad_loss=false: EOS padding beyond each
+                    # row's real text (+1 terminal EOS, inside lm_mask)
+                    # leaves the loss. The reference keeps pad in-loss
+                    # (prompting_utils.py:249-250) — harmless for corpora
+                    # that fill the frame, but when rows are much shorter
+                    # than the concat frame the masked positions become
+                    # ~95% EOS and the model learns "masked → EOS"
+                    # (proxy campaign B: loss_lm plateau 0.12, 0% infill)
+                    labels = np.where(
+                        np.asarray(lm_mask, bool), labels, L.IGNORE_ID
+                    )
             batch["lm_input_ids"] = jnp.asarray(ids)
             batch["lm_labels"] = jnp.asarray(labels)
         if sc.batch_size_mmu:
