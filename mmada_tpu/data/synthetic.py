@@ -176,6 +176,75 @@ def gate_forward_ids(tokenizer, n: int = 16, seq_len: int = 48,
     return np.asarray(rows, np.int64)
 
 
+def gate_decode_prompt_rows(tokenizer, bos_id: int, n: int = 8,
+                            prompt_len: int = 40,
+                            start: int = 0) -> np.ndarray:
+    """BOS-framed bank-sentence prefixes for the decode-agreement gates.
+
+    Training-frame-faithful: every LM training row starts with BOS
+    (prompting/universal.py lm()) and serving adds it too (app._text_ids)
+    — the first truth-gate calibration measured 0.17 completion accuracy
+    on BOS-less 24-token prompts vs deterministic completion at 40-token
+    BOS-framed ones (the digit→content-word recall is the model's weak
+    skill; local continuation is its strong one, and a quantization gate
+    wants to stand on the strong one). Fill-and-truncate appends further
+    bank sentences only when a subword tokenizer yields short rows —
+    never for the char-level proxy. Rows where fill kicked in have no
+    aligned truth (gate_text_truth returns None for them).
+    """
+    rows = []
+    for r in range(n):
+        ids: list = [bos_id]
+        j = start + r
+        while len(ids) < prompt_len:
+            ids.extend(tokenizer([sentence(j)])["input_ids"][0])
+            j += n
+        rows.append(ids[:prompt_len])
+    return np.asarray(rows, np.int64)
+
+
+def gate_text_truth(tokenizer, bos_id: int, n: int = 8,
+                    prompt_len: int = 40, start: int = 0) -> list:
+    """Known training-time continuation of each gate decode prompt row.
+
+    The packed LM flow (text_batches pack_chars) joins bank sentences
+    with a single space, so the deterministic continuation of a
+    mid-sentence prefix is the rest of THAT sentence plus the separator
+    and the next sentence's constant prefix " story"; everything after
+    (the next sentence's digits) is genuinely random across epochs.
+    Scoring generated tokens only on this span separates quantization /
+    approximation damage from intrinsic model entropy — raw
+    agreement-vs-reference over a full gen window conflates the two
+    (campaign C: int8 raw text agreement 0.54 on a model whose
+    memorized-span completion is exact). Rows whose tokenization is
+    shorter than prompt_len get None (no aligned truth).
+    """
+    truths = []
+    for r in range(n):
+        full = [bos_id] + tokenizer(
+            [sentence(start + r) + " story"]
+        )["input_ids"][0]
+        truths.append(
+            np.asarray(full[prompt_len:], np.int64)
+            if len(full) > prompt_len else None
+        )
+    return truths
+
+
+def truth_accuracy(gen_tokens, truths) -> float:
+    """Accuracy of (n, L) generated tokens against per-row truth spans;
+    None/empty rows are skipped; None if no scorable positions."""
+    num = den = 0
+    gen_tokens = np.asarray(gen_tokens)
+    for g, t in zip(gen_tokens, truths):
+        if t is None or t.size == 0:
+            continue
+        t = t[: g.shape[0]]
+        num += int((g[: t.size] == t).sum())
+        den += int(t.size)
+    return float(num / den) if den else None
+
+
 def build_structured_flows(cfg) -> dict:
     """Flows dict for CombinedLoader from `dataset.synthetic_structured`."""
     tr = cfg.training

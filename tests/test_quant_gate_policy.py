@@ -95,6 +95,61 @@ def test_broken_control_blocks_everything():
     assert not checks["int8_control_decodes_cleanly"]
 
 
+def _truth_report(**arms):
+    """Trained-proxy report skeleton: truth-anchored decode keys present
+    (the policy function must branch to truth-vs-int8 checks)."""
+    base = {
+        "bf16": {"text_decode_truth_acc": 0.97, "t2i_decode_truth_acc": 0.99},
+        "int8": {
+            "forward_top1_agreement": 0.983,
+            "forward_top1_agreement_margin": 0.999,
+            "text_decode_truth_acc": 0.96,
+            "t2i_decode_truth_acc": 0.985,
+        },
+        "margin_stats": {"confident_fraction_at_0.05": 0.94},
+    }
+    base.update(arms)
+    return base
+
+
+def _truth_arm(raw=0.98, margin=0.997, text=0.95, t2i=0.98):
+    return {
+        "forward_top1_agreement": raw,
+        "forward_top1_agreement_margin": margin,
+        "text_decode_truth_acc": text,
+        "t2i_decode_truth_acc": t2i,
+    }
+
+
+def test_truth_mode_healthy_arm_promotes():
+    checks = ckpt_promotion_checks(_truth_report(w8a8=_truth_arm()), "w8a8")
+    assert "text_truth_not_worse_than_int8" in checks  # truth branch taken
+    assert "text_decode_not_worse_than_int8" not in checks
+    assert all(checks.values()), checks
+
+
+def test_truth_mode_arm_below_int8_demotes():
+    checks = ckpt_promotion_checks(
+        _truth_report(int4=_truth_arm(text=0.80)), "int4")
+    assert not checks["text_truth_not_worse_than_int8"]
+
+
+def test_truth_mode_degenerate_bank_blocks_everything():
+    # campaign B: all-EOS output "agreed" trivially; the instrument must
+    # refuse to promote when bf16 itself cannot reproduce the bank
+    rep = _truth_report(w8a8=_truth_arm())
+    rep["bf16"]["text_decode_truth_acc"] = 0.1
+    checks = ckpt_promotion_checks(rep, "w8a8")
+    assert not checks["bank_memorized"]
+
+
+def test_truth_mode_broken_int8_control_blocks():
+    rep = _truth_report(w8a8=_truth_arm())
+    rep["int8"]["text_decode_truth_acc"] = 0.5  # control lost the bank
+    checks = ckpt_promotion_checks(rep, "w8a8")
+    assert not checks["int8_control_preserves_truth"]
+
+
 def test_harness_shares_policy_and_inputs():
     """The harness must not re-grow its own copies of the promotion rule
     or the gate inputs (forward grid / decode prompts / calibration)."""

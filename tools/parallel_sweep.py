@@ -4,13 +4,21 @@
 each step (plus block early-exit) — measured 1056 tok/s full-commit
 ceiling on random weights (BASELINE.md round-2c), but its REALIZED
 speedup and its quality are data-dependent: both need a model with real
-margins. This sweeps τ against the exact sampler on in-distribution
-prompts (same rationale as tools/quant_gate.py ckpt mode) and records,
-per τ: token agreement with the exact decode, wall-clock speedup, and a
-recommendation (largest τ-speedup whose agreement ≥ 0.95).
+margins. This sweeps τ on the SHARED gate decode inputs
+(quant_gate.gate_decode_inputs: BOS-framed mid-sentence bank prefixes +
+GATE_TEXT_OP) and scores each τ TRUTH-ANCHORED: accuracy on the known
+training-time continuation (data/synthetic.gate_text_truth), relative
+to the exact sampler's own truth accuracy. Raw agreement-vs-exact over
+the full gen window is also recorded but NOT gated on — past the
+determinable span the exact sampler's output is intrinsic entropy, and
+any step-order change flips it (round-3 artifact: τ=0.9 "agreement"
+0.56 on a proxy whose memorized-span completion was exact).
 
-    python tools/parallel_sweep.py ckpt=proxy-output/export \
-        config=configs/proxy_160m.yaml out=PARALLEL_r03.json
+Recommendation: largest realized speedup whose truth accuracy is within
+0.01 of exact's, provided exact itself memorized the bank (>= 0.5).
+
+    python tools/parallel_sweep.py ckpt=proxy-output-d/export \
+        config=proxy-output-d/config.yaml out=PARALLEL_r03.json
 """
 
 import json
@@ -20,11 +28,13 @@ import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # quant_gate
 
 logger = logging.getLogger("parallel_sweep")
 
 TAUS = (0.95, 0.9, 0.8, 0.7, 0.5)
-AGREEMENT_MIN = 0.95
+TRUTH_SLACK = 0.01
+BANK_MEMORIZED_MIN = 0.5
 
 
 def main(argv):
@@ -40,6 +50,7 @@ def main(argv):
     import jax.numpy as jnp
     import numpy as np
 
+    from quant_gate import GATE_TEXT_OP, GATE_TEXT_PROMPT_LEN
     from mmada_tpu.checkpoints.hf_import import (
         config_from_hf_json, load_pretrained,
     )
@@ -55,18 +66,21 @@ def main(argv):
     ycfg = load_config(args.get("config", "configs/proxy_160m.yaml"))
     tokenizer = build_text_tokenizer(ycfg)
     vocab = build_vocab(ycfg)
-    build_prompting(ycfg, tokenizer, vocab)  # validates config plumb-through
+    prompting = build_prompting(ycfg, tokenizer, vocab)
 
     cfg = config_from_hf_json(ckpt)
     params = load_pretrained(ckpt, cfg, dtype=jnp.bfloat16)
     model = MMadaModel(cfg=cfg, params=params, vocab=vocab, policy=BF16)
 
-    n_text, prompt_len = 2, 24
-    prompt = jnp.asarray([
-        tokenizer([synthetic.sentence(i)])["input_ids"][0][:prompt_len]
-        for i in range(n_text)
-    ], jnp.int32)
-    gen_len, steps, block = 64, 32, 32
+    n_text, prompt_len = 8, GATE_TEXT_PROMPT_LEN
+    prompt = jnp.asarray(synthetic.gate_decode_prompt_rows(
+        tokenizer, prompting.sp.bos, n=n_text,
+        prompt_len=prompt_len, start=0,
+    ), jnp.int32)
+    truths = synthetic.gate_text_truth(
+        tokenizer, prompting.sp.bos, n=n_text,
+        prompt_len=prompt_len, start=0,
+    )
 
     def sync(x):
         return int(jax.device_get(jnp.asarray(x).sum()))
@@ -80,45 +94,47 @@ def main(argv):
         return np.asarray(out), time.perf_counter() - t0
 
     exact_fn = jax.jit(
-        lambda m, p: m.generate(p, gen_length=gen_len, steps=steps,
-                                block_length=block, temperature=0.0)
+        lambda m, p: m.generate(p, temperature=0.0, **GATE_TEXT_OP)
     )
     exact, exact_dt = timed(exact_fn, prompt)
+    exact_truth = synthetic.truth_accuracy(exact[:, prompt_len:], truths)
+    bank_ok = exact_truth is not None and exact_truth >= BANK_MEMORIZED_MIN
 
     report = {
         "checkpoint": ckpt,
-        "operating_point": {"prompt": prompt_len, "gen": gen_len,
-                            "steps": steps, "block": block,
-                            "temperature": 0.0, "batch": n_text},
+        "operating_point": {"prompt": prompt_len, "batch": n_text,
+                            "temperature": 0.0, **GATE_TEXT_OP},
         "exact_seconds": round(exact_dt, 4),
-        "agreement_min": AGREEMENT_MIN,
+        "exact_truth_acc": round(exact_truth, 4),
+        "bank_memorized": bool(bank_ok),
+        "truth_slack": TRUTH_SLACK,
         "sweep": [],
     }
     best = None
     for tau in TAUS:
         fn = jax.jit(
             lambda m, p, t=tau: m.generate(
-                p, gen_length=gen_len, steps=steps, block_length=block,
-                temperature=0.0, parallel_threshold=t,
+                p, temperature=0.0, parallel_threshold=t, **GATE_TEXT_OP,
             )
         )
         out, dt = timed(fn, prompt)
-        agree = float(
-            (out[:, prompt_len:] == exact[:, prompt_len:]).mean()
-        )
+        gen = out[:, prompt_len:]
+        truth_acc = synthetic.truth_accuracy(gen, truths)
+        agree = float((gen == exact[:, prompt_len:]).mean())
         entry = {
             "tau": tau,
+            "truth_acc": round(truth_acc, 4),
             "agreement": round(agree, 4),
             "seconds": round(dt, 4),
             "speedup_vs_exact": round(exact_dt / max(dt, 1e-9), 3),
         }
         report["sweep"].append(entry)
-        logger.info("tau=%.2f agreement=%.4f speedup=%.2fx",
-                    tau, agree, entry["speedup_vs_exact"])
-        if agree >= AGREEMENT_MIN and (
+        logger.info("tau=%.2f truth=%.4f agreement=%.4f speedup=%.2fx",
+                    tau, truth_acc, agree, entry["speedup_vs_exact"])
+        if (bank_ok and truth_acc >= exact_truth - TRUTH_SLACK and (
             best is None
             or entry["speedup_vs_exact"] > best["speedup_vs_exact"]
-        ):
+        )):
             best = entry
     report["recommended"] = best
     report["promote_parallel"] = best is not None

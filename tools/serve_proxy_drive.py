@@ -156,8 +156,14 @@ def main(argv):
         report["t2i"] = t2i_rows
 
         report["engine_stats"] = _get(port, "/stats").get("engine")
+        # the VQ reconstruction of the pattern is the best ANY generation
+        # can do (the model emits VQ codes); "served explains the pattern
+        # nearly as well as the VQ floor does" is the scale-free bar — an
+        # absolute mse-vs-recon bar at 0.25*variance wrongly fails
+        # low-variance patterns that sit ON the floor (first drive: row 0
+        # ratio 0.95 yet flagged)
         near_floor = all(
-            r["mse_vs_vq_recon"] < 0.25 * r["pattern_variance"]
+            r["mse_vs_pattern"] <= 1.25 * r["vq_floor_mse"]
             for r in t2i_rows
         )
         report["ok"] = bool(near_floor and report["text"]["exact"]["text"])
