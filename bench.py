@@ -225,9 +225,9 @@ def main():
     # ------------------------------------- confidence-parallel (promoted)
     # τ-threshold parallel decoding (extra tokens commit early when their
     # softmax confidence clears τ). Reported as a first-class number only
-    # when the latest trained-checkpoint gate promoted it — the 165M
-    # on-chip proxy measured 0.992 agreement at 2.73x vs exact
-    # (PROXY_GATES_r03.json kv_cache_gate; τ sweep in PARALLEL_r03.json).
+    # when the latest trained-checkpoint gate promoted it — the
+    # truth-anchored campaign-D gate currently DEMOTES every τ
+    # (PROXY_GATES_r03.json kv_cache_gate; sweep in PARALLEL_r03.json).
     text_par_tok_s = None
     if par_tau is not None:
         @jax.jit
@@ -317,10 +317,11 @@ def main():
     sync(run_text_cached(model, text_prompt))
     text_cached_tok_s = text_gen / (time.perf_counter() - t0)
 
-    # cached + τ-parallel COMPOSED — the full promoted fast stack (both
-    # modes passed the trained-proxy gate; the composition is where the
-    # parallel commits actually pay: 2.9x vs exact on the proxy's cached
-    # config, PROXY_GATES_r03.json). Only measured when τ is promoted.
+    # cached + τ-parallel COMPOSED — the full opt-in fast stack. Only
+    # measured when the latest trained-proxy gate promoted τ; the
+    # truth-anchored campaign-D gate DEMOTED it (−8..−10pp memorized-span
+    # accuracy at every τ, PARALLEL_r03.json / BASELINE.md round-3q), so
+    # this block is currently skipped and the keys absent by design.
     text_fast_tok_s = None
     if par_tau is not None:
         @jax.jit
@@ -394,8 +395,7 @@ def main():
                     "kv_parallel_note":
                     "bench weights are random (margin-starved), so "
                     "confidence never clears tau and this FLOOR equals "
-                    "kv_cached; on the trained proxy the same composition "
-                    "measured 2.9x vs exact (PROXY_GATES_r03.json)"}
+                    "kv_cached"}
                    if text_fast_tok_s else {}),
                 "mmu_p50_latency_s_kv_cached": round(mmu_cached_p50, 2),
                 **({"t2i_img_s_kv_cached": round(t2i_cached_img_s, 4)}
