@@ -45,6 +45,12 @@ class AppState:
         self.default_parallel_threshold = float(
             cfg.get_path("serving.parallel_threshold", 0.0)
         )
+        # cached-mode staleness knob: re-capture K/V every N steps
+        # (0 = once per block/run; refresh=1 is exact — see round-3q's
+        # kv quality price and KV_REFRESH_r03.json for the frontier)
+        self.default_cache_refresh = int(
+            cfg.get_path("serving.cache_refresh_every", 0)
+        )
         # >0: engine runs exact text/mmu requests as <=N-step chunked
         # programs, interleaving concurrent tasks at chunk boundaries
         # (no head-of-line blocking; token-identical — serve/engine.py)
@@ -88,13 +94,15 @@ class AppState:
                       block_length=32, temperature=1.0, cfg_scale=0.0,
                       remasking="low_confidence", thinking=False, seed=0,
                       kv_cache=None, parallel_threshold=None,
-                      segment_steps=None):
+                      cache_refresh_every=None, segment_steps=None):
         # None -> deployment-wide serving.* defaults (covers every
         # frontend: HTTP, gradio, direct API use)
         if kv_cache is None:
             kv_cache = self.default_kv_cache
         if parallel_threshold is None:
             parallel_threshold = self.default_parallel_threshold
+        if cache_refresh_every is None:
+            cache_refresh_every = self.default_cache_refresh
         if segment_steps is None:
             segment_steps = self.default_segment_steps
         if kv_cache:
@@ -117,6 +125,7 @@ class AppState:
                 block_length=block_length, temperature=temperature,
                 cfg_scale=cfg_scale, remasking=remasking,
                 block_kv_cache=kv_cache, parallel_threshold=parallel_threshold,
+                cache_refresh_every=cache_refresh_every,
                 segment_steps=segment_steps,
             )
             fut = self.engine.submit_text(
@@ -134,6 +143,7 @@ class AppState:
                     if (temperature > 0 or remasking == "random") else None,
                     block_kv_cache=kv_cache,
                     parallel_threshold=parallel_threshold,
+                    cache_refresh_every=cache_refresh_every,
                     segment_steps=segment_steps,
                 )
         answer = np.asarray(out[0, len(ids[0]):])
@@ -354,11 +364,14 @@ class AppState:
     def mmu(self, image_arr, question, max_new_tokens=128, steps=64,
             block_length=64, temperature=0.0, cfg_scale=0.0,
             remasking="low_confidence", seed=0, kv_cache=None,
-            parallel_threshold=None, segment_steps=None):
+            parallel_threshold=None, cache_refresh_every=None,
+            segment_steps=None):
         if kv_cache is None:
             kv_cache = self.default_kv_cache
         if parallel_threshold is None:
             parallel_threshold = self.default_parallel_threshold
+        if cache_refresh_every is None:
+            cache_refresh_every = self.default_cache_refresh
         if segment_steps is None:
             segment_steps = self.default_segment_steps
         if kv_cache:  # cached decode wins over segmentation (see generate_text)
@@ -388,6 +401,7 @@ class AppState:
                 block_length=block_length, temperature=temperature,
                 cfg_scale=cfg_scale, remasking=remasking,
                 block_kv_cache=kv_cache, parallel_threshold=parallel_threshold,
+                cache_refresh_every=cache_refresh_every,
                 segment_steps=segment_steps,
             )
             fut = self.engine.submit_mmu(frame[0], settings, seed=seed)
@@ -401,6 +415,7 @@ class AppState:
                     remasking=remasking, key=jax.random.key(seed),
                     block_kv_cache=kv_cache,
                     parallel_threshold=parallel_threshold,
+                    cache_refresh_every=cache_refresh_every,
                     segment_steps=segment_steps,
                 )
         answer = np.asarray(out[0, frame.shape[1]:])
@@ -471,6 +486,9 @@ def run_http(state: AppState, port: int):
                         parallel_threshold=(
                             float(req["parallel_threshold"])
                             if "parallel_threshold" in req else None),
+                        cache_refresh_every=(
+                            int(req["cache_refresh_every"])
+                            if "cache_refresh_every" in req else None),
                         segment_steps=(
                             int(req["segment_steps"])
                             if "segment_steps" in req else None),
@@ -628,6 +646,9 @@ def run_http(state: AppState, port: int):
                         parallel_threshold=(
                             float(req["parallel_threshold"])
                             if "parallel_threshold" in req else None),
+                        cache_refresh_every=(
+                            int(req["cache_refresh_every"])
+                            if "cache_refresh_every" in req else None),
                         segment_steps=(
                             int(req["segment_steps"])
                             if "segment_steps" in req else None),

@@ -34,6 +34,12 @@ def main(argv):
         "parallel_threshold",
         cfg.get_path("serving.parallel_threshold", 0.0),
     ))
+    # cached-mode staleness knob: re-capture K/V every N steps (0 = once
+    # per block; refresh=1 is token-exact vs the uncached sampler)
+    cache_refresh_every = int(cfg.get(
+        "cache_refresh_every",
+        cfg.get_path("serving.cache_refresh_every", 0),
+    ))
     # exact sampler as <=N-step device programs (token-identical; for
     # heavy op points under bounded execution time)
     segment_steps = int(cfg.get(
@@ -76,6 +82,7 @@ def main(argv):
         key=jax.random.key(seed) if temperature > 0 else None,
         block_kv_cache=kv_cache,
         parallel_threshold=parallel_threshold,
+        cache_refresh_every=cache_refresh_every,
         segment_steps=segment_steps,
     )
     answer = out[0, prompt.shape[1]:]

@@ -37,6 +37,12 @@ def main(argv):
         "parallel_threshold",
         cfg.get_path("serving.parallel_threshold", 0.0),
     ))
+    # cached-mode staleness knob: re-capture K/V every N steps (0 = once
+    # per block; refresh=1 is token-exact vs the uncached sampler)
+    cache_refresh_every = int(cfg.get(
+        "cache_refresh_every",
+        cfg.get_path("serving.cache_refresh_every", 0),
+    ))
     # Exact sampler only: split the denoise scan into <=N-step programs
     # (token-identical; needed for heavy op points on the tunneled chip,
     # whose worker kills single executions over ~60 s).
@@ -94,6 +100,7 @@ def main(argv):
                 key=jax.random.key(seed),
                 block_kv_cache=kv_cache,
                 parallel_threshold=parallel_threshold,
+                cache_refresh_every=cache_refresh_every,
             )
         else:
             out = model.mmu_generate(
@@ -104,6 +111,7 @@ def main(argv):
                 key=jax.random.key(seed),
                 block_kv_cache=kv_cache,
                 parallel_threshold=parallel_threshold,
+                cache_refresh_every=cache_refresh_every,
                 segment_steps=segment_steps,
             )
         answer_ids = np.asarray(out[0, frame.shape[1]:])

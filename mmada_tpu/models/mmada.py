@@ -341,10 +341,14 @@ class MMadaModel:
     def generate(self, prompt, gen_length=128, steps=128, block_length=128,
                  temperature=0.0, cfg_scale=0.0, remasking="low_confidence",
                  key=None, block_kv_cache=False, parallel_threshold=0.0,
-                 segment_steps=0):
+                 cache_refresh_every=0, segment_steps=0):
         """`block_kv_cache=True` switches to the approximate block-cached
         decode (per-step forwards touch only the active block — the big
         long-prompt latency lever; see `_text_cache_fns`).
+        `cache_refresh_every=N` (cached mode, 0 = off) re-captures the
+        full-sequence K/V every N steps within a block — the
+        staleness/quality knob (refresh=1 is token-exact vs the uncached
+        sampler; SemiARConfig.cache_refresh_every).
         `parallel_threshold` (0 = off) additionally commits every
         candidate above that confidence per step and exits each block as
         soon as it completes (SemiARConfig.parallel_threshold).
@@ -358,6 +362,7 @@ class MMadaModel:
             temperature=temperature, cfg_scale=cfg_scale, remasking=remasking,
             mask_id=self.vocab.mask_token_id,
             parallel_threshold=parallel_threshold,
+            cache_refresh_every=cache_refresh_every,
         )
         if segment_steps:
             run = self._segmented_run(
@@ -509,7 +514,7 @@ class MMadaModel:
                      block_length=128, temperature=0.0, cfg_scale=0.0,
                      remasking="low_confidence", key=None,
                      block_kv_cache=False, parallel_threshold=0.0,
-                     segment_steps=0):
+                     cache_refresh_every=0, segment_steps=0):
         """Identical denoiser; prompt already contains the <|mmu|> image frame."""
         return self.generate(
             input_ids, gen_length=max_new_tokens, steps=steps,
@@ -517,6 +522,7 @@ class MMadaModel:
             cfg_scale=cfg_scale, remasking=remasking, key=key,
             block_kv_cache=block_kv_cache,
             parallel_threshold=parallel_threshold,
+            cache_refresh_every=cache_refresh_every,
             segment_steps=segment_steps,
         )
 
@@ -587,19 +593,20 @@ class MMadaModel:
         settings = (x.shape, max_new_tokens, steps, block_length,
                     temperature, cfg_scale, bool(block_kv_cache) if
                     block_kv_cache != "int8" else "int8",
-                    parallel_threshold)
+                    parallel_threshold, 0)  # pinned runner is refresh-0
         model_pinned._pinned_fast_runner = (compiled, arg_fmts[1:], settings)
         return model_pinned
 
     def mmu_generate_fast(self, input_ids, eot_token: int, max_new_tokens=128,
                           steps=128, block_length=128, temperature=0.0,
                           cfg_scale=0.0, key=None, block_kv_cache=False,
-                          parallel_threshold=0.0):
+                          parallel_threshold=0.0, cache_refresh_every=0):
         scfg = text_sampling.SemiARConfig(
             gen_length=max_new_tokens, steps=steps, block_length=block_length,
             temperature=temperature, cfg_scale=cfg_scale,
             mask_id=self.vocab.mask_token_id,
             parallel_threshold=parallel_threshold,
+            cache_refresh_every=cache_refresh_every,
         )
         if block_kv_cache:
             self._validate_kv_cache_support()  # raise before the block loop
@@ -615,7 +622,7 @@ class MMadaModel:
             want = ((b, p + max_new_tokens), max_new_tokens, steps,
                     block_length, temperature, cfg_scale,
                     bool(block_kv_cache) if block_kv_cache != "int8"
-                    else "int8", parallel_threshold)
+                    else "int8", parallel_threshold, cache_refresh_every)
             if want == settings:
                 def run_block(block_cfg, x, prompt_index, block_end,
                               step_keys, transfers):

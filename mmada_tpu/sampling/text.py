@@ -148,6 +148,17 @@ class SemiARConfig:
     threshold never fires (τ > 1). Approximate in the same sense as
     MaskGIT itself — more tokens finalize per forward. Intended for
     'low_confidence' remasking (the threshold compares probabilities)."""
+    cache_refresh_every: int = 0
+    """KV-cached decode only (0 = capture once per block): re-capture the
+    full-sequence K/V every N denoise steps WITHIN a block, bounding the
+    out-of-block freeze staleness to N steps of in-block reveals. Each
+    refresh costs one full-sequence forward; refresh=1 re-captures before
+    every step, making the cached decode token-exact vs the uncached
+    sampler (pinned in tests/test_kv_cache.py) — the text twin of
+    t2i's MaskGITConfig.cache_refresh_every. This is the quality knob the
+    truth-anchored gate demotion points at: block-KV freeze measured
+    −6pp memorized-span accuracy on the trained proxy (BASELINE.md
+    round-3q); KV_REFRESH_r03.json maps the cadence/quality frontier."""
 
     def __post_init__(self):
         if self.parallel_threshold > 0.0 and self.remasking != "low_confidence":
@@ -230,11 +241,85 @@ def _denoise_step(
 
 
 def _run_block_steps(cfg, x, block_logits_fn, block_end, step_keys,
-                     transfers, needs_key, collect_states):
+                     transfers, needs_key, collect_states,
+                     refresh_ctx=None):
     """Inner per-block denoise loop. Normally a `lax.scan` over the fixed
     step schedule; with `parallel_threshold` it becomes a `lax.while_loop`
     that exits as soon as the block has no masks left — the forwards for
-    trailing no-op steps are never launched."""
+    trailing no-op steps are never launched.
+
+    `refresh_ctx=(recapture, logits_of_kv, kv0)` (cached mode with
+    `cache_refresh_every > 0` only): the K/V cache rides the loop carry
+    and is re-captured from the CURRENT tokens every N steps via
+    `lax.cond` — the same carry pattern as t2i's refresh
+    (sampling/t2i._make_step)."""
+    refresh = cfg.cache_refresh_every
+    if refresh_ctx is not None and refresh > 0:
+        recapture, logits_of_kv, kv0 = refresh_ctx
+
+        def _maybe_refresh(it, xc, kv):
+            return jax.lax.cond(
+                jnp.logical_and(it > 0, it % refresh == 0),
+                lambda a: recapture(a[0]),
+                lambda a: a[1],
+                (xc, kv),
+            )
+
+        if cfg.parallel_threshold > 0.0:
+            if collect_states:
+                raise ValueError(
+                    "parallel_threshold has a data-dependent step count "
+                    "and cannot collect a fixed-shape trajectory; use the "
+                    "exact sampler for stepwise visualization"
+                )
+            b = x.shape[0]
+            spb = transfers.shape[1]
+
+            def cond(carry):
+                xc, it, _ = carry
+                blk = jax.lax.dynamic_slice(
+                    xc, (0, block_end - cfg.block_length),
+                    (b, cfg.block_length),
+                )
+                return jnp.logical_and(it < spb,
+                                       jnp.any(blk == cfg.mask_id))
+
+            def body(carry):
+                xc, it, kv = carry
+                kv = _maybe_refresh(it, xc, kv)
+                xc = _denoise_step(
+                    xc,
+                    step_keys[it] if needs_key else None,
+                    transfers[:, it],
+                    logits_of_kv(kv),
+                    block_end,
+                    cfg,
+                )
+                return xc, it + 1, kv
+
+            x, _, _ = jax.lax.while_loop(cond, body, (x, jnp.int32(0), kv0))
+            return x, None
+
+        def step(carry, sinp):
+            xc, kv = carry
+            it, step_key, n_transfer = sinp
+            kv = _maybe_refresh(it, xc, kv)
+            x_next = _denoise_step(
+                xc,
+                step_key if needs_key else None,
+                n_transfer,
+                logits_of_kv(kv),
+                block_end,
+                cfg,
+            )
+            return (x_next, kv), (x_next if collect_states else None)
+
+        steps_idx = jnp.arange(transfers.shape[1], dtype=jnp.int32)
+        (x, _), states = jax.lax.scan(
+            step, (x, kv0), (steps_idx, step_keys, transfers.T)
+        )
+        return x, states
+
     if cfg.parallel_threshold > 0.0:
         if collect_states:
             raise ValueError(
@@ -344,9 +429,18 @@ def _generate_scan(
         block_mask = (block_slice == cfg.mask_id).sum(axis=1)
         transfers = num_transfer_schedule(block_mask, spb)  # (B, spb)
 
+        refresh_ctx = None
         if cache_fns is not None:
             kv = _capture_block_kv(cfg, cache_fns[0], x, prompt_index)
             block_logits_fn = _cached_block_logits_fn(cfg, cache_fns[1], kv)
+            if cfg.cache_refresh_every > 0:
+                refresh_ctx = (
+                    lambda xc: _capture_block_kv(
+                        cfg, cache_fns[0], xc, prompt_index),
+                    lambda kv_: _cached_block_logits_fn(
+                        cfg, cache_fns[1], kv_),
+                    kv,
+                )
         else:
             block_logits_fn = _windowed_block_logits_fn(
                 cfg, window_forward_fn, prompt_index
@@ -354,7 +448,7 @@ def _generate_scan(
 
         return _run_block_steps(
             cfg, x, block_logits_fn, block_end, step_keys, transfers,
-            needs_key, collect_states,
+            needs_key, collect_states, refresh_ctx=refresh_ctx,
         )
 
     block_idx = jnp.arange(nb, dtype=jnp.int32)
@@ -426,9 +520,17 @@ def run_block_eager(
     what makes blocks 2..N reuse block 1's executable."""
     needs_key = cfg.temperature > 0 or cfg.remasking == "random"
 
+    refresh_ctx = None
     if cache_fns is not None:
         kv = _capture_block_kv(cfg, cache_fns[0], x, prompt_index)
         block_logits_fn = _cached_block_logits_fn(cfg, cache_fns[1], kv)
+        if cfg.cache_refresh_every > 0:
+            refresh_ctx = (
+                lambda xc: _capture_block_kv(
+                    cfg, cache_fns[0], xc, prompt_index),
+                lambda kv_: _cached_block_logits_fn(cfg, cache_fns[1], kv_),
+                kv,
+            )
     else:
         block_logits_fn = _windowed_block_logits_fn(
             cfg, window_forward_fn, prompt_index
@@ -436,7 +538,7 @@ def run_block_eager(
 
     x, states = _run_block_steps(
         cfg, x, block_logits_fn, block_end, step_keys, transfers,
-        needs_key, collect_states=collect_states,
+        needs_key, collect_states=collect_states, refresh_ctx=refresh_ctx,
     )
     # collect_states: (x, (W, B, L) per-step token states) — powers the
     # chunked stepwise stream (SegmentedRun(collect_states=True))

@@ -100,6 +100,73 @@ def test_cached_multi_step_completes():
     assert (out != vl.mask_token_id).all()
 
 
+def test_text_cached_refresh_exact_at_one():
+    """cache_refresh_every=1 re-captures the full-sequence K/V from the
+    CURRENT tokens before every step, so the cached text decode must equal
+    the exact sampler token-for-token even at steps_per_block > 1 (the
+    text twin of test_t2i_cached_refresh_every; the kv rides the scan
+    carry through a lax.cond)."""
+    m, vl = _model()
+    prompt = jax.random.randint(jax.random.key(21), (2, 8), 3, 200)
+    kw = dict(gen_length=32, steps=8, block_length=16, temperature=0.0)
+    exact = m.generate(prompt, **kw)
+    refreshed = m.generate(prompt, **kw, block_kv_cache=True,
+                           cache_refresh_every=1)
+    np.testing.assert_array_equal(np.asarray(exact), np.asarray(refreshed))
+
+
+def test_text_cached_refresh_exact_at_one_cfg():
+    """Same with CFG (doubled-batch recapture inside the scan body)."""
+    m, vl = _model()
+    prompt = jax.random.randint(jax.random.key(22), (2, 8), 3, 200)
+    kw = dict(gen_length=32, steps=8, block_length=16, temperature=0.0,
+              cfg_scale=1.5)
+    exact = m.generate(prompt, **kw)
+    refreshed = m.generate(prompt, **kw, block_kv_cache=True,
+                           cache_refresh_every=1)
+    np.testing.assert_array_equal(np.asarray(exact), np.asarray(refreshed))
+
+
+def test_text_cached_refresh_cadence_completes():
+    """Mid-cadence refresh (approximate, staleness bounded to N steps):
+    fills every mask, keeps the prompt, and is deterministic; also runs
+    under jit with the model as argument (the serving path)."""
+    m, vl = _model()
+    prompt = jax.random.randint(jax.random.key(23), (2, 8), 3, 200)
+    fn = jax.jit(lambda mm, p: mm.generate(
+        p, gen_length=32, steps=8, block_length=16, temperature=0.0,
+        block_kv_cache=True, cache_refresh_every=2))
+    out = np.asarray(fn(m, prompt))
+    assert out.shape == (2, 40)
+    np.testing.assert_array_equal(out[:, :8], np.asarray(prompt))
+    assert (out != vl.mask_token_id).all()
+    np.testing.assert_array_equal(out, np.asarray(fn(m, prompt)))
+
+
+def test_text_cached_refresh_with_parallel_threshold():
+    """refresh composes with confidence-parallel decoding (the while_loop
+    path carries the kv): completes and keeps the prompt."""
+    m, vl = _model()
+    prompt = jax.random.randint(jax.random.key(24), (2, 8), 3, 200)
+    out = np.asarray(m.generate(
+        prompt, gen_length=32, steps=8, block_length=16, temperature=0.0,
+        block_kv_cache=True, cache_refresh_every=2, parallel_threshold=0.9))
+    assert out.shape == (2, 40)
+    np.testing.assert_array_equal(out[:, :8], np.asarray(prompt))
+    assert (out != vl.mask_token_id).all()
+
+
+def test_text_cached_refresh_int8_cache_runs():
+    """refresh + int8-quantized cache: the recaptured cache is quantized
+    by the same capture fn, so the composition must run end-to-end."""
+    m, vl = _model()
+    prompt = jax.random.randint(jax.random.key(25), (2, 8), 3, 200)
+    out = np.asarray(m.generate(
+        prompt, gen_length=32, steps=8, block_length=16, temperature=0.0,
+        block_kv_cache="int8", cache_refresh_every=2))
+    assert (out != vl.mask_token_id).all()
+
+
 def test_cached_stochastic_reproducible():
     m, _ = _model()
     prompt = jax.random.randint(jax.random.key(5), (2, 8), 3, 200)
