@@ -45,6 +45,12 @@ class AppState:
         self.default_parallel_threshold = float(
             cfg.get_path("serving.parallel_threshold", 0.0)
         )
+        # τ-parallel warmup: the threshold only fires after K steps per
+        # block (warmup=2 restored the trained proxy's truth accuracy at
+        # 1.34x — PARALLEL_WARMUP_r03.json, BASELINE.md round-3s)
+        self.default_parallel_warmup = int(
+            cfg.get_path("serving.parallel_warmup_steps", 0)
+        )
         # cached-mode staleness knob: re-capture K/V every N steps
         # (0 = once per block/run; refresh=1 is exact — see round-3q's
         # kv quality price and KV_REFRESH_r03.json for the frontier)
@@ -94,6 +100,7 @@ class AppState:
                       block_length=32, temperature=1.0, cfg_scale=0.0,
                       remasking="low_confidence", thinking=False, seed=0,
                       kv_cache=None, parallel_threshold=None,
+                      parallel_warmup_steps=None,
                       cache_refresh_every=None, segment_steps=None):
         # None -> deployment-wide serving.* defaults (covers every
         # frontend: HTTP, gradio, direct API use)
@@ -101,6 +108,8 @@ class AppState:
             kv_cache = self.default_kv_cache
         if parallel_threshold is None:
             parallel_threshold = self.default_parallel_threshold
+        if parallel_warmup_steps is None:
+            parallel_warmup_steps = self.default_parallel_warmup
         if cache_refresh_every is None:
             cache_refresh_every = self.default_cache_refresh
         if segment_steps is None:
@@ -125,6 +134,7 @@ class AppState:
                 block_length=block_length, temperature=temperature,
                 cfg_scale=cfg_scale, remasking=remasking,
                 block_kv_cache=kv_cache, parallel_threshold=parallel_threshold,
+                parallel_warmup_steps=parallel_warmup_steps,
                 cache_refresh_every=cache_refresh_every,
                 segment_steps=segment_steps,
             )
@@ -143,6 +153,7 @@ class AppState:
                     if (temperature > 0 or remasking == "random") else None,
                     block_kv_cache=kv_cache,
                     parallel_threshold=parallel_threshold,
+                    parallel_warmup_steps=parallel_warmup_steps,
                     cache_refresh_every=cache_refresh_every,
                     segment_steps=segment_steps,
                 )
@@ -364,12 +375,14 @@ class AppState:
     def mmu(self, image_arr, question, max_new_tokens=128, steps=64,
             block_length=64, temperature=0.0, cfg_scale=0.0,
             remasking="low_confidence", seed=0, kv_cache=None,
-            parallel_threshold=None, cache_refresh_every=None,
-            segment_steps=None):
+            parallel_threshold=None, parallel_warmup_steps=None,
+            cache_refresh_every=None, segment_steps=None):
         if kv_cache is None:
             kv_cache = self.default_kv_cache
         if parallel_threshold is None:
             parallel_threshold = self.default_parallel_threshold
+        if parallel_warmup_steps is None:
+            parallel_warmup_steps = self.default_parallel_warmup
         if cache_refresh_every is None:
             cache_refresh_every = self.default_cache_refresh
         if segment_steps is None:
@@ -401,6 +414,7 @@ class AppState:
                 block_length=block_length, temperature=temperature,
                 cfg_scale=cfg_scale, remasking=remasking,
                 block_kv_cache=kv_cache, parallel_threshold=parallel_threshold,
+                parallel_warmup_steps=parallel_warmup_steps,
                 cache_refresh_every=cache_refresh_every,
                 segment_steps=segment_steps,
             )
@@ -415,6 +429,7 @@ class AppState:
                     remasking=remasking, key=jax.random.key(seed),
                     block_kv_cache=kv_cache,
                     parallel_threshold=parallel_threshold,
+                    parallel_warmup_steps=parallel_warmup_steps,
                     cache_refresh_every=cache_refresh_every,
                     segment_steps=segment_steps,
                 )
@@ -486,6 +501,9 @@ def run_http(state: AppState, port: int):
                         parallel_threshold=(
                             float(req["parallel_threshold"])
                             if "parallel_threshold" in req else None),
+                        parallel_warmup_steps=(
+                            int(req["parallel_warmup_steps"])
+                            if "parallel_warmup_steps" in req else None),
                         cache_refresh_every=(
                             int(req["cache_refresh_every"])
                             if "cache_refresh_every" in req else None),
@@ -646,6 +664,9 @@ def run_http(state: AppState, port: int):
                         parallel_threshold=(
                             float(req["parallel_threshold"])
                             if "parallel_threshold" in req else None),
+                        parallel_warmup_steps=(
+                            int(req["parallel_warmup_steps"])
+                            if "parallel_warmup_steps" in req else None),
                         cache_refresh_every=(
                             int(req["cache_refresh_every"])
                             if "cache_refresh_every" in req else None),

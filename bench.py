@@ -48,18 +48,29 @@ def pick_scheme():
 
 def pick_parallel():
     """Latest trained-checkpoint gate decides whether confidence-parallel
-    decoding is promoted (PROXY_GATES_r*.json kv_cache_gate stage; the
-    τ quality/speed sweep lives in PARALLEL_r*.json).  Returns
-    (tau or None, artifact name)."""
-    arts = sorted(glob.glob(os.path.join(os.path.dirname(__file__) or ".",
-                                         "PROXY_GATES_r*.json")))
+    decoding is promoted. The warmup sweep (PARALLEL_WARMUP_r*.json)
+    wins when its recommendation passed the truth bar — plain τ-parallel
+    was demoted by the truth-anchored gate (round-3q) but τ+warmup
+    restored the quality (round-3s); else fall back to the harness gate
+    (PROXY_GATES_r*.json kv_cache_gate). Returns
+    (tau or None, warmup_steps, artifact name)."""
+    base = os.path.dirname(__file__) or "."
+    arts = sorted(glob.glob(os.path.join(base, "PARALLEL_WARMUP_r*.json")))
+    if arts:
+        with open(arts[-1]) as f:
+            sweep = json.load(f)
+        rec = sweep.get("recommended")
+        if sweep.get("promote_parallel") and rec:
+            return (float(rec["tau"]), int(rec.get("warmup_steps", 0)),
+                    os.path.basename(arts[-1]))
+    arts = sorted(glob.glob(os.path.join(base, "PROXY_GATES_r*.json")))
     if arts:
         with open(arts[-1]) as f:
             gate = json.load(f).get("stages", {}).get("kv_cache_gate", {})
         if gate.get("promote_parallel"):
-            return float(gate.get("parallel_tau", 0.9)), \
+            return float(gate.get("parallel_tau", 0.9)), 0, \
                 os.path.basename(arts[-1])
-    return None, None
+    return None, 0, None
 
 
 def model_flops_per_token(cfg, seq_len, head_positions, head_width):
@@ -113,7 +124,7 @@ def main():
     from mmada_tpu.ops import quantization as Q
 
     scheme, gate_artifact = pick_scheme()
-    par_tau, par_artifact = pick_parallel()
+    par_tau, par_warmup, par_artifact = pick_parallel()
 
     batch = 4
     timesteps = 15
@@ -225,9 +236,10 @@ def main():
     # ------------------------------------- confidence-parallel (promoted)
     # τ-threshold parallel decoding (extra tokens commit early when their
     # softmax confidence clears τ). Reported as a first-class number only
-    # when the latest trained-checkpoint gate promoted it — the
-    # truth-anchored campaign-D gate currently DEMOTES every τ
-    # (PROXY_GATES_r03.json kv_cache_gate; sweep in PARALLEL_r03.json).
+    # when the latest trained-checkpoint gate promoted it: plain τ was
+    # demoted by the truth-anchored gate (round-3q), but τ=0.9 with
+    # parallel_warmup_steps=2 restored the truth accuracy at 1.34x
+    # (PARALLEL_WARMUP_r03.json, round-3s) — pick_parallel prefers that.
     text_par_tok_s = None
     if par_tau is not None:
         @jax.jit
@@ -236,6 +248,7 @@ def main():
                 prompt, gen_length=text_gen, steps=text_steps,
                 block_length=text_block, temperature=0.0,
                 parallel_threshold=par_tau,
+                parallel_warmup_steps=par_warmup,
             )
 
         sync(run_text_par(model, text_prompt))
@@ -317,11 +330,10 @@ def main():
     sync(run_text_cached(model, text_prompt))
     text_cached_tok_s = text_gen / (time.perf_counter() - t0)
 
-    # cached + τ-parallel COMPOSED — the full opt-in fast stack. Only
-    # measured when the latest trained-proxy gate promoted τ; the
-    # truth-anchored campaign-D gate DEMOTED it (−8..−10pp memorized-span
-    # accuracy at every τ, PARALLEL_r03.json / BASELINE.md round-3q), so
-    # this block is currently skipped and the keys absent by design.
+    # cached + τ-parallel COMPOSED — the full opt-in fast stack, at the
+    # gate's promoted (τ, warmup) pair. The composition ITSELF passed the
+    # truth bar on the trained proxy (COMPOSED_FAST_r03.json: kv+warmup
+    # 0.8207, kv refresh=2 + warmup 0.8043, vs exact 0.788 − 0.01 bar).
     text_fast_tok_s = None
     if par_tau is not None:
         @jax.jit
@@ -330,6 +342,7 @@ def main():
                 prompt, gen_length=text_gen, steps=text_steps,
                 block_length=text_block, temperature=0.0,
                 block_kv_cache=True, parallel_threshold=par_tau,
+                parallel_warmup_steps=par_warmup,
             )
 
         sync(run_text_fast(model, text_prompt))
@@ -387,6 +400,7 @@ def main():
                                                  "(inference_mmu.py:57,102)",
                 **({"text_tokens_per_s_parallel": round(text_par_tok_s, 2),
                     "parallel_tau": par_tau,
+                    "parallel_warmup_steps": par_warmup,
                     "parallel_gate_artifact": par_artifact}
                    if text_par_tok_s else {}),
                 "text_tokens_per_s_kv_cached": round(text_cached_tok_s, 2),

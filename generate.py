@@ -34,6 +34,12 @@ def main(argv):
         "parallel_threshold",
         cfg.get_path("serving.parallel_threshold", 0.0),
     ))
+    # τ fires only after K steps/block (warmup=2 restored trained-proxy
+    # truth accuracy at 1.34x — PARALLEL_WARMUP_r03.json)
+    parallel_warmup_steps = int(cfg.get(
+        "parallel_warmup_steps",
+        cfg.get_path("serving.parallel_warmup_steps", 0),
+    ))
     # cached-mode staleness knob: re-capture K/V every N steps (0 = once
     # per block; refresh=1 is token-exact vs the uncached sampler)
     cache_refresh_every = int(cfg.get(
@@ -82,6 +88,7 @@ def main(argv):
         key=jax.random.key(seed) if temperature > 0 else None,
         block_kv_cache=kv_cache,
         parallel_threshold=parallel_threshold,
+        parallel_warmup_steps=parallel_warmup_steps,
         cache_refresh_every=cache_refresh_every,
         segment_steps=segment_steps,
     )

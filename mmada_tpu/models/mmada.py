@@ -341,7 +341,8 @@ class MMadaModel:
     def generate(self, prompt, gen_length=128, steps=128, block_length=128,
                  temperature=0.0, cfg_scale=0.0, remasking="low_confidence",
                  key=None, block_kv_cache=False, parallel_threshold=0.0,
-                 cache_refresh_every=0, segment_steps=0):
+                 parallel_warmup_steps=0, cache_refresh_every=0,
+                 segment_steps=0):
         """`block_kv_cache=True` switches to the approximate block-cached
         decode (per-step forwards touch only the active block — the big
         long-prompt latency lever; see `_text_cache_fns`).
@@ -362,6 +363,7 @@ class MMadaModel:
             temperature=temperature, cfg_scale=cfg_scale, remasking=remasking,
             mask_id=self.vocab.mask_token_id,
             parallel_threshold=parallel_threshold,
+            parallel_warmup_steps=parallel_warmup_steps,
             cache_refresh_every=cache_refresh_every,
         )
         if segment_steps:
@@ -514,7 +516,8 @@ class MMadaModel:
                      block_length=128, temperature=0.0, cfg_scale=0.0,
                      remasking="low_confidence", key=None,
                      block_kv_cache=False, parallel_threshold=0.0,
-                     cache_refresh_every=0, segment_steps=0):
+                     parallel_warmup_steps=0, cache_refresh_every=0,
+                     segment_steps=0):
         """Identical denoiser; prompt already contains the <|mmu|> image frame."""
         return self.generate(
             input_ids, gen_length=max_new_tokens, steps=steps,
@@ -522,6 +525,7 @@ class MMadaModel:
             cfg_scale=cfg_scale, remasking=remasking, key=key,
             block_kv_cache=block_kv_cache,
             parallel_threshold=parallel_threshold,
+            parallel_warmup_steps=parallel_warmup_steps,
             cache_refresh_every=cache_refresh_every,
             segment_steps=segment_steps,
         )
@@ -593,19 +597,21 @@ class MMadaModel:
         settings = (x.shape, max_new_tokens, steps, block_length,
                     temperature, cfg_scale, bool(block_kv_cache) if
                     block_kv_cache != "int8" else "int8",
-                    parallel_threshold, 0)  # pinned runner is refresh-0
+                    parallel_threshold, 0, 0)  # pinned: warmup/refresh 0
         model_pinned._pinned_fast_runner = (compiled, arg_fmts[1:], settings)
         return model_pinned
 
     def mmu_generate_fast(self, input_ids, eot_token: int, max_new_tokens=128,
                           steps=128, block_length=128, temperature=0.0,
                           cfg_scale=0.0, key=None, block_kv_cache=False,
-                          parallel_threshold=0.0, cache_refresh_every=0):
+                          parallel_threshold=0.0, parallel_warmup_steps=0,
+                          cache_refresh_every=0):
         scfg = text_sampling.SemiARConfig(
             gen_length=max_new_tokens, steps=steps, block_length=block_length,
             temperature=temperature, cfg_scale=cfg_scale,
             mask_id=self.vocab.mask_token_id,
             parallel_threshold=parallel_threshold,
+            parallel_warmup_steps=parallel_warmup_steps,
             cache_refresh_every=cache_refresh_every,
         )
         if block_kv_cache:
@@ -622,7 +628,8 @@ class MMadaModel:
             want = ((b, p + max_new_tokens), max_new_tokens, steps,
                     block_length, temperature, cfg_scale,
                     bool(block_kv_cache) if block_kv_cache != "int8"
-                    else "int8", parallel_threshold, cache_refresh_every)
+                    else "int8", parallel_threshold, parallel_warmup_steps,
+                    cache_refresh_every)
             if want == settings:
                 def run_block(block_cfg, x, prompt_index, block_end,
                               step_keys, transfers):

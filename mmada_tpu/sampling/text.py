@@ -148,6 +148,16 @@ class SemiARConfig:
     threshold never fires (τ > 1). Approximate in the same sense as
     MaskGIT itself — more tokens finalize per forward. Intended for
     'low_confidence' remasking (the threshold compares probabilities)."""
+    parallel_warmup_steps: int = 0
+    """Confidence-parallel decoding only (0 = off): the τ threshold only
+    fires from this step index on within each block; the first K steps
+    commit the scheduled top-k alone. Motivation (BASELINE.md round-3r):
+    approximation damage concentrates in the EARLY steps of a block,
+    where most positions are masked and confidence is least calibrated —
+    the same steps where τ-parallel commits the most extra tokens. A
+    small warmup keeps most of the speed (late steps still batch-commit)
+    while skipping the unreliable commits; quality/speed sweep:
+    tools/parallel_sweep.py warmup mode, PARALLEL_WARMUP_r03.json."""
     cache_refresh_every: int = 0
     """KV-cached decode only (0 = capture once per block): re-capture the
     full-sequence K/V every N denoise steps WITHIN a block, bounding the
@@ -190,6 +200,7 @@ def _denoise_step(
     block_logits_fn,           # (x, x_blk, block_start) -> (B, blk, V)
     block_end,                 # int or traced scalar — end of active block
     cfg: SemiARConfig,
+    step_idx=None,             # traced in-block step (parallel warmup gate)
 ) -> jax.Array:
     """One denoise step, computed block-restricted.
 
@@ -235,7 +246,13 @@ def _denoise_step(
         # confidence-parallel decoding: ALSO commit every masked candidate
         # above the threshold (scheduled top-k stays the progress floor).
         # Committing a non-mask position is a no-op (x0 == x_blk there).
-        transfer = transfer | (confidence >= cfg.parallel_threshold)
+        fire = confidence >= cfg.parallel_threshold
+        if cfg.parallel_warmup_steps > 0:
+            # warmup: the threshold only fires once the block has revealed
+            # K steps of context (early commits are the damage source)
+            fire = jnp.logical_and(
+                fire, step_idx >= cfg.parallel_warmup_steps)
+        transfer = transfer | fire
     new_blk = jnp.where(transfer, x0, x_blk)
     return jax.lax.dynamic_update_slice(x, new_blk, (0, block_start))
 
@@ -294,6 +311,7 @@ def _run_block_steps(cfg, x, block_logits_fn, block_end, step_keys,
                     logits_of_kv(kv),
                     block_end,
                     cfg,
+                    step_idx=it,
                 )
                 return xc, it + 1, kv
 
@@ -346,6 +364,7 @@ def _run_block_steps(cfg, x, block_logits_fn, block_end, step_keys,
                 block_logits_fn,
                 block_end,
                 cfg,
+                step_idx=it,
             )
             return xc, it + 1
 

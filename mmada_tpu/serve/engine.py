@@ -78,6 +78,7 @@ def _jit_text(model, prompts, settings, key):
         key=key if settings.stochastic else None,
         block_kv_cache=settings.block_kv_cache,
         parallel_threshold=settings.parallel_threshold,
+        parallel_warmup_steps=settings.parallel_warmup_steps,
         cache_refresh_every=settings.cache_refresh_every,
     )
 
@@ -103,6 +104,7 @@ def _jit_text_per_row_keys(model, prompts, settings, keys):
             key=k,
             block_kv_cache=settings.block_kv_cache,
             parallel_threshold=settings.parallel_threshold,
+            parallel_warmup_steps=settings.parallel_warmup_steps,
             cache_refresh_every=settings.cache_refresh_every,
         )[0]
 
@@ -150,6 +152,7 @@ class TextSettings:
     remasking: str = "low_confidence"  # or 'random'
     block_kv_cache: bool = False       # approximate cached decode (opt-in)
     parallel_threshold: float = 0.0    # confidence-parallel commits (opt-in)
+    parallel_warmup_steps: int = 0     # τ fires only after K steps/block
     cache_refresh_every: int = 0       # cached-mode staleness knob
     # >0: run this request's EXACT sampler as <=N-step device programs and
     # let the dispatcher interleave other work between chunks — a heavy

@@ -44,6 +44,57 @@ def test_tiny_threshold_equals_one_step_per_block():
     np.testing.assert_array_equal(np.asarray(one_step), np.asarray(par))
 
 
+def test_warmup_at_or_past_spb_equals_exact():
+    """parallel_warmup_steps >= steps_per_block means the threshold never
+    fires, so the decode must equal the exact sampler token-for-token
+    (spb = 8/2 = 4 here)."""
+    m, _ = _model()
+    prompt = jax.random.randint(jax.random.key(11), (2, 8), 3, 200)
+    kw = dict(gen_length=32, steps=8, block_length=16, temperature=0.0)
+    exact = m.generate(prompt, **kw)
+    par = m.generate(prompt, **kw, parallel_threshold=1e-9,
+                     parallel_warmup_steps=4)
+    np.testing.assert_array_equal(np.asarray(exact), np.asarray(par))
+
+
+def test_warmup_delays_threshold_commits():
+    """warmup=K with a fire-always threshold: the first K steps commit the
+    scheduled top-k alone (so the one-shot full-commit of warmup=0 cannot
+    happen), then the block full-commits. Pin: step 0's committed count
+    equals the schedule's, not the whole block."""
+    m, vl = _model()
+    prompt = jax.random.randint(jax.random.key(12), (2, 8), 3, 200)
+    # spb=4, schedule = 4 commits/step. warmup=0 fire-always == one step
+    # per block (existing pin); warmup=1 must DIFFER from it on the first
+    # block's trajectory — prove via the no-warmup equivalence breaking.
+    kw = dict(gen_length=32, steps=8, block_length=16, temperature=0.0,
+              parallel_threshold=1e-9)
+    no_warm = np.asarray(m.generate(prompt, **kw))
+    warm = np.asarray(m.generate(prompt, **kw, parallel_warmup_steps=1))
+    one_step = np.asarray(m.generate(prompt, gen_length=32, steps=2,
+                                     block_length=16, temperature=0.0))
+    np.testing.assert_array_equal(no_warm, one_step)
+    assert (warm != vl.mask_token_id).all()
+    assert not np.array_equal(warm, no_warm), (
+        "warmup=1 should change the first-commit set vs one-shot "
+        "full-commit (if these ever legitimately coincide, the model is "
+        "degenerate)"
+    )
+
+
+def test_warmup_composes_with_kv_refresh():
+    """warmup + cached decode + refresh cadence all ride one while_loop."""
+    m, vl = _model()
+    prompt = jax.random.randint(jax.random.key(13), (2, 8), 3, 200)
+    out = np.asarray(m.generate(
+        prompt, gen_length=32, steps=8, block_length=16, temperature=0.0,
+        parallel_threshold=0.5, parallel_warmup_steps=2,
+        block_kv_cache=True, cache_refresh_every=2))
+    assert out.shape == (2, 40)
+    np.testing.assert_array_equal(out[:, :8], np.asarray(prompt))
+    assert (out != vl.mask_token_id).all()
+
+
 def test_midrange_threshold_completes():
     m, vl = _model()
     prompt = jax.random.randint(jax.random.key(3), (2, 8), 3, 200)

@@ -19,6 +19,16 @@ Recommendation: largest realized speedup whose truth accuracy is within
 
     python tools/parallel_sweep.py ckpt=proxy-output-d/export \
         config=proxy-output-d/config.yaml out=PARALLEL_r03.json
+
+`warmup=1` sweeps the (τ, parallel_warmup_steps) grid instead: the
+plain-τ demotion's damage concentrates in the EARLY steps of a block
+(most positions masked, confidence least calibrated — same mechanism
+the kv refresh sweep exposed, BASELINE.md round-3r), so delaying the
+threshold K steps may keep the late-block batch commits (the speed)
+while skipping the unreliable early ones (the damage).
+
+    python tools/parallel_sweep.py warmup=1 ckpt=proxy-output-d/export \
+        config=proxy-output-d/config.yaml out=PARALLEL_WARMUP_r03.json
 """
 
 import json
@@ -110,11 +120,16 @@ def main(argv):
         "truth_slack": TRUTH_SLACK,
         "sweep": [],
     }
+    if args.get("warmup") == "1":
+        grid = [(t, w) for t in (0.9, 0.95) for w in (1, 2, 4, 8)]
+    else:
+        grid = [(t, 0) for t in TAUS]
     best = None
-    for tau in TAUS:
+    for tau, warm in grid:
         fn = jax.jit(
-            lambda m, p, t=tau: m.generate(
-                p, temperature=0.0, parallel_threshold=t, **GATE_TEXT_OP,
+            lambda m, p, t=tau, w=warm: m.generate(
+                p, temperature=0.0, parallel_threshold=t,
+                parallel_warmup_steps=w, **GATE_TEXT_OP,
             )
         )
         out, dt = timed(fn, prompt)
@@ -123,14 +138,16 @@ def main(argv):
         agree = float((gen == exact[:, prompt_len:]).mean())
         entry = {
             "tau": tau,
+            **({"warmup_steps": warm} if args.get("warmup") == "1" else {}),
             "truth_acc": round(truth_acc, 4),
             "agreement": round(agree, 4),
             "seconds": round(dt, 4),
             "speedup_vs_exact": round(exact_dt / max(dt, 1e-9), 3),
         }
         report["sweep"].append(entry)
-        logger.info("tau=%.2f truth=%.4f agreement=%.4f speedup=%.2fx",
-                    tau, truth_acc, agree, entry["speedup_vs_exact"])
+        logger.info("tau=%.2f warmup=%d truth=%.4f agreement=%.4f "
+                    "speedup=%.2fx", tau, warm, truth_acc, agree,
+                    entry["speedup_vs_exact"])
         if (bank_ok and truth_acc >= exact_truth - TRUTH_SLACK and (
             best is None
             or entry["speedup_vs_exact"] > best["speedup_vs_exact"]
