@@ -35,34 +35,18 @@ class AppState:
         self.cfg = cfg
         self.lock = threading.Lock()
         self.engine = None  # set by start_engine() in HTTP mode
-        # deployment-wide fast-decode defaults (serving.* config section);
-        # per-request fields still override
-        from mmada_tpu.core.config import parse_kv_cache
+        # deployment fast-decode defaults, FAMILY-RESOLVED: flat
+        # serving.<key> with per-task serving.<task>.<key> overrides —
+        # the trained-proxy quality evidence is per-family (BASELINE.md
+        # rounds 3q-3t: text needs refresh=2/warmup=2, MMU is token-exact
+        # under the full kv freeze, t2i within slack). Per-request fields
+        # still override (loader.task_serving_defaults).
+        from mmada_tpu.serve.loader import task_serving_defaults
 
-        self.default_kv_cache = parse_kv_cache(
-            cfg.get_path("serving.kv_cache", False)
-        )
-        self.default_parallel_threshold = float(
-            cfg.get_path("serving.parallel_threshold", 0.0)
-        )
-        # τ-parallel warmup: the threshold only fires after K steps per
-        # block (warmup=2 restored the trained proxy's truth accuracy at
-        # 1.34x — PARALLEL_WARMUP_r03.json, BASELINE.md round-3s)
-        self.default_parallel_warmup = int(
-            cfg.get_path("serving.parallel_warmup_steps", 0)
-        )
-        # cached-mode staleness knob: re-capture K/V every N steps
-        # (0 = once per block/run; refresh=1 is exact — see round-3q's
-        # kv quality price and KV_REFRESH_r03.json for the frontier)
-        self.default_cache_refresh = int(
-            cfg.get_path("serving.cache_refresh_every", 0)
-        )
-        # >0: engine runs exact text/mmu requests as <=N-step chunked
-        # programs, interleaving concurrent tasks at chunk boundaries
-        # (no head-of-line blocking; token-identical — serve/engine.py)
-        self.default_segment_steps = int(
-            cfg.get_path("serving.segment_steps", 0)
-        )
+        self.serving_defaults = {
+            t: task_serving_defaults(cfg, t)
+            for t in ("text", "mmu", "t2i", "t2m")
+        }
 
     def start_engine(self):
         """Route text/mmu/t2i requests through the batched ServingEngine:
@@ -104,16 +88,17 @@ class AppState:
                       cache_refresh_every=None, segment_steps=None):
         # None -> deployment-wide serving.* defaults (covers every
         # frontend: HTTP, gradio, direct API use)
+        d = self.serving_defaults["text"]
         if kv_cache is None:
-            kv_cache = self.default_kv_cache
+            kv_cache = d["kv_cache"]
         if parallel_threshold is None:
-            parallel_threshold = self.default_parallel_threshold
+            parallel_threshold = d["parallel_threshold"]
         if parallel_warmup_steps is None:
-            parallel_warmup_steps = self.default_parallel_warmup
+            parallel_warmup_steps = d["parallel_warmup_steps"]
         if cache_refresh_every is None:
-            cache_refresh_every = self.default_cache_refresh
+            cache_refresh_every = d["cache_refresh_every"]
         if segment_steps is None:
-            segment_steps = self.default_segment_steps
+            segment_steps = d["segment_steps"]
         if kv_cache:
             # segmentation applies to the exact sampler only; when the
             # deployment defaults enable BOTH, the cached decode (the
@@ -242,12 +227,11 @@ class AppState:
     def t2i(self, prompt, timesteps=15, guidance_scale=3.5,
             temperature=1.0, seed=0, kv_cache=None,
             segment_timesteps=None):
+        d = self.serving_defaults["t2i"]
         if kv_cache is None:
-            kv_cache = self.default_kv_cache
+            kv_cache = d["kv_cache"]
         if segment_timesteps is None:
-            segment_timesteps = int(
-                self.cfg.get_path("serving.segment_timesteps", 0)
-            )
+            segment_timesteps = d["segment_timesteps"]
         if kv_cache:  # cached decode wins over segmentation
             segment_timesteps = 0
         import jax
@@ -377,16 +361,17 @@ class AppState:
             remasking="low_confidence", seed=0, kv_cache=None,
             parallel_threshold=None, parallel_warmup_steps=None,
             cache_refresh_every=None, segment_steps=None):
+        d = self.serving_defaults["mmu"]
         if kv_cache is None:
-            kv_cache = self.default_kv_cache
+            kv_cache = d["kv_cache"]
         if parallel_threshold is None:
-            parallel_threshold = self.default_parallel_threshold
+            parallel_threshold = d["parallel_threshold"]
         if parallel_warmup_steps is None:
-            parallel_warmup_steps = self.default_parallel_warmup
+            parallel_warmup_steps = d["parallel_warmup_steps"]
         if cache_refresh_every is None:
-            cache_refresh_every = self.default_cache_refresh
+            cache_refresh_every = d["cache_refresh_every"]
         if segment_steps is None:
-            segment_steps = self.default_segment_steps
+            segment_steps = d["segment_steps"]
         if kv_cache:  # cached decode wins over segmentation (see generate_text)
             segment_steps = 0
         if image_arr is None:

@@ -29,32 +29,27 @@ def main(argv):
     steps = int(cfg.get("steps", max_new_tokens // 2))
     block_length = int(cfg.get("block_length", max_new_tokens))
     resolution = int(cfg.get_path("dataset.preprocessing.resolution", 512))
+    # family-resolved deployment defaults (serving.mmu.* overrides the
+    # flat serving.* — BASELINE.md rounds 3q-3t; loader.task_serving_defaults),
+    # with direct CLI keys overriding both
     from mmada_tpu.core.config import parse_kv_cache
-    kv_cache = parse_kv_cache(
-        cfg.get("kv_cache", cfg.get_path("serving.kv_cache", False))
-    )
+    from mmada_tpu.serve.loader import task_serving_defaults
+    _d = task_serving_defaults(cfg, "mmu")
+    kv_cache = parse_kv_cache(cfg.get("kv_cache", _d["kv_cache"]))
     parallel_threshold = float(cfg.get(
-        "parallel_threshold",
-        cfg.get_path("serving.parallel_threshold", 0.0),
-    ))
+        "parallel_threshold", _d["parallel_threshold"]))
     # τ fires only after K steps/block (warmup=2 restored trained-proxy
     # truth accuracy at 1.34x — PARALLEL_WARMUP_r03.json)
     parallel_warmup_steps = int(cfg.get(
-        "parallel_warmup_steps",
-        cfg.get_path("serving.parallel_warmup_steps", 0),
-    ))
+        "parallel_warmup_steps", _d["parallel_warmup_steps"]))
     # cached-mode staleness knob: re-capture K/V every N steps (0 = once
     # per block; refresh=1 is token-exact vs the uncached sampler)
     cache_refresh_every = int(cfg.get(
-        "cache_refresh_every",
-        cfg.get_path("serving.cache_refresh_every", 0),
-    ))
+        "cache_refresh_every", _d["cache_refresh_every"]))
     # Exact sampler only: split the denoise scan into <=N-step programs
     # (token-identical; needed for heavy op points on the tunneled chip,
     # whose worker kills single executions over ~60 s).
-    segment_steps = int(cfg.get(
-        "segment_steps", cfg.get_path("serving.segment_steps", 0)
-    ))
+    segment_steps = int(cfg.get("segment_steps", _d["segment_steps"]))
     if kv_cache:
         segment_steps = 0  # cached decode wins when both defaults are set
     seed = int(cfg.get("seed", 0))

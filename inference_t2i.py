@@ -28,14 +28,16 @@ def main(argv):
     timesteps = int(cfg.get("generation_timesteps", 15))
     temperature = float(cfg.get("generation_temperature", 1.0))
     batch_size = int(cfg.get("batch_size", 1))
+    # family-resolved defaults: serving.t2i.* overrides flat serving.*
+    # (the t2i arm passed the truth gate within slack — round-3q)
     from mmada_tpu.core.config import parse_kv_cache
-    kv_cache = parse_kv_cache(
-        cfg.get("kv_cache", cfg.get_path("serving.kv_cache", False))
-    )
+    from mmada_tpu.serve.loader import task_serving_defaults
+    _d = task_serving_defaults(cfg, "t2i")
+    kv_cache = parse_kv_cache(cfg.get("kv_cache", _d["kv_cache"]))
     # exact sampler as <=N-timestep device programs (token-identical;
     # bounds single-program wall time on execution-limited workers)
     segment_timesteps = int(cfg.get(
-        "segment_timesteps", cfg.get_path("serving.segment_timesteps", 0)
+        "segment_timesteps", _d["segment_timesteps"]
     ))
     if kv_cache:
         segment_timesteps = 0  # cached decode wins when both are set

@@ -33,6 +33,41 @@ from mmada_tpu.prompting.universal import (
 logger = logging.getLogger(__name__)
 
 
+def task_serving_defaults(cfg: Config, task: str) -> dict:
+    """Resolve the fast-decode deployment defaults for one task family.
+
+    `serving.<task>.<key>` overrides the flat `serving.<key>`, because the
+    trained-proxy quality evidence is FAMILY-RESOLVED (BASELINE.md rounds
+    3q–3t): text needs `cache_refresh_every=2` or `parallel_warmup_steps=2`
+    to preserve quality under the fast stack, MMU is token-exact under the
+    full block-KV freeze (static image prefix), t2i is within slack. A
+    deployment can therefore enable kv for mmu/t2i while keeping text
+    exact:
+
+        serving:
+          kv_cache: false           # flat default (text stays exact)
+          mmu:  {kv_cache: int8}    # family override
+          t2i:  {kv_cache: true}
+
+    Per-request fields still override both levels (app.py handlers)."""
+    from mmada_tpu.core.config import parse_kv_cache
+
+    def g(key, fallback, cast):
+        v = cfg.get_path(f"serving.{task}.{key}", None)
+        if v is None:
+            v = cfg.get_path(f"serving.{key}", fallback)
+        return cast(v)
+
+    return {
+        "kv_cache": g("kv_cache", False, parse_kv_cache),
+        "parallel_threshold": g("parallel_threshold", 0.0, float),
+        "parallel_warmup_steps": g("parallel_warmup_steps", 0, int),
+        "cache_refresh_every": g("cache_refresh_every", 0, int),
+        "segment_steps": g("segment_steps", 0, int),
+        "segment_timesteps": g("segment_timesteps", 0, int),
+    }
+
+
 def build_text_tokenizer(cfg: Config):
     path = cfg.get_path("model.mmada.tokenizer_path") or cfg.get_path(
         "model.mmada.pretrained_model_path"

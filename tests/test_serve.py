@@ -848,3 +848,36 @@ def test_drain_finishes_inflight_and_rejects_new(model):
         f2.result(timeout=5)
     lat = engine.latency_stats()
     assert lat["text"]["count"] == 1 and lat["text"]["p50_s"] > 0
+
+
+def test_task_serving_defaults_family_overrides():
+    """serving.<task>.<key> overrides the flat serving.<key>; per the
+    family-resolved gate evidence (BASELINE.md rounds 3q-3t) a deployment
+    enables kv for mmu/t2i while text stays exact with its quality knobs."""
+    from mmada_tpu.core.config import Config
+    from mmada_tpu.serve.loader import task_serving_defaults
+
+    cfg = Config({
+        "serving": {
+            "kv_cache": False,
+            "parallel_threshold": 0.9,
+            "text": {"cache_refresh_every": 2, "parallel_warmup_steps": 2},
+            "mmu": {"kv_cache": "int8"},
+            "t2i": {"kv_cache": True},
+        }
+    })
+    text = task_serving_defaults(cfg, "text")
+    assert text["kv_cache"] is False          # flat default
+    assert text["cache_refresh_every"] == 2   # family override
+    assert text["parallel_warmup_steps"] == 2
+    assert text["parallel_threshold"] == 0.9  # flat inherited
+
+    mmu = task_serving_defaults(cfg, "mmu")
+    assert mmu["kv_cache"] == "int8"          # family override wins
+    assert mmu["cache_refresh_every"] == 0    # not set anywhere
+
+    t2i = task_serving_defaults(cfg, "t2i")
+    assert t2i["kv_cache"] is True
+
+    t2m = task_serving_defaults(cfg, "t2m")
+    assert t2m["kv_cache"] is False           # flat only
