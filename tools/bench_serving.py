@@ -254,10 +254,10 @@ def main(argv):
     # confidence ever clears τ, so it would just re-measure exact.
     agg_kw = dict(gen_length=128, steps=64, block_length=64)
 
-    def run_agg(kv):
+    def run_agg(**skw):
         engine = ServingEngine(model, max_wait_ms=50).start()
         try:
-            s = TextSettings(temperature=0.0, block_kv_cache=kv, **agg_kw)
+            s = TextSettings(temperature=0.0, **skw, **agg_kw)
             for _ in range(2):     # pass 1 warms the batch-8 executable
                 b0 = engine.stats["batches"]
                 t0 = time.perf_counter()
@@ -275,13 +275,23 @@ def main(argv):
 
     if "agg" in scenarios:
         results["agg_op"] = agg_kw
-        for name, kv in (("exact", False), ("kv_cached", True)):
-            results[f"agg_{name}"] = run_agg(kv)
+        # kv_refresh2 = the QUALITY-PRESERVING text configuration
+        # (cache_refresh_every=2 restored exact truth accuracy on the
+        # trained proxy — BASELINE.md round-3r); its aggregate is the
+        # honest serving number for the recommended text deployment.
+        for name, skw in (
+            ("exact", {}),
+            ("kv_cached", {"block_kv_cache": True}),
+            ("kv_refresh2", {"block_kv_cache": True,
+                             "cache_refresh_every": 2}),
+        ):
+            results[f"agg_{name}"] = run_agg(**skw)
             logging.info("agg %s: %s", name, results[f"agg_{name}"])
         if results["agg_exact"]["aggregate_tok_s"]:
-            results["agg_kv_speedup"] = round(
-                results["agg_kv_cached"]["aggregate_tok_s"]
-                / results["agg_exact"]["aggregate_tok_s"], 2)
+            for name in ("kv_cached", "kv_refresh2"):
+                results[f"agg_{name}_speedup"] = round(
+                    results[f"agg_{name}"]["aggregate_tok_s"]
+                    / results["agg_exact"]["aggregate_tok_s"], 2)
 
     if "hol" in scenarios and "join" in scenarios:
         hol_gain = (results["hol_mono"]["short_p50_s"]
