@@ -15,11 +15,23 @@ Two opt-in modes break it (measured on the full 8B int8 single chip: text
   * ``parallel_threshold=τ`` — commit every candidate whose confidence
     clears τ each step and exit the block as soon as it completes.
 
-Both are approximations of the exact sampler; with real weights, gate them
-with tools/real_weight_harness.py (kv_cache_gate stage) before making them
-a serving default. On the HTTP API the knobs are the ``kv_cache`` and
-``parallel_threshold`` request fields; on the CLIs, ``kv_cache=true
-parallel_threshold=0.9``.
+Both are approximations of the exact sampler, and the trained-proxy truth
+gate measured their quality price to be concentrated in each block's FIRST
+steps (BASELINE.md rounds 3q-3t). Two knobs buy the quality back:
+
+  * ``cache_refresh_every=N`` — re-capture the K/V every N steps inside a
+    block (refresh=1 is token-exact; refresh=2 restored exact quality on
+    the trained proxy at 1.31x exact speed);
+  * ``parallel_warmup_steps=K`` — hold the τ threshold for a block's
+    first K steps (warmup=2 restored quality at 1.34x).
+
+With real weights, gate them with tools/real_weight_harness.py
+(kv_cache_gate stage) before making them a serving default — and note the
+verdicts are per-family: MMU keeps full quality under the plain freeze.
+On the HTTP API the knobs are the ``kv_cache``, ``parallel_threshold``,
+``parallel_warmup_steps`` and ``cache_refresh_every`` request fields; on
+the CLIs the same names as ``key=value``; deployment-wide,
+``serving.<task>.<key>`` (docs/SERVING.md).
 """
 
 import argparse
@@ -70,14 +82,23 @@ def main():
     exact = run("exact")
     cached = run("block_kv_cache", block_kv_cache=True)
     run("int8 kv cache", block_kv_cache="int8")
+    refreshed = run("kv refresh=2", block_kv_cache=True,
+                    cache_refresh_every=2)
     par = run("parallel τ=0.9", parallel_threshold=0.9)
-    run("cache + parallel", block_kv_cache=True, parallel_threshold=0.9)
+    warm = run("τ=0.9 warmup=2", parallel_threshold=0.9,
+               parallel_warmup_steps=2)
+    run("cache + parallel", block_kv_cache=True, parallel_threshold=0.9,
+        parallel_warmup_steps=2, cache_refresh_every=2)
 
     gen = slice(prompt.shape[1], None)
     print(f"cached-vs-exact token agreement:   "
           f"{(cached[:, gen] == exact[:, gen]).mean():.2%}")
     print(f"parallel-vs-exact token agreement: "
           f"{(par[:, gen] == exact[:, gen]).mean():.2%}")
+    print(f"refresh2-vs-exact token agreement: "
+          f"{(refreshed[:, gen] == exact[:, gen]).mean():.2%}")
+    print(f"warmup2-vs-exact token agreement:  "
+          f"{(warm[:, gen] == exact[:, gen]).mean():.2%}")
     return 0
 
 
