@@ -184,6 +184,28 @@ def main(argv):
     token_acc = float((gen == padded).mean())
     code_acc = float((gen[:, :m_len] == codes).mean())
 
+    # fast-decode arms, truth-anchored on the SAME code bank (the t2m
+    # family row of the per-family gate, BASELINE.md round-3t; t2m is
+    # MaskGIT-style so parallel_threshold does not apply): promote an
+    # arm iff its code accuracy is within 0.01 of exact's
+    fast_arms = {}
+    for arm_name, arm_kw in (
+        ("kv_cache", dict(block_kv_cache=True)),
+        ("kv_refresh2", dict(block_kv_cache=True, cache_refresh_every=2)),
+    ):
+        agen = np.asarray(model.t2m_generate(
+            jnp.asarray(ids), attention_mask=jnp.asarray(attn),
+            temperature=0.0, greedy=True, timesteps=18,
+            num_motion_tokens=n_motion, key=jax.random.key(0), **arm_kw,
+        ))
+        acc = float((agen[:, :m_len] == codes).mean())
+        fast_arms[arm_name] = {
+            "code_accuracy": round(acc, 4),
+            "promote": bool(acc >= code_acc - 0.01),
+        }
+        logger.info("t2m fast arm %s: code_acc %.4f promote=%s",
+                    arm_name, acc, fast_arms[arm_name]["promote"])
+
     # decode generated codes (clipped into the codebook) back to motion
     # and compare against the ORIGINAL clips — the full-pipeline metric
     dec = np.asarray(motion_vq.decode(
@@ -200,6 +222,7 @@ def main(argv):
         "decoded_motion_mse_vs_clip": round(gen_mse, 5),
         "vq_recon_mse_vs_clip": round(vq_recon_mse, 5),
         "clip_variance": round(clip_var, 5),
+        "fast_arms": fast_arms,
     }
     report["ok"] = bool(code_acc > 0.9 and vq_recon_mse < 0.5 * clip_var
                         and gen_mse < 0.5 * clip_var)
