@@ -43,9 +43,11 @@ class AppState:
         # still override (loader.task_serving_defaults).
         from mmada_tpu.serve.loader import task_serving_defaults
 
+        # t2m serving runs engine-level only (T2MSettings built by its
+        # drivers) — no app surface, so no resolved default here
         self.serving_defaults = {
             t: task_serving_defaults(cfg, t)
-            for t in ("text", "mmu", "t2i", "t2m")
+            for t in ("text", "mmu", "t2i")
         }
 
     def start_engine(self):
@@ -226,10 +228,12 @@ class AppState:
 
     def t2i(self, prompt, timesteps=15, guidance_scale=3.5,
             temperature=1.0, seed=0, kv_cache=None,
-            segment_timesteps=None):
+            cache_refresh_every=None, segment_timesteps=None):
         d = self.serving_defaults["t2i"]
         if kv_cache is None:
             kv_cache = d["kv_cache"]
+        if cache_refresh_every is None:
+            cache_refresh_every = d["cache_refresh_every"]
         if segment_timesteps is None:
             segment_timesteps = d["segment_timesteps"]
         if kv_cache:  # cached decode wins over segmentation
@@ -251,6 +255,7 @@ class AppState:
                 timesteps=timesteps, guidance_scale=guidance_scale,
                 temperature=temperature, num_vq_tokens=num_vq,
                 block_kv_cache=kv_cache,
+                cache_refresh_every=cache_refresh_every,
                 segment_timesteps=segment_timesteps,
             )
             fut = self.engine.submit_t2i(
@@ -272,6 +277,7 @@ class AppState:
                     temperature=temperature, timesteps=timesteps,
                     guidance_scale=guidance_scale, num_vq_tokens=num_vq,
                     key=jax.random.key(seed), block_kv_cache=kv_cache,
+                    cache_refresh_every=cache_refresh_every,
                     segment_timesteps=segment_timesteps,
                 )
                 pixels = magvit2.decode_code(self.vq_params, self.vq_cfg, codes)
@@ -556,6 +562,9 @@ def run_http(state: AppState, port: int):
                         seed=int(req.get("seed", 0)),
                         kv_cache=(parse_kv_cache(req["kv_cache"])
                                   if "kv_cache" in req else None),
+                        cache_refresh_every=(
+                            int(req["cache_refresh_every"])
+                            if "cache_refresh_every" in req else None),
                         segment_timesteps=(
                             int(req["segment_timesteps"])
                             if "segment_timesteps" in req else None),

@@ -34,6 +34,8 @@ def main(argv):
     from mmada_tpu.serve.loader import task_serving_defaults
     _d = task_serving_defaults(cfg, "t2i")
     kv_cache = parse_kv_cache(cfg.get("kv_cache", _d["kv_cache"]))
+    cache_refresh_every = int(cfg.get(
+        "cache_refresh_every", _d["cache_refresh_every"]))
     # exact sampler as <=N-timestep device programs (token-identical;
     # bounds single-program wall time on execution-limited workers)
     segment_timesteps = int(cfg.get(
@@ -87,6 +89,7 @@ def main(argv):
             num_vq_tokens=num_vq_tokens,
             key=sub,
             block_kv_cache=kv_cache,
+            cache_refresh_every=cache_refresh_every,
             segment_timesteps=segment_timesteps,
         )
         pixels = magvit2.decode_code(vq_params, vq_cfg, codes)

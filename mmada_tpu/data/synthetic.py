@@ -221,6 +221,16 @@ def gate_text_truth(tokenizer, bos_id: int, n: int = 8,
     """
     truths = []
     for r in range(n):
+        base = [bos_id] + tokenizer([sentence(start + r)])["input_ids"][0]
+        if len(base) < prompt_len:
+            # the PROMPT row was fill-and-truncated past this sentence
+            # (gate_decode_prompt_rows appended the next bank sentence),
+            # so no truth span aligns with it — guarding on the suffixed
+            # tokenization instead would hand out a continuation the
+            # model was never conditioned toward (subword tokenizers
+            # can cross the boundary either way)
+            truths.append(None)
+            continue
         full = [bos_id] + tokenizer(
             [sentence(start + r) + " story"]
         )["input_ids"][0]
@@ -231,9 +241,26 @@ def gate_text_truth(tokenizer, bos_id: int, n: int = 8,
     return truths
 
 
+def require_truth(truths, what: str = "decode gate"):
+    """Fail LOUDLY when a truth bank has no scorable rows — every gate
+    tool feeds truth_accuracy's result into round()/threshold math, and a
+    None there is a confusing TypeError three frames later. All-None
+    banks happen with subword tokenizers whose prompt rows all
+    fill-and-truncate (gate_decode_prompt_rows docstring)."""
+    if all(t is None or t.size == 0 for t in truths):
+        raise ValueError(
+            f"{what}: no truth spans align with the gate prompts (every "
+            "row was fill-and-truncated — likely a subword tokenizer "
+            "with short bank sentences); lengthen the bank sentences or "
+            "lower GATE_TEXT_PROMPT_LEN"
+        )
+    return truths
+
+
 def truth_accuracy(gen_tokens, truths) -> float:
     """Accuracy of (n, L) generated tokens against per-row truth spans;
-    None/empty rows are skipped; None if no scorable positions."""
+    None/empty rows are skipped; None if no scorable positions
+    (pre-check banks with require_truth for a diagnosable error)."""
     num = den = 0
     gen_tokens = np.asarray(gen_tokens)
     for g, t in zip(gen_tokens, truths):

@@ -63,10 +63,12 @@ def _early_stop_block(model, x, prompt_index, block_end, step_keys,
 
 @functools.partial(jax.jit, static_argnames=("block_cfg",))
 def _segment_block(model, x, prompt_index, block_end, step_keys,
-                   transfers, block_cfg):
+                   transfers, block_cfg, step_offset=0):
     """One ≤segment_steps chunk of a block's denoise scan for the
     segmented exact sampler (text_sampling.generate_segmented): model as
-    pytree argument, traced block_end — all equal-length chunks of all
+    pytree argument, traced block_end + step_offset (the chunk's first
+    in-block step — keeps step-indexed semantics like parallel warmup
+    identical to the monolithic scan) — all equal-length chunks of all
     blocks share one executable (distinct chunk lengths shape-key their
     own)."""
     return text_sampling.run_block_eager(
@@ -74,12 +76,13 @@ def _segment_block(model, x, prompt_index, block_end, step_keys,
         window_forward_fn=model._text_window_forward_fn(
             block_cfg.block_length
         ),
+        step_offset=step_offset,
     )
 
 
 @functools.partial(jax.jit, static_argnames=("block_cfg",))
 def _segment_block_stepwise(model, x, prompt_index, block_end, step_keys,
-                            transfers, block_cfg):
+                            transfers, block_cfg, step_offset=0):
     """`_segment_block` that ALSO returns the chunk's (W, B, L) per-step
     token states — the streamed stepwise demo's runner."""
     return text_sampling.run_block_eager(
@@ -88,12 +91,13 @@ def _segment_block_stepwise(model, x, prompt_index, block_end, step_keys,
             block_cfg.block_length
         ),
         collect_states=True,
+        step_offset=step_offset,
     )
 
 
 @functools.partial(jax.jit, static_argnames=("block_cfg",))
 def _segment_block_per_row(model, x, prompt_index, block_ends, step_keys,
-                           transfers, block_cfg):
+                           transfers, block_cfg, step_offsets=None):
     """Per-row variant of `_segment_block`: `step_keys` is (B, chunk)
     typed keys, `block_ends` is (B,) — each row runs as a batch-1 block
     under vmap with ITS OWN key schedule and active-block position. The
@@ -102,16 +106,22 @@ def _segment_block_per_row(model, x, prompt_index, block_ends, step_keys,
     row's tokens are bit-identical to its solo run regardless of batch
     composition; per-row `block_ends` is what lets the serving streams
     batch requests at DIFFERENT block offsets into one program
-    (serve/engine._Stream — continuous batching)."""
+    (serve/engine._Stream — continuous batching). `step_offsets` is the
+    per-row (B,) first in-block step index of this chunk (rows joining a
+    stream mid-flight sit at different in-block progress) — it keeps
+    step-indexed semantics (parallel warmup) row-exact vs solo runs."""
+    if step_offsets is None:
+        step_offsets = jnp.zeros((x.shape[0],), jnp.int32)
     wf = model._text_window_forward_fn(block_cfg.block_length)
 
-    def row(xr, pir, ber, kr, trr):
+    def row(xr, pir, ber, kr, trr, sor):
         return text_sampling.run_block_eager(
             block_cfg, xr[None], pir[None], ber, kr, trr[None],
-            window_forward_fn=wf,
+            window_forward_fn=wf, step_offset=sor,
         )[0]
 
-    return jax.vmap(row)(x, prompt_index, block_ends, step_keys, transfers)
+    return jax.vmap(row)(x, prompt_index, block_ends, step_keys, transfers,
+                         step_offsets)
 
 
 @functools.partial(jax.jit, static_argnames=("mcfg",))
@@ -423,14 +433,15 @@ class MMadaModel:
             block_length=scfg.block_length,
         )
         if row_keys is not None:
-            def run_block(cfg_, x_, pi_, be_, sk_, tr_):
+            def run_block(cfg_, x_, pi_, be_, sk_, tr_, so_):
                 block_ends = jnp.full((x_.shape[0],), be_, jnp.int32)
+                offs = jnp.full((x_.shape[0],), so_, jnp.int32)
                 return _segment_block_per_row(self, x_, pi_, block_ends,
-                                              sk_, tr_, block_cfg)
+                                              sk_, tr_, block_cfg, offs)
         else:
-            def run_block(cfg_, x_, pi_, be_, sk_, tr_):
+            def run_block(cfg_, x_, pi_, be_, sk_, tr_, so_):
                 return _segment_block(self, x_, pi_, be_, sk_, tr_,
-                                      block_cfg)
+                                      block_cfg, so_)
 
         return text_sampling.SegmentedRun(
             prompt, scfg, key=key, row_keys=row_keys,
@@ -440,7 +451,8 @@ class MMadaModel:
     def segmented_chunk_runner(self, steps_per_block, block_length,
                                temperature=0.0, cfg_scale=0.0,
                                remasking="low_confidence",
-                               parallel_threshold=0.0):
+                               parallel_threshold=0.0,
+                               parallel_warmup_steps=0):
         """Return `run(x, prompt_index, block_ends, step_keys, transfers)`
         — ONE jitted per-row chunk program (`_segment_block_per_row`) for
         the serving engine's continuous-batching streams: every row
@@ -456,12 +468,17 @@ class MMadaModel:
             cfg_scale=cfg_scale, remasking=remasking,
             mask_id=self.vocab.mask_token_id,
             parallel_threshold=parallel_threshold,
+            parallel_warmup_steps=parallel_warmup_steps,
         )
 
-        def run(x, prompt_index, block_ends, step_keys, transfers):
+        def run(x, prompt_index, block_ends, step_keys, transfers,
+                step_offsets=None):
+            # step_offsets (B,): each row's first in-block step of this
+            # chunk — rows join streams mid-flight at different progress,
+            # and parallel warmup must bind to the BLOCK step index
             return _segment_block_per_row(
                 self, x, prompt_index, block_ends, step_keys, transfers,
-                block_cfg,
+                block_cfg, step_offsets,
             )
 
         return run
@@ -484,9 +501,9 @@ class MMadaModel:
             block_length=scfg.block_length,
         )
 
-        def run_block(cfg_, x_, pi_, be_, sk_, tr_):
+        def run_block(cfg_, x_, pi_, be_, sk_, tr_, so_):
             return _segment_block_stepwise(self, x_, pi_, be_, sk_, tr_,
-                                           block_cfg)
+                                           block_cfg, so_)
 
         return text_sampling.SegmentedRun(
             prompt, scfg, key=key, segment_steps=segment_steps,

@@ -249,94 +249,90 @@ def _denoise_step(
         fire = confidence >= cfg.parallel_threshold
         if cfg.parallel_warmup_steps > 0:
             # warmup: the threshold only fires once the block has revealed
-            # K steps of context (early commits are the damage source)
-            fire = jnp.logical_and(
-                fire, step_idx >= cfg.parallel_warmup_steps)
+            # K steps of context (early commits are the damage source).
+            # step_idx is scalar, or per-row (B,) from the engine's
+            # continuous-batching chunk runner (rows at different
+            # in-block progress) — broadcast over the (B, blk) mask.
+            si = jnp.asarray(step_idx)
+            if si.ndim:
+                si = si[:, None]
+            fire = jnp.logical_and(fire, si >= cfg.parallel_warmup_steps)
         transfer = transfer | fire
     new_blk = jnp.where(transfer, x0, x_blk)
     return jax.lax.dynamic_update_slice(x, new_blk, (0, block_start))
 
 
+def _block_logits_and_refresh(cfg, x, prompt_index, window_forward_fn,
+                              cache_fns):
+    """Build (block_logits_fn, refresh_ctx) for one block: the exact
+    windowed fn, or the cached fn plus — when `cache_refresh_every` is
+    set — the refresh context (_run_block_steps contract)."""
+    if cache_fns is None:
+        return _windowed_block_logits_fn(
+            cfg, window_forward_fn, prompt_index
+        ), None
+    kv = _capture_block_kv(cfg, cache_fns[0], x, prompt_index)
+    block_logits_fn = _cached_block_logits_fn(cfg, cache_fns[1], kv)
+    refresh_ctx = None
+    if cfg.cache_refresh_every > 0:
+        refresh_ctx = (
+            lambda xc: _capture_block_kv(cfg, cache_fns[0], xc, prompt_index),
+            lambda kv_: _cached_block_logits_fn(cfg, cache_fns[1], kv_),
+            kv,
+        )
+    return block_logits_fn, refresh_ctx
+
+
 def _run_block_steps(cfg, x, block_logits_fn, block_end, step_keys,
                      transfers, needs_key, collect_states,
-                     refresh_ctx=None):
-    """Inner per-block denoise loop. Normally a `lax.scan` over the fixed
-    step schedule; with `parallel_threshold` it becomes a `lax.while_loop`
-    that exits as soon as the block has no masks left — the forwards for
-    trailing no-op steps are never launched.
+                     refresh_ctx=None, step_offset=0):
+    """Inner per-block denoise loop — ONE implementation for every mode
+    combination. Normally a `lax.scan` over the fixed step schedule; with
+    `parallel_threshold` it becomes a `lax.while_loop` that exits as soon
+    as the block has no masks left — the forwards for trailing no-op
+    steps are never launched.
 
     `refresh_ctx=(recapture, logits_of_kv, kv0)` (cached mode with
     `cache_refresh_every > 0` only): the K/V cache rides the loop carry
     and is re-captured from the CURRENT tokens every N steps via
     `lax.cond` — the same carry pattern as t2i's refresh
-    (sampling/t2i._make_step)."""
+    (sampling/t2i._make_step). Without it the carry's kv slot is None (an
+    empty pytree — costs nothing) and the logits fn is constant.
+
+    `step_offset` (scalar, or per-row (B,) in warmup-only runners) is
+    this invocation's first IN-BLOCK step index — segmented chunk
+    runners pass their chunk start so step-indexed semantics (refresh
+    cadence, parallel warmup) bind to the block position exactly as in
+    the monolithic scan (the bit-exactness invariant,
+    tests/test_segmented.py)."""
     refresh = cfg.cache_refresh_every
+    offs = jnp.asarray(step_offset, jnp.int32)
     if refresh_ctx is not None and refresh > 0:
+        if offs.ndim:
+            raise ValueError(
+                "per-row step offsets cannot combine with cache refresh "
+                "(the refresh lax.cond needs a scalar step; per-row "
+                "runners never enable kv caching)"
+            )
         recapture, logits_of_kv, kv0 = refresh_ctx
 
         def _maybe_refresh(it, xc, kv):
+            step = offs + it
             return jax.lax.cond(
-                jnp.logical_and(it > 0, it % refresh == 0),
+                jnp.logical_and(step > 0, step % refresh == 0),
                 lambda a: recapture(a[0]),
                 lambda a: a[1],
                 (xc, kv),
             )
+    else:
+        kv0 = None
+        logits_of_kv = None
 
-        if cfg.parallel_threshold > 0.0:
-            if collect_states:
-                raise ValueError(
-                    "parallel_threshold has a data-dependent step count "
-                    "and cannot collect a fixed-shape trajectory; use the "
-                    "exact sampler for stepwise visualization"
-                )
-            b = x.shape[0]
-            spb = transfers.shape[1]
+        def _maybe_refresh(it, xc, kv):
+            return kv
 
-            def cond(carry):
-                xc, it, _ = carry
-                blk = jax.lax.dynamic_slice(
-                    xc, (0, block_end - cfg.block_length),
-                    (b, cfg.block_length),
-                )
-                return jnp.logical_and(it < spb,
-                                       jnp.any(blk == cfg.mask_id))
-
-            def body(carry):
-                xc, it, kv = carry
-                kv = _maybe_refresh(it, xc, kv)
-                xc = _denoise_step(
-                    xc,
-                    step_keys[it] if needs_key else None,
-                    transfers[:, it],
-                    logits_of_kv(kv),
-                    block_end,
-                    cfg,
-                    step_idx=it,
-                )
-                return xc, it + 1, kv
-
-            x, _, _ = jax.lax.while_loop(cond, body, (x, jnp.int32(0), kv0))
-            return x, None
-
-        def step(carry, sinp):
-            xc, kv = carry
-            it, step_key, n_transfer = sinp
-            kv = _maybe_refresh(it, xc, kv)
-            x_next = _denoise_step(
-                xc,
-                step_key if needs_key else None,
-                n_transfer,
-                logits_of_kv(kv),
-                block_end,
-                cfg,
-            )
-            return (x_next, kv), (x_next if collect_states else None)
-
-        steps_idx = jnp.arange(transfers.shape[1], dtype=jnp.int32)
-        (x, _), states = jax.lax.scan(
-            step, (x, kv0), (steps_idx, step_keys, transfers.T)
-        )
-        return x, states
+    def _logits_fn(kv):
+        return block_logits_fn if logits_of_kv is None else logits_of_kv(kv)
 
     if cfg.parallel_threshold > 0.0:
         if collect_states:
@@ -349,41 +345,49 @@ def _run_block_steps(cfg, x, block_logits_fn, block_end, step_keys,
         spb = transfers.shape[1]
 
         def cond(carry):
-            xc, it = carry
+            xc, it, _ = carry
             blk = jax.lax.dynamic_slice(
                 xc, (0, block_end - cfg.block_length), (b, cfg.block_length)
             )
             return jnp.logical_and(it < spb, jnp.any(blk == cfg.mask_id))
 
         def body(carry):
-            xc, it = carry
+            xc, it, kv = carry
+            kv = _maybe_refresh(it, xc, kv)
             xc = _denoise_step(
                 xc,
                 step_keys[it] if needs_key else None,
                 transfers[:, it],
-                block_logits_fn,
+                _logits_fn(kv),
                 block_end,
                 cfg,
-                step_idx=it,
+                step_idx=offs + it,
             )
-            return xc, it + 1
+            return xc, it + 1, kv
 
-        x, _ = jax.lax.while_loop(cond, body, (x, jnp.int32(0)))
+        x, _, _ = jax.lax.while_loop(cond, body, (x, jnp.int32(0), kv0))
         return x, None
 
     def step(carry, sinp):
-        step_key, n_transfer = sinp
+        xc, kv = carry
+        it, step_key, n_transfer = sinp
+        kv = _maybe_refresh(it, xc, kv)
         x_next = _denoise_step(
-            carry,
+            xc,
             step_key if needs_key else None,
             n_transfer,
-            block_logits_fn,
+            _logits_fn(kv),
             block_end,
             cfg,
+            step_idx=offs + it,
         )
-        return x_next, (x_next if collect_states else None)
+        return (x_next, kv), (x_next if collect_states else None)
 
-    return jax.lax.scan(step, x, (step_keys, transfers.T))
+    steps_idx = jnp.arange(transfers.shape[1], dtype=jnp.int32)
+    (x, _), states = jax.lax.scan(
+        step, (x, kv0), (steps_idx, step_keys, transfers.T)
+    )
+    return x, states
 
 
 def _block_key_schedule(key, num_blocks: int, spb: int):
@@ -448,23 +452,9 @@ def _generate_scan(
         block_mask = (block_slice == cfg.mask_id).sum(axis=1)
         transfers = num_transfer_schedule(block_mask, spb)  # (B, spb)
 
-        refresh_ctx = None
-        if cache_fns is not None:
-            kv = _capture_block_kv(cfg, cache_fns[0], x, prompt_index)
-            block_logits_fn = _cached_block_logits_fn(cfg, cache_fns[1], kv)
-            if cfg.cache_refresh_every > 0:
-                refresh_ctx = (
-                    lambda xc: _capture_block_kv(
-                        cfg, cache_fns[0], xc, prompt_index),
-                    lambda kv_: _cached_block_logits_fn(
-                        cfg, cache_fns[1], kv_),
-                    kv,
-                )
-        else:
-            block_logits_fn = _windowed_block_logits_fn(
-                cfg, window_forward_fn, prompt_index
-            )
-
+        block_logits_fn, refresh_ctx = _block_logits_and_refresh(
+            cfg, x, prompt_index, window_forward_fn, cache_fns
+        )
         return _run_block_steps(
             cfg, x, block_logits_fn, block_end, step_keys, transfers,
             needs_key, collect_states, refresh_ctx=refresh_ctx,
@@ -531,33 +521,27 @@ def run_block_eager(
     window_forward_fn: Optional[WindowForwardFn] = None,
     cache_fns: Optional[tuple[CaptureFn, CachedStepFn]] = None,
     collect_states: bool = False,
+    step_offset=0,
 ) -> jax.Array:
     """One block of denoise steps as an eager `lax.scan`. `block_end` is a
     TRACED scalar so every block produces the same jaxpr. Callers that can
     pass their parameters as explicit jit arguments should wrap this in a
     module-level `jax.jit` (see models/mmada._early_stop_block) — that is
-    what makes blocks 2..N reuse block 1's executable."""
+    what makes blocks 2..N reuse block 1's executable.
+
+    `step_offset` (traced scalar, or per-row (B,)): the chunk's first
+    in-block step index — segmented callers MUST pass it so step-indexed
+    semantics (refresh cadence, parallel warmup) match the monolithic
+    scan (see _run_block_steps)."""
     needs_key = cfg.temperature > 0 or cfg.remasking == "random"
 
-    refresh_ctx = None
-    if cache_fns is not None:
-        kv = _capture_block_kv(cfg, cache_fns[0], x, prompt_index)
-        block_logits_fn = _cached_block_logits_fn(cfg, cache_fns[1], kv)
-        if cfg.cache_refresh_every > 0:
-            refresh_ctx = (
-                lambda xc: _capture_block_kv(
-                    cfg, cache_fns[0], xc, prompt_index),
-                lambda kv_: _cached_block_logits_fn(cfg, cache_fns[1], kv_),
-                kv,
-            )
-    else:
-        block_logits_fn = _windowed_block_logits_fn(
-            cfg, window_forward_fn, prompt_index
-        )
-
+    block_logits_fn, refresh_ctx = _block_logits_and_refresh(
+        cfg, x, prompt_index, window_forward_fn, cache_fns
+    )
     x, states = _run_block_steps(
         cfg, x, block_logits_fn, block_end, step_keys, transfers,
         needs_key, collect_states=collect_states, refresh_ctx=refresh_ctx,
+        step_offset=step_offset,
     )
     # collect_states: (x, (W, B, L) per-step token states) — powers the
     # chunked stepwise stream (SegmentedRun(collect_states=True))
@@ -594,9 +578,12 @@ def generate_segmented(
     deliberately unsupported (per-chunk K/V recapture would *change* the
     block-cache staleness semantics, not just the schedule).
 
-    `run_block(cfg, x, prompt_index, block_end, step_keys, transfers)`
-    may be injected (models/mmada uses a jitted model-as-argument
-    runner); by default chunks run `run_block_eager`.
+    `run_block(cfg, x, prompt_index, block_end, step_keys, transfers,
+    step_offset)` may be injected (models/mmada uses a jitted
+    model-as-argument runner); by default chunks run `run_block_eager`.
+    The traced `step_offset` is the chunk's first in-block step — it
+    keeps step-indexed semantics (parallel warmup) identical to the
+    monolithic scan.
     """
     run = SegmentedRun(
         prompt, cfg, key=key, segment_steps=segment_steps,
@@ -687,19 +674,21 @@ class SegmentedRun:
                     forward_fn, cfg.block_length
                 )
             if self._per_row:
-                def run_block(cfg_, x_, pi_, be_, sk_, tr_):
+                def run_block(cfg_, x_, pi_, be_, sk_, tr_, so_):
                     def row(xr, pir, kr, trr):
                         return run_block_eager(
                             cfg_, xr[None], pir[None], be_, kr, trr[None],
                             window_forward_fn=window_forward_fn,
+                            step_offset=so_,
                         )[0]
                     return jax.vmap(row)(x_, pi_, sk_, tr_)
             else:
-                def run_block(cfg_, x_, pi_, be_, sk_, tr_):
+                def run_block(cfg_, x_, pi_, be_, sk_, tr_, so_):
                     return run_block_eager(
                         cfg_, x_, pi_, be_, sk_, tr_,
                         window_forward_fn=window_forward_fn,
                         collect_states=collect_states,
+                        step_offset=so_,
                     )
         self._run_block = run_block
 
@@ -723,6 +712,7 @@ class SegmentedRun:
                 out = self._run_block(
                     self.cfg, self.x, self._prompt_index,
                     jnp.int32(block_end), keys, transfers[:, s0:s1],
+                    jnp.int32(s0),
                 )
                 if self.collect_states:
                     self.x, self.last_states = out

@@ -279,6 +279,7 @@ class _Stream:
             remasking=settings.remasking,
             mask_id=model.vocab.mask_token_id,
             parallel_threshold=settings.parallel_threshold,
+            parallel_warmup_steps=settings.parallel_warmup_steps,
         )
         self.key = (kind, settings, prompt_len)
         self.settings = settings
@@ -297,6 +298,7 @@ class _Stream:
             temperature=settings.temperature, cfg_scale=settings.cfg_scale,
             remasking=settings.remasking,
             parallel_threshold=settings.parallel_threshold,
+            parallel_warmup_steps=settings.parallel_warmup_steps,
         )
         self.bucket = 0
         self.slots: list = []
@@ -386,7 +388,7 @@ class _Stream:
     def step(self) -> list[tuple[_Request, np.ndarray]]:
         """Run ONE chunk program over the pool; advance row states and
         return the (request, tokens) pairs that completed."""
-        ends, keys_rows, tr_rows = [], [], []
+        ends, keys_rows, tr_rows, offs = [], [], [], []
         zero_tr = jnp.zeros((self.C,), jnp.int32)
         for i in range(self.bucket):
             st = self.slots[i]
@@ -394,6 +396,7 @@ class _Stream:
                 ends.append(self.settings.block_length)
                 tr_rows.append(zero_tr)
                 keys_rows.append(None)
+                offs.append(0)
                 continue
             if st["transfers"] is None:
                 st["transfers"] = self._block_transfers(i)
@@ -406,6 +409,7 @@ class _Stream:
                 st["keys"][st["block"], c0:c0 + self.C]
                 if st["keys"] is not None else None
             )
+            offs.append(c0)  # row's first in-block step of this chunk
         if self.settings.stochastic:
             # idle rows reuse any real row's keys — their zero transfers
             # make the steps no-ops whatever the noise draws
@@ -417,7 +421,7 @@ class _Stream:
             step_keys = jnp.zeros((self.bucket, self.C, 2), jnp.uint32)
         self.x = self._runner(
             self.x, self.pi, jnp.asarray(ends, jnp.int32), step_keys,
-            jnp.stack(tr_rows),
+            jnp.stack(tr_rows), jnp.asarray(offs, jnp.int32),
         )
         finished = []
         for i in range(self.bucket):

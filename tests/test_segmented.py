@@ -127,6 +127,26 @@ def test_model_generate_segmented_matches():
         np.testing.assert_array_equal(got, want)
 
 
+def test_model_segmented_warmup_parallel_matches_monolithic():
+    """parallel_threshold + parallel_warmup_steps under segmentation: the
+    chunk runner threads the chunk's in-block step offset, so the warmup
+    gate binds to the BLOCK step index — output must equal the monolithic
+    sampler for every chunk size (the CLAUDE.md bit-exactness invariant;
+    before the offset threading, warmup re-suppressed tau at every chunk
+    boundary and diverged)."""
+    vl = tiny_layout()
+    cfg = llada.tiny_config(vocab_size=vl.total_vocab_size)
+    m = MMadaModel.init(jax.random.key(0), cfg, vl)
+    prompt = jax.random.randint(jax.random.key(7), (2, 24), 3, 200)
+
+    kw = dict(gen_length=16, steps=8, block_length=8, temperature=0.0,
+              parallel_threshold=0.5, parallel_warmup_steps=2)
+    want = np.asarray(m.generate(prompt, **kw))
+    for seg in (1, 2, 3, 4):
+        got = np.asarray(m.generate(prompt, **kw, segment_steps=seg))
+        np.testing.assert_array_equal(got, want, err_msg=f"seg={seg}")
+
+
 def test_model_generate_segmented_rejects_kv_cache():
     vl = tiny_layout()
     cfg = llada.tiny_config(vocab_size=vl.total_vocab_size)

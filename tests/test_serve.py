@@ -596,6 +596,34 @@ def test_stream_stochastic_nondividing_segment(model):
         engine.stop()
 
 
+def test_chunked_warmup_parallel_matches_monolithic(model):
+    """The chunked stream threads parallel_warmup_steps AND per-row step
+    offsets into the chunk runner: outputs must equal the direct sampler
+    with the same (tau, warmup) — the review-found gap where the engine
+    silently dropped warmup (and would re-suppress tau per chunk)."""
+    import jax.numpy as jnp
+
+    engine = ServingEngine(model, max_wait_ms=30).start()
+    try:
+        settings = TextSettings(
+            gen_length=16, steps=8, block_length=8, segment_steps=1,
+            parallel_threshold=0.5, parallel_warmup_steps=2,
+        )
+        rng = np.random.default_rng(5)
+        prompts = [rng.integers(3, 200, size=(6,)) for _ in range(2)]
+        futs = [engine.submit_text(p, settings) for p in prompts]
+        outs = [f.result(timeout=240) for f in futs]
+        for p, got in zip(prompts, outs):
+            want = np.asarray(model.generate(
+                jnp.asarray(p)[None], gen_length=16, steps=8,
+                block_length=8, temperature=0.0,
+                parallel_threshold=0.5, parallel_warmup_steps=2,
+            ))[0]
+            np.testing.assert_array_equal(got, want)
+    finally:
+        engine.stop()
+
+
 def test_stream_rejects_invalid_shape(model):
     """Chunked requests get the SAME shape validation as the monolithic
     sampler: gen_length not divisible by block_length must fail the

@@ -172,10 +172,10 @@ def main(argv):
         tokenizer, prompting.sp.bos, n=n_text,
         prompt_len=prompt_len, start=0,
     ), jnp.int32)
-    truths = synthetic.gate_text_truth(
+    truths = synthetic.require_truth(synthetic.gate_text_truth(
         tokenizer, prompting.sp.bos, n=n_text,
         prompt_len=prompt_len, start=0,
-    )
+    ), "kv refresh sweep")
 
     def sync(x):
         return int(jax.device_get(jnp.asarray(x).sum()))

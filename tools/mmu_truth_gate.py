@@ -88,11 +88,11 @@ def main(argv):
     # truth: the training caption + EOS (mmu frames pad with in-loss EOS,
     # so the post-caption window is determinable too — we score the
     # caption + one EOS, the conservative span)
-    truths = [
+    truths = synthetic.require_truth([
         np.asarray(tokenizer([synthetic.caption_for(k)])["input_ids"][0]
                    + [sp.eos], np.int64)
         for k in range(n)
-    ]
+    ], "mmu truth gate")
 
     def sync(x):
         return int(jax.device_get(jnp.asarray(x).sum()))

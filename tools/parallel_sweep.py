@@ -87,10 +87,10 @@ def main(argv):
         tokenizer, prompting.sp.bos, n=n_text,
         prompt_len=prompt_len, start=0,
     ), jnp.int32)
-    truths = synthetic.gate_text_truth(
+    truths = synthetic.require_truth(synthetic.gate_text_truth(
         tokenizer, prompting.sp.bos, n=n_text,
         prompt_len=prompt_len, start=0,
-    )
+    ), "parallel sweep")
 
     def sync(x):
         return int(jax.device_get(jnp.asarray(x).sum()))

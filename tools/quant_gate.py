@@ -348,10 +348,10 @@ def gate_truth_targets(tokenizer, prompting, vocab, yaml_cfg):
     from mmada_tpu.models import magvit2
     from mmada_tpu.serve.loader import build_vq_model
 
-    truths = synthetic.gate_text_truth(
+    truths = synthetic.require_truth(synthetic.gate_text_truth(
         tokenizer, prompting.sp.bos, n=8,
         prompt_len=GATE_TEXT_PROMPT_LEN, start=0,
-    )
+    ), "quant gate (ckpt mode)")
     res = int(yaml_cfg.get_path("dataset.preprocessing.resolution", 512))
     vq_params, vq_cfg = build_vq_model(yaml_cfg)
     pats = np.stack([synthetic.pattern_image(k, res) for k in range(2)])
