@@ -38,7 +38,7 @@ class AppState:
         # deployment fast-decode defaults, FAMILY-RESOLVED: flat
         # serving.<key> with per-task serving.<task>.<key> overrides —
         # the trained-proxy quality evidence is per-family (BASELINE.md
-        # rounds 3q-3t: text needs refresh=2/warmup=2, MMU is token-exact
+        # rounds 3q-3u: text needs refresh=4/warmup=spb/2, MMU preserves
         # under the full kv freeze, t2i within slack). Per-request fields
         # still override (loader.task_serving_defaults).
         from mmada_tpu.serve.loader import task_serving_defaults

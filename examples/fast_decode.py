@@ -20,10 +20,11 @@ gate measured their quality price to be concentrated in each block's FIRST
 steps (BASELINE.md rounds 3q-3t). Two knobs buy the quality back:
 
   * ``cache_refresh_every=N`` — re-capture the K/V every N steps inside a
-    block (refresh=1 is token-exact; refresh=2 restored exact quality on
-    the trained proxy at 1.31x exact speed);
+    block (refresh=1 is token-exact; refresh=4 restored exact quality on
+    the trained proxy at 1.94x exact speed at the reference op);
   * ``parallel_warmup_steps=K`` — hold the τ threshold for a block's
-    first K steps (warmup=2 restored quality at 1.34x).
+    first K steps (warmup=8, half the steps per block, preserved
+    quality at 1.15x).
 
 With real weights, gate them with tools/real_weight_harness.py
 (kv_cache_gate stage) before making them a serving default — and note the
@@ -83,7 +84,7 @@ def main():
     cached = run("block_kv_cache", block_kv_cache=True)
     run("int8 kv cache", block_kv_cache="int8")
     refreshed = run("kv refresh=2", block_kv_cache=True,
-                    cache_refresh_every=2)
+                    cache_refresh_every=2)  # spb=4 here, so cadence 2 = spb/2
     par = run("parallel τ=0.9", parallel_threshold=0.9)
     warm = run("τ=0.9 warmup=2", parallel_threshold=0.9,
                parallel_warmup_steps=2)

@@ -38,8 +38,8 @@ def main(argv):
     kv_cache = parse_kv_cache(cfg.get("kv_cache", _d["kv_cache"]))
     parallel_threshold = float(cfg.get(
         "parallel_threshold", _d["parallel_threshold"]))
-    # τ fires only after K steps/block (warmup=2 restored trained-proxy
-    # truth accuracy at 1.34x — PARALLEL_WARMUP_r03.json)
+    # τ fires only after K steps/block (warmup=8 preserved trained-proxy
+    # truth accuracy at 1.15x — PARALLEL_WARMUP_r03.json)
     parallel_warmup_steps = int(cfg.get(
         "parallel_warmup_steps", _d["parallel_warmup_steps"]))
     # cached-mode staleness knob: re-capture K/V every N steps (0 = once

@@ -38,9 +38,9 @@ def task_serving_defaults(cfg: Config, task: str) -> dict:
 
     `serving.<task>.<key>` overrides the flat `serving.<key>`, because the
     trained-proxy quality evidence is FAMILY-RESOLVED (BASELINE.md rounds
-    3q–3t): text needs `cache_refresh_every=2` or `parallel_warmup_steps=2`
-    to preserve quality under the fast stack, MMU is token-exact under the
-    full block-KV freeze (static image prefix), t2i is within slack. A
+    3q–3u): text needs `cache_refresh_every=4` or `parallel_warmup_steps=8`
+    to preserve quality under the fast stack, MMU preserves quality under
+    the full block-KV freeze (static image prefix), t2i is within slack. A
     deployment can therefore enable kv for mmu/t2i while keeping text
     exact:
 

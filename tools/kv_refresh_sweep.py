@@ -145,7 +145,8 @@ def main(argv):
     import jax.numpy as jnp
     import numpy as np
 
-    from quant_gate import GATE_TEXT_OP, GATE_TEXT_PROMPT_LEN
+    from quant_gate import (GATE_TEXT_BATCH, GATE_TEXT_OP,
+                        GATE_TEXT_PROMPT_LEN)
     from mmada_tpu.checkpoints.hf_import import (
         config_from_hf_json, load_pretrained,
     )
@@ -167,7 +168,7 @@ def main(argv):
     params = load_pretrained(ckpt, cfg, dtype=jnp.bfloat16)
     model = MMadaModel(cfg=cfg, params=params, vocab=vocab, policy=BF16)
 
-    n_text, prompt_len = 8, GATE_TEXT_PROMPT_LEN
+    n_text, prompt_len = GATE_TEXT_BATCH, GATE_TEXT_PROMPT_LEN
     prompt = jnp.asarray(synthetic.gate_decode_prompt_rows(
         tokenizer, prompting.sp.bos, n=n_text,
         prompt_len=prompt_len, start=0,

@@ -12,7 +12,7 @@ Frame = `<|mmu|> <|soi|> codes <|eoi|> <bos>` (the training mmu frame,
 prompting/universal.py mmu(), through the app's serving layout); truth =
 the pattern's training caption + EOS (data/synthetic.caption_for — the
 mmu flow memorizes image→caption; campaign D trained it to loss ~2e-5).
-Arms: exact, kv (fp32 + int8 cache), kv refresh=2, τ=0.9 parallel with
+Arms: exact, kv (fp32 + int8 cache), kv refresh=2 (spb=8 here), τ=0.9 parallel with
 warmup 0/2, and the composed stack. Promotion per arm: truth accuracy
 within 0.01 of exact's, with the bank-memorized instrument check.
 
@@ -73,7 +73,7 @@ def main(argv):
 
     # frames: the serving-layout mmu prefix for the first n training
     # patterns, VQ codes through the config's (seed-deterministic) encoder
-    n = int(args.get("n", 8))
+    n = int(args.get("n", 16))  # 16 captions + EOS ≈ 370 truth positions
     res = int(ycfg.get_path("dataset.preprocessing.resolution", 512))
     vq_params, vq_cfg = build_vq_model(ycfg)
     pats = np.stack([synthetic.pattern_image(k, res) for k in range(n)])

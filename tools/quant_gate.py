@@ -269,6 +269,11 @@ def ckpt_promotion_checks(report, name,
 # positions, so the 0.01 decode slack is not single-flip granularity
 # (same lesson as the 768-position forward sample).
 GATE_TEXT_OP = {"gen_length": 64, "steps": 32, "block_length": 32}
+# 32 prompt rows x ~23 determinable positions ≈ 740 scorable text truth
+# positions (was 8 rows / 184: a 0.01 slack was ~2-token granularity —
+# the round-3 review's statistical-power concern). Campaign D memorized
+# ALL 64 bank sentences (loss_lm 0.0096), so every row is informative.
+GATE_TEXT_BATCH = 32
 # 40 BOS-framed tokens: into the sentence's content words, where the
 # trained proxy's continuation is deterministic (at 24 the completion
 # depends on digit->content-word recall — the model's weak skill — and
@@ -292,7 +297,7 @@ def gate_decode_inputs(tokenizer, prompting, vocab, num_vq):
     from mmada_tpu.data import synthetic
 
     text_prompt = synthetic.gate_decode_prompt_rows(
-        tokenizer, prompting.sp.bos, n=8,
+        tokenizer, prompting.sp.bos, n=GATE_TEXT_BATCH,
         prompt_len=GATE_TEXT_PROMPT_LEN, start=0
     )
     captions = [synthetic.caption_for(k) for k in range(2)]
@@ -349,7 +354,7 @@ def gate_truth_targets(tokenizer, prompting, vocab, yaml_cfg):
     from mmada_tpu.serve.loader import build_vq_model
 
     truths = synthetic.require_truth(synthetic.gate_text_truth(
-        tokenizer, prompting.sp.bos, n=8,
+        tokenizer, prompting.sp.bos, n=GATE_TEXT_BATCH,
         prompt_len=GATE_TEXT_PROMPT_LEN, start=0,
     ), "quant gate (ckpt mode)")
     res = int(yaml_cfg.get_path("dataset.preprocessing.resolution", 512))
