@@ -97,12 +97,14 @@ def main(argv):
         gen_kw = dict(prompt=prompt, gen_length=64, steps=32,
                       block_length=32, temperature=0.0, seed=0)
         exact, t_exact = _post(port, "/generate", gen_kw)
+        # the PROMOTED fast stack (round-3u): kv at the recommended
+        # refresh cadence + tau with spb/2 warmup — the configuration
+        # bench.py composes and docs/SERVING.md recommends
+        fast_kw = {**gen_kw, "kv_cache": True, "cache_refresh_every": 4,
+                   "parallel_threshold": 0.9, "parallel_warmup_steps": 8}
         # warm pass compiled the fast executors; measure second calls
-        _post(port, "/generate",
-              {**gen_kw, "kv_cache": True, "parallel_threshold": 0.9})
-        fast, t_fast = _post(
-            port, "/generate",
-            {**gen_kw, "kv_cache": True, "parallel_threshold": 0.9})
+        _post(port, "/generate", fast_kw)
+        fast, t_fast = _post(port, "/generate", fast_kw)
         _post(port, "/generate", gen_kw)
         exact, t_exact = _post(port, "/generate", gen_kw)
         report["text"] = {
