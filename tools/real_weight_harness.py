@@ -32,7 +32,13 @@ Stages (each recorded with pass/fail in the artifact):
                    CPU (large-margin logits make agreement meaningful),
                    int8 and W8A8 forwards + greedy decodes on the chip;
                    applies the thresholds of tools/quant_gate.py and
-                   writes the promote decision.
+                   writes the promote decision. CAVEAT (round-3u lesson):
+                   decode agreement-vs-bf16 conflates approximation
+                   damage with intrinsic entropy on real weights too —
+                   the forward margin-confident check is the robust
+                   screen; treat decode agreement as secondary and let
+                   stages 5c/5d (CLIP-score / t2m metrics) be the
+                   decisive quality instruments on mount day.
   5c. image_quality — CLIP-score (+ImageReward when mounted) over the
                    decoded stage-4 t2i tokens (clip_dir= transformers
                    CLIPModel layout); the dryrun drives the same decode →
