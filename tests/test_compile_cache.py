@@ -46,6 +46,12 @@ _CHILD = textwrap.dedent("""
     assert got == cache_dir, got
 
     import jax
+    # force CPU IN-PROCESS: the axon sitecustomize pins JAX_PLATFORMS and
+    # the env var cannot override it, so without this the child would
+    # initialize the tunneled TPU backend — observed hanging this test
+    # whenever the tunnel was degraded (an accidental hardware
+    # dependency in a disk-roundtrip test)
+    jax.config.update("jax_platforms", "cpu")
     # admit even this tiny test program into the persistent cache
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
