@@ -228,7 +228,8 @@ class AppState:
 
     def t2i(self, prompt, timesteps=15, guidance_scale=3.5,
             temperature=1.0, seed=0, kv_cache=None,
-            cache_refresh_every=None, segment_timesteps=None):
+            cache_refresh_every=None, segment_timesteps=None,
+            cfg_interval=None):
         d = self.serving_defaults["t2i"]
         if kv_cache is None:
             kv_cache = d["kv_cache"]
@@ -236,8 +237,11 @@ class AppState:
             cache_refresh_every = d["cache_refresh_every"]
         if segment_timesteps is None:
             segment_timesteps = d["segment_timesteps"]
-        if kv_cache:  # cached decode wins over segmentation
+        if cfg_interval is None:
+            cfg_interval = d["cfg_interval"]
+        if kv_cache:  # cached decode wins over segmentation + cfg interval
             segment_timesteps = 0
+            cfg_interval = (0.0, 1.0)
         import jax
         import jax.numpy as jnp
 
@@ -257,6 +261,7 @@ class AppState:
                 block_kv_cache=kv_cache,
                 cache_refresh_every=cache_refresh_every,
                 segment_timesteps=segment_timesteps,
+                cfg_interval=tuple(cfg_interval),
             )
             fut = self.engine.submit_t2i(
                 np.asarray(input_ids[0]), np.asarray(uncond_ids[0]), settings,
@@ -279,6 +284,7 @@ class AppState:
                     key=jax.random.key(seed), block_kv_cache=kv_cache,
                     cache_refresh_every=cache_refresh_every,
                     segment_timesteps=segment_timesteps,
+                    cfg_interval=tuple(cfg_interval),
                 )
                 pixels = magvit2.decode_code(self.vq_params, self.vq_cfg, codes)
         arr = np.asarray((np.asarray(pixels[0]) + 1.0) * 127.5).clip(0, 255)
@@ -432,7 +438,7 @@ class AppState:
 def run_http(state: AppState, port: int):
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-    from mmada_tpu.core.config import parse_kv_cache
+    from mmada_tpu.core.config import parse_cfg_interval, parse_kv_cache
 
     from PIL import Image
 
@@ -568,6 +574,9 @@ def run_http(state: AppState, port: int):
                         segment_timesteps=(
                             int(req["segment_timesteps"])
                             if "segment_timesteps" in req else None),
+                        cfg_interval=(
+                            parse_cfg_interval(req["cfg_interval"])
+                            if "cfg_interval" in req else None),
                     )
                     buf = io.BytesIO()
                     Image.fromarray(arr).save(buf, format="PNG")

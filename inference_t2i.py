@@ -41,8 +41,14 @@ def main(argv):
     segment_timesteps = int(cfg.get(
         "segment_timesteps", _d["segment_timesteps"]
     ))
+    # guidance interval (CLI `cfg_interval=0.2,0.8`): CFG only inside the
+    # band — exact cond-only forwards elsewhere (sampling/t2i)
+    from mmada_tpu.core.config import parse_cfg_interval
+    cfg_interval = parse_cfg_interval(
+        cfg.get("cfg_interval", _d["cfg_interval"]))
     if kv_cache:
         segment_timesteps = 0  # cached decode wins when both are set
+        cfg_interval = (0.0, 1.0)
     seed = int(cfg.get("seed", 0))
     output_dir = cfg.get("output_dir", "t2i_outputs")
     prompts_file = cfg.get(
@@ -91,6 +97,7 @@ def main(argv):
             block_kv_cache=kv_cache,
             cache_refresh_every=cache_refresh_every,
             segment_timesteps=segment_timesteps,
+            cfg_interval=cfg_interval,
         )
         pixels = magvit2.decode_code(vq_params, vq_cfg, codes)
         pixels = np.asarray(jnp.clip((pixels + 1.0) * 127.5, 0, 255)).astype(np.uint8)

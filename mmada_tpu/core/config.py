@@ -259,6 +259,32 @@ def parse_kv_cache(value):
     return "int8" if value == "int8" else bool(value)
 
 
+def parse_cfg_interval(value):
+    """CLI/HTTP/yaml `cfg_interval` values -> (lo, hi) float tuple.
+
+    Accepts a 2-sequence ([0.2, 0.8]), a "lo,hi" / "lo:hi" string (CLI
+    `cfg_interval=0.2,0.8`), or None/"" (trivial (0.0, 1.0) = CFG every
+    step, the reference behavior). Validates 0 <= lo <= hi <= 1 here so a
+    malformed deployment value fails at config time, not inside a traced
+    sampler."""
+    if value is None:
+        return (0.0, 1.0)
+    if isinstance(value, str):
+        v = value.strip()
+        if v in ("", "off", "none"):
+            return (0.0, 1.0)
+        parts = v.replace(":", ",").split(",")
+        if len(parts) != 2:
+            raise ValueError(
+                f"cfg_interval must be 'lo,hi', got {value!r}")
+        value = [float(p) for p in parts]
+    lo, hi = (float(value[0]), float(value[1]))
+    if not (0.0 <= lo <= hi <= 1.0):
+        raise ValueError(
+            f"cfg_interval must satisfy 0 <= lo <= hi <= 1, got {value!r}")
+    return (lo, hi)
+
+
 def parse_remat(value):
     """`training.gradient_checkpointing` values -> False | "full" | "dots".
 

@@ -683,7 +683,7 @@ class MMadaModel:
                      noise_schedule=cosine_schedule, num_vq_tokens=1024,
                      key=None, greedy=False, stepwise=False,
                      block_kv_cache=False, cache_refresh_every=0,
-                     segment_timesteps=0):
+                     segment_timesteps=0, cfg_interval=(0.0, 1.0)):
         """`block_kv_cache=True`: capture the static text prompt's K/V once
         and forward only the image span per MaskGIT step (approximate;
         exact at timesteps=1 — see `_span_cache_fns`).
@@ -691,7 +691,10 @@ class MMadaModel:
         staleness/quality knob for the cached mode.
         `segment_timesteps` (0 = off): run the EXACT sampler as multiple
         ≤N-step device programs (host loop — do not wrap in jit; the t2i
-        analog of `generate(segment_steps=...)`)."""
+        analog of `generate(segment_steps=...)`).
+        `cfg_interval=(lo, hi)`: apply CFG only for steps in the
+        [lo, hi) step-fraction band; outside it the forward runs at
+        SINGLE batch (see sampling/t2i.MaskGITConfig.cfg_interval)."""
         mcfg = t2i_sampling.MaskGITConfig(
             timesteps=timesteps, temperature=temperature,
             guidance_scale=guidance_scale, noise_schedule=noise_schedule,
@@ -699,6 +702,7 @@ class MMadaModel:
             codebook_size=self.vocab.image_codebook_size,
             text_vocab_size=self.vocab.image_offset, greedy=greedy,
             cache_refresh_every=cache_refresh_every,
+            cfg_interval=tuple(cfg_interval),
         )
         if segment_timesteps:
             if stepwise:
@@ -737,7 +741,7 @@ class MMadaModel:
                           temperature=1.0, timesteps=18, guidance_scale=0.0,
                           noise_schedule=cosine_schedule, num_vq_tokens=1024,
                           key=None, greedy=False, segment_timesteps=8,
-                          block_kv_cache=False):
+                          block_kv_cache=False, cfg_interval=(0.0, 1.0)):
         """`t2i_generate`'s incremental form (same kwargs): returns a
         `SegmentedT2IRun` — call `.step()` until True, then read
         `.codes`. Used by the serving engine for chunk-granularity t2i
@@ -748,6 +752,7 @@ class MMadaModel:
             mask_id=self.vocab.mask_token_id, num_vq_tokens=num_vq_tokens,
             codebook_size=self.vocab.image_codebook_size,
             text_vocab_size=self.vocab.image_offset, greedy=greedy,
+            cfg_interval=tuple(cfg_interval),
         )
         return self._t2i_segmented_run(
             input_ids, mcfg, key=key, uncond_input_ids=uncond_input_ids,
@@ -774,10 +779,14 @@ class MMadaModel:
                 "staleness semantics)"
             )
 
-        def run_window(carry, ts, step_keys):
+        def run_window(carry, ts, step_keys, window_cfg):
+            # window_cfg is mcfg or its guidance-off variant when a
+            # cfg_interval cuts the window list (sampling/t2i): both are
+            # static, so at most two executables are compiled and shared
+            # across all windows of all calls.
             return _t2i_window(
                 self, carry, ts, step_keys, uncond_input_ids,
-                attention_mask, uncond_attention_mask, mcfg,
+                attention_mask, uncond_attention_mask, window_cfg,
             )
 
         return t2i_sampling.SegmentedT2IRun(

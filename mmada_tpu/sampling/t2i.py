@@ -28,6 +28,7 @@ evaluated only over the 8k image window via the model's `logit_window`.
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Callable, Optional
 
 import jax
@@ -51,12 +52,35 @@ class MaskGITConfig:
     codebook_size: int = 8192
     text_vocab_size: int = 126464   # fused-id offset of the image window
     greedy: bool = False            # argmax instead of categorical (parity/tests)
+    cfg_interval: tuple = (0.0, 1.0)
+    """Guidance interval (lo, hi) as step-fractions: CFG (the batch-doubled
+    cond+uncond forward) runs only for steps t with lo <= t/timesteps < hi;
+    the remaining steps forward the SINGLE cond batch — no uncond compute,
+    no stale logits (outside the interval the combine is simply absent,
+    exactly the reference's guidance_scale=0 step). (0.0, 1.0) = CFG every
+    step (the reference behavior, modeling_mmada.py:155-167). Restricting
+    guidance to a mid-interval is the Kynkäänniemi et al. 2024 "guidance
+    interval" recipe; here it is also a measured speed lever (each skipped
+    step halves the forward batch). Truth-gated like every fast arm
+    (tools/cfg_interval_sweep.py)."""
     cache_refresh_every: int = 0
     """KV-cached decode only: re-capture the out-of-span K/V every N steps
     (0 = capture once for all timesteps). The prompt's TOKENS never change,
     but its K/V responses to the committed image tokens do — refreshing is
     the staleness/quality knob (each refresh costs one full-sequence
     forward; the text semi-AR sampler refreshes per block naturally)."""
+
+
+def cfg_interval_steps(cfg: "MaskGITConfig"):
+    """Static (lo_idx, hi_idx) step range where CFG is active: step t uses
+    guidance iff lo <= t/timesteps < hi. Defaults to (0, timesteps)."""
+    lo, hi = cfg.cfg_interval
+    if not (0.0 <= lo <= hi <= 1.0):
+        raise ValueError(f"cfg_interval must satisfy 0 <= lo <= hi <= 1, got {cfg.cfg_interval}")
+    t = cfg.timesteps
+    lo_idx = math.ceil(lo * t - 1e-9)
+    hi_idx = math.ceil(hi * t - 1e-9)
+    return lo_idx, hi_idx
 
 
 def _scan(forward_fn, input_ids, cfg, key, uncond_input_ids,
@@ -102,13 +126,48 @@ def _scan(forward_fn, input_ids, cfg, key, uncond_input_ids,
     # refresh-vs-not branching everywhere below)
     cached = cache_fns is not None
 
+    ts = jnp.arange(cfg.timesteps, dtype=jnp.float32)
+    lo_idx, hi_idx = cfg_interval_steps(cfg)
+    interval_active = use_cfg and (lo_idx > 0 or hi_idx < cfg.timesteps)
+
+    if interval_active:
+        if cached:
+            raise ValueError(
+                "cfg_interval + block_kv_cache is unsupported: the cached "
+                "K/V is captured at CFG batch (2B rows) and the cond-only "
+                "phases would need a different cache shape; run the exact "
+                "sampler (the headline arm) with cfg_interval instead"
+            )
+        # Three contiguous phases — cond-only / CFG / cond-only — each its
+        # own lax.scan over the SAME (ts, step_keys) rows the monolithic
+        # scan would consume, so step semantics (temperature compounding,
+        # schedule, per-step RNG) are unchanged; only the guidance combine
+        # (and its batch-doubled forward) is restricted to [lo, hi).
+        step_on = _make_step(
+            forward_fn, cfg, b, n, img_lo, prompt_len, True,
+            uncond_prefix, full_mask, None, None,
+        )
+        step_off = _make_step(
+            forward_fn, cfg, b, n, img_lo, prompt_len, False,
+            None, attention_mask, None, None,
+        )
+        carry = (x, cur, jnp.float32(cfg.temperature))
+        outs = []
+        for s0, s1, fn in ((0, lo_idx, step_off),
+                           (lo_idx, hi_idx, step_on),
+                           (hi_idx, cfg.timesteps, step_off)):
+            if s1 > s0:
+                carry, sampled = jax.lax.scan(
+                    fn, carry, (ts[s0:s1], step_keys[s0:s1]))
+                outs.append(sampled)
+        return jnp.concatenate(outs, axis=0)
+
     step = _make_step(
         forward_fn, cfg, b, n, img_lo, prompt_len, use_cfg,
         uncond_prefix, full_mask,
         cache_fns, capture if cached else None,
     )
 
-    ts = jnp.arange(cfg.timesteps, dtype=jnp.float32)
     carry0 = (x, cur, jnp.float32(cfg.temperature))
     if cached:
         carry0 = carry0 + (kv,)
@@ -237,7 +296,19 @@ def run_timestep_window(forward_fn, carry, ts, step_keys, cfg,
     `carry` — an exact continuation: temperature compounding, the noise
     schedule, and per-step keys all ride `ts`/`step_keys` rows, so
     windowed execution is associative in the carry (the same argument as
-    sampling/text.generate_segmented). Returns (carry, (W, B, n) grids)."""
+    sampling/text.generate_segmented). Returns (carry, (W, B, n) grids).
+
+    `cfg.cfg_interval` must be trivial here: a window has no global step
+    position, so interval splitting is the caller's job —
+    `SegmentedT2IRun` cuts its window list at the interval boundaries and
+    hands each window a per-window cfg (guidance on or off for the WHOLE
+    window)."""
+    if cfg_interval_steps(cfg) != (0, cfg.timesteps):
+        raise ValueError(
+            "run_timestep_window cannot apply a non-trivial cfg_interval "
+            "(windows have no global step position); use SegmentedT2IRun "
+            "or t2i_generate, which split windows at the boundaries"
+        )
     x = carry[0]
     b, l = x.shape
     n = cfg.num_vq_tokens
@@ -266,9 +337,14 @@ class SegmentedT2IRun:
     unsupported (per-window K/V recapture would change the cache's
     staleness semantics).
 
-    `run_window(carry, ts, step_keys)` may be injected (models/mmada
-    wraps a jitted model-as-argument runner); defaults to
-    `run_timestep_window` with `forward_fn`.
+    `run_window(carry, ts, step_keys, window_cfg)` may be injected
+    (models/mmada wraps a jitted model-as-argument runner); defaults to
+    `run_timestep_window` with `forward_fn`. `window_cfg` is the
+    MaskGITConfig the window must run under — identical to `cfg` except
+    when `cfg.cfg_interval` is non-trivial, in which case the window list
+    is cut at the interval boundaries and each window's cfg carries
+    guidance on (inside [lo, hi)) or `guidance_scale=0` (outside), with
+    the interval itself stripped (windows have no global step position).
     """
 
     def __init__(self, forward_fn, input_ids, cfg: MaskGITConfig,
@@ -285,18 +361,31 @@ class SegmentedT2IRun:
             key = jax.random.key(0)
         self._keys = jax.random.split(key, cfg.timesteps)
         self._ts = jnp.arange(cfg.timesteps, dtype=jnp.float32)
-        self._windows = [
-            (s, min(s + segment_timesteps, cfg.timesteps))
-            for s in range(0, cfg.timesteps, segment_timesteps)
-        ]
+
+        lo_idx, hi_idx = cfg_interval_steps(cfg)
+        use_cfg = uncond_input_ids is not None and cfg.guidance_scale > 0
+        interval_active = use_cfg and (lo_idx > 0 or hi_idx < cfg.timesteps)
+        boundaries = {lo_idx, hi_idx} if interval_active else set()
+        flat_cfg = (dataclasses.replace(cfg, cfg_interval=(0.0, 1.0))
+                    if interval_active else cfg)
+        off_cfg = dataclasses.replace(flat_cfg, guidance_scale=0.0)
+        self._windows = []
+        for s in range(0, cfg.timesteps, segment_timesteps):
+            e = min(s + segment_timesteps, cfg.timesteps)
+            cuts = sorted({s, e} | {b for b in boundaries if s < b < e})
+            for a, b_ in zip(cuts[:-1], cuts[1:]):
+                wcfg = (flat_cfg if (not interval_active
+                                     or lo_idx <= a < hi_idx)
+                        else off_cfg)
+                self._windows.append((a, b_, wcfg))
         self._i = 0
         self.done = False
         self.codes = None
         self.last_window = None
         if run_window is None:
-            def run_window(carry, ts, step_keys):
+            def run_window(carry, ts, step_keys, window_cfg):
                 return run_timestep_window(
-                    forward_fn, carry, ts, step_keys, cfg,
+                    forward_fn, carry, ts, step_keys, window_cfg,
                     uncond_input_ids=uncond_input_ids,
                     attention_mask=attention_mask,
                     uncond_attention_mask=uncond_attention_mask,
@@ -310,9 +399,9 @@ class SegmentedT2IRun:
     def step(self) -> bool:
         """Run ONE window; True once the final window has executed."""
         if not self.done:
-            s0, s1 = self._windows[self._i]
+            s0, s1, wcfg = self._windows[self._i]
             self._carry, sampled = self._run_window(
-                self._carry, self._ts[s0:s1], self._keys[s0:s1]
+                self._carry, self._ts[s0:s1], self._keys[s0:s1], wcfg
             )
             self.last_window = sampled
             self._i += 1

@@ -139,6 +139,7 @@ def _jit_t2i(model, frames, unconds, attns, uncond_attns, settings, key):
         key=key,
         block_kv_cache=settings.block_kv_cache,
         cache_refresh_every=settings.cache_refresh_every,
+        cfg_interval=settings.cfg_interval,
     )
 
 
@@ -180,6 +181,10 @@ class T2ISettings:
     # dispatcher interleaves other work between windows (exact;
     # sampling/t2i.SegmentedT2IRun)
     segment_timesteps: int = 0
+    # guidance interval (lo, hi) step-fractions: CFG only inside the band,
+    # single-batch cond-only forwards outside (exact-sampler only —
+    # rejected with block_kv_cache; sampling/t2i.MaskGITConfig)
+    cfg_interval: tuple = (0.0, 1.0)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -831,6 +836,7 @@ class ServingEngine:
                     num_vq_tokens=settings.num_vq_tokens,
                     key=key,
                     segment_timesteps=settings.segment_timesteps,
+                    cfg_interval=settings.cfg_interval,
                 )
                 self._active.append(_T2ITask(run, grp))
                 return

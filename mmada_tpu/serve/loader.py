@@ -50,7 +50,7 @@ def task_serving_defaults(cfg: Config, task: str) -> dict:
           t2i:  {kv_cache: true}
 
     Per-request fields still override both levels (app.py handlers)."""
-    from mmada_tpu.core.config import parse_kv_cache
+    from mmada_tpu.core.config import parse_cfg_interval, parse_kv_cache
 
     def g(key, fallback, cast):
         v = cfg.get_path(f"serving.{task}.{key}", None)
@@ -65,6 +65,11 @@ def task_serving_defaults(cfg: Config, task: str) -> dict:
         "cache_refresh_every": g("cache_refresh_every", 0, int),
         "segment_steps": g("segment_steps", 0, int),
         "segment_timesteps": g("segment_timesteps", 0, int),
+        # t2i guidance interval (sampling/t2i.MaskGITConfig.cfg_interval):
+        # CFG only for steps in the [lo, hi) band — exact single-batch
+        # forwards elsewhere. Exact-sampler only; kv_cache wins when both
+        # are set (same precedence as segmentation).
+        "cfg_interval": g("cfg_interval", None, parse_cfg_interval),
     }
 
 

@@ -122,3 +122,24 @@ def test_parse_kv_cache_flag():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         parse_kv_cache("quantized")
+
+
+def test_parse_cfg_interval():
+    """`cfg_interval` deployment values (yaml list, CLI 'lo,hi' string,
+    None) normalize to a validated (lo, hi) tuple at config time."""
+    from mmada_tpu.core.config import parse_cfg_interval
+
+    assert parse_cfg_interval(None) == (0.0, 1.0)
+    assert parse_cfg_interval("") == (0.0, 1.0)
+    assert parse_cfg_interval("off") == (0.0, 1.0)
+    assert parse_cfg_interval("0.2,0.8") == (0.2, 0.8)
+    assert parse_cfg_interval("0.2:0.8") == (0.2, 0.8)
+    assert parse_cfg_interval([0.0, 0.6]) == (0.0, 0.6)
+    assert parse_cfg_interval((0.25, 0.75)) == (0.25, 0.75)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="lo <= hi"):
+        parse_cfg_interval("0.8,0.2")
+    with _pytest.raises(ValueError, match="lo <= hi"):
+        parse_cfg_interval([-0.1, 0.5])
+    with _pytest.raises(ValueError, match="lo,hi"):
+        parse_cfg_interval("0.5")

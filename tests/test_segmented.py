@@ -18,6 +18,7 @@ sizes mutually bit-exact; trained 165M proxy token-EXACT at seg 4/16) —
 see sampling/text.generate_segmented's docstring.
 """
 
+import dataclasses
 import os
 
 import jax
@@ -333,3 +334,135 @@ def test_segmented_stepwise_states_match_trajectory():
         chunks.append(np.asarray(run.last_states))
     chunks.append(np.asarray(run.last_states))
     np.testing.assert_array_equal(np.concatenate(chunks, axis=0), traj)
+
+
+# ---------------------------------------------------------- cfg_interval
+
+def _manual_interval_trajectory(t2i_sampling, fwd, input_ids, mcfg, kw, key):
+    """Expected cfg_interval trajectory built from first principles: chain
+    run_timestep_window over the three phases with guidance explicitly on
+    (inside [lo, hi)) or off (outside), against the SAME ts/step_keys rows
+    the monolithic scan consumes."""
+    import dataclasses as _dc
+
+    lo_idx, hi_idx = t2i_sampling.cfg_interval_steps(mcfg)
+    flat = _dc.replace(mcfg, cfg_interval=(0.0, 1.0))
+    off = _dc.replace(flat, guidance_scale=0.0)
+    keys = jax.random.split(key, mcfg.timesteps)
+    ts = jnp.arange(mcfg.timesteps, dtype=jnp.float32)
+    carry = t2i_sampling.init_carry(input_ids, mcfg)
+    outs = []
+    for s0, s1, cfg_w in ((0, lo_idx, off), (lo_idx, hi_idx, flat),
+                          (hi_idx, mcfg.timesteps, off)):
+        if s1 > s0:
+            carry, sampled = t2i_sampling.run_timestep_window(
+                fwd, carry, ts[s0:s1], keys[s0:s1], cfg_w, **kw)
+            outs.append(np.asarray(sampled))
+    return np.concatenate(outs, axis=0)
+
+
+def test_t2i_cfg_interval_matches_manual_phases():
+    """cfg_interval=(lo, hi) in the monolithic sampler equals explicitly
+    chaining guidance-off / guidance-on / guidance-off windows — the
+    interval changes ONLY which steps pay the batch-doubled CFG forward."""
+    t2i_sampling, fwd, input_ids, mcfg, kw = _t2i_setup(2.0)
+    key = jax.random.key(7)
+    mcfg_iv = dataclasses.replace(mcfg, cfg_interval=(1 / 6, 5 / 6))
+    got = np.asarray(t2i_sampling.t2i_generate_stepwise(
+        fwd, input_ids, mcfg_iv, key=key, **kw))
+    want = _manual_interval_trajectory(
+        t2i_sampling, fwd, input_ids, mcfg_iv, kw, key)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_t2i_cfg_interval_empty_equals_guidance_off():
+    """An empty interval never applies CFG: token-identical to running
+    with guidance_scale=0 (the reference's uncond-free step,
+    modeling_mmada.py:168-172) under the same keys."""
+    t2i_sampling, fwd, input_ids, mcfg, kw = _t2i_setup(2.0)
+    key = jax.random.key(11)
+    mcfg_empty = dataclasses.replace(mcfg, cfg_interval=(0.0, 0.0))
+    got = np.asarray(t2i_sampling.t2i_generate(
+        fwd, input_ids, mcfg_empty, key=key, **kw))
+    mcfg_gs0 = dataclasses.replace(mcfg, guidance_scale=0.0)
+    kw_gs0 = dict(kw, uncond_input_ids=None, uncond_attention_mask=None)
+    want = np.asarray(t2i_sampling.t2i_generate(
+        fwd, input_ids, mcfg_gs0, key=key, **kw_gs0))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("segment_timesteps", [1, 4, 6])
+def test_t2i_segmented_matches_monolithic_with_interval(segment_timesteps):
+    """Windowed execution with a cfg_interval that CUTS windows (the
+    boundary falls mid-window at segment 4 and 6) is bit-identical to the
+    monolithic interval run — SegmentedT2IRun splits its window list at
+    the interval boundaries and hands each window an on/off cfg."""
+    t2i_sampling, fwd, input_ids, mcfg, kw = _t2i_setup(2.0)
+    key = jax.random.key(13)
+    mcfg_iv = dataclasses.replace(mcfg, cfg_interval=(1 / 6, 5 / 6))
+    want = np.asarray(t2i_sampling.t2i_generate(
+        fwd, input_ids, mcfg_iv, key=key, **kw))
+    got = np.asarray(t2i_sampling.t2i_generate_segmented(
+        fwd, input_ids, mcfg_iv, key=key,
+        segment_timesteps=segment_timesteps, **kw))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_t2i_cfg_interval_rejects_kv_cache_and_window_misuse():
+    """The cached sampler captures K/V at CFG batch; a non-trivial
+    interval must be rejected rather than silently mis-shaped. A bare
+    run_timestep_window call cannot place the interval either."""
+    t2i_sampling, fwd, input_ids, mcfg, kw = _t2i_setup(2.0)
+    mcfg_iv = dataclasses.replace(mcfg, cfg_interval=(0.2, 0.8))
+
+    def fake_capture(x):
+        return x
+
+    def fake_step(span, kv, lo):
+        raise AssertionError("must not be reached")
+
+    with pytest.raises(ValueError, match="cfg_interval"):
+        t2i_sampling.t2i_generate(
+            fwd, input_ids, mcfg_iv, key=jax.random.key(0),
+            cache_fns=(fake_capture, fake_step), **kw)
+    with pytest.raises(ValueError, match="cfg_interval"):
+        t2i_sampling.run_timestep_window(
+            fwd, t2i_sampling.init_carry(input_ids, mcfg_iv),
+            jnp.arange(2, dtype=jnp.float32),
+            jax.random.split(jax.random.key(0), 2), mcfg_iv, **kw)
+    with pytest.raises(ValueError, match="cfg_interval"):
+        t2i_sampling.t2i_generate(
+            fwd, input_ids,
+            dataclasses.replace(mcfg, cfg_interval=(0.8, 0.2)),
+            key=jax.random.key(0), **kw)
+
+
+def test_model_t2i_cfg_interval():
+    """Model entry point plumbs cfg_interval: a mid-band interval changes
+    the output vs full CFG (guidance really is being skipped) and the
+    segmented run agrees with the monolithic one at the model level."""
+    vl = tiny_layout()
+    cfg = llada.tiny_config(vocab_size=vl.total_vocab_size)
+    m = MMadaModel.init(jax.random.key(0), cfg, vl)
+    n_img = 16
+    frame = np.concatenate([
+        np.full((2, 6), 5),
+        np.full((2, 1), 228),
+        np.full((2, n_img), vl.mask_token_id),
+        np.full((2, 1), 229),
+    ], axis=1).astype(np.int32)
+    uncond = frame.copy()
+    uncond[:, :6] = 3
+    kw = dict(
+        uncond_input_ids=jnp.asarray(uncond), timesteps=6,
+        guidance_scale=1.5, num_vq_tokens=n_img, key=jax.random.key(2),
+        greedy=True,
+    )
+    full = np.asarray(m.t2i_generate(jnp.asarray(frame), **kw))
+    iv = np.asarray(m.t2i_generate(
+        jnp.asarray(frame), cfg_interval=(1 / 6, 4 / 6), **kw))
+    assert iv.shape == full.shape
+    seg = np.asarray(m.t2i_generate(
+        jnp.asarray(frame), cfg_interval=(1 / 6, 4 / 6),
+        segment_timesteps=4, **kw))
+    np.testing.assert_array_equal(seg, iv)

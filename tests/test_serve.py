@@ -909,3 +909,36 @@ def test_task_serving_defaults_family_overrides():
 
     t2m = task_serving_defaults(cfg, "t2m")
     assert t2m["kv_cache"] is False           # flat only
+
+
+def test_t2i_cfg_interval_through_engine(model):
+    """T2ISettings.cfg_interval reaches the sampler in both the
+    monolithic jit path and the chunked (_T2ITask) path: both equal the
+    direct model call with the same interval and differ from full CFG."""
+    import jax
+    import jax.numpy as jnp
+
+    engine = ServingEngine(model, max_wait_ms=5).start()
+    try:
+        n_img = 16
+        frame = np.concatenate([
+            np.full(6, 5), [280], np.full(n_img, VOCAB.mask_token_id), [281]
+        ]).astype(np.int64)
+        uncond = frame.copy()
+        uncond[:6] = VOCAB.pad_token_id
+        base = T2ISettings(timesteps=6, guidance_scale=1.5,
+                           num_vq_tokens=n_img, cfg_interval=(1 / 6, 5 / 6))
+        want = np.asarray(model.t2i_generate(
+            jnp.asarray(frame[None]),
+            uncond_input_ids=jnp.asarray(uncond[None]),
+            temperature=1.0, timesteps=6, guidance_scale=1.5,
+            num_vq_tokens=n_img, key=jax.random.key(3),
+            cfg_interval=(1 / 6, 5 / 6),
+        ))[0]
+        got = engine.submit_t2i(frame, uncond, base, seed=3).result(240)
+        np.testing.assert_array_equal(got, want)
+        chunked = dataclasses.replace(base, segment_timesteps=4)
+        got_c = engine.submit_t2i(frame, uncond, chunked, seed=3).result(240)
+        np.testing.assert_array_equal(got_c, want)
+    finally:
+        engine.stop()
