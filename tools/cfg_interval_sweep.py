@@ -1,0 +1,299 @@
+"""t2i guidance-interval sweep on a trained checkpoint + 8B speed pricing.
+
+CFG doubles every MaskGIT forward (cond+uncond rows,
+modeling_mmada.py:155-167 — the reference applies guidance at ALL
+timesteps). `cfg_interval=(lo, hi)` (sampling/t2i.MaskGITConfig)
+restricts guidance to the steps with lo <= t/T < hi and runs the single
+cond batch elsewhere — outside the band the step IS the reference's
+guidance_scale=0 step, so the only quality question is how much the
+band placement changes the final grid. Restricting guidance to a
+mid/early interval is the Kynkäänniemi et al. 2024 recipe (arXiv
+2404.07724: full-range guidance over-sharpens early structure and
+wastes compute late); here it is also a measured speed lever.
+
+Mode 1 — quality on the trained proxy (truth-anchored like every decode
+gate, BASELINE.md round-3q):
+
+    python tools/cfg_interval_sweep.py ckpt=proxy-output-d/export \
+        config=proxy-output-d/config.yaml out=CFG_INTERVAL_r03.json
+
+scores each arm's greedy t2i grid against the caption's KNOWN VQ truth
+(quant_gate.gate_truth_targets — the captioned pattern image through
+the configured encoder), on the SHARED gate inputs
+(quant_gate.gate_decode_inputs). 2 x num_vq scorable positions (2048 at
+the proxy's flagship t2i geometry) — well above the ~500-position
+minimum the round-3u re-powering established.
+
+Mode 2 — wall-clock at bench.py's 8B headline op (weight-independent:
+zero-weight quantized structure, same rationale as
+kv_refresh_sweep.speed8b):
+
+    python tools/cfg_interval_sweep.py speed8b=1 out=CFG_INTERVAL_8B_r03.json
+
+Verdict: the cheapest arm (fewest CFG steps) whose truth accuracy is
+within TRUTH_SLACK of the exact sampler's, with the same instrument
+check (bank memorized) the other gates carry.
+"""
+
+import json
+import logging
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # quant_gate
+
+logger = logging.getLogger("cfg_interval_sweep")
+
+TIMESTEPS = 15
+GUIDANCE = 3.5
+TRUTH_SLACK = 0.01
+BANK_MEMORIZED_MIN = 0.7   # quant_gate bank_memorized_min["t2i"]
+
+# (name, (lo, hi)) — ordered cheapest-first so the verdict keeps the
+# FIRST passer. Fractions are exact n/TIMESTEPS so the step counts are
+# unambiguous (cfg_interval_steps ceils with a 1e-9 guard).
+ARMS = [
+    ("off",      (0.0, 0.0)),            # 0 CFG steps — no-guidance floor
+    ("early3",   (0.0, 3 / 15)),         # steps 0-2
+    ("early6",   (0.0, 6 / 15)),         # steps 0-5
+    ("mid7",     (3 / 15, 10 / 15)),     # steps 3-9 (the 2404.07724 shape)
+    ("band9",    (3 / 15, 12 / 15)),     # steps 3-11
+    ("early10",  (0.0, 10 / 15)),        # steps 0-9
+]
+
+
+def _cfg_steps(interval, timesteps=TIMESTEPS):
+    from mmada_tpu.sampling.t2i import MaskGITConfig, cfg_interval_steps
+
+    lo, hi = cfg_interval_steps(
+        MaskGITConfig(timesteps=timesteps, cfg_interval=interval))
+    return hi - lo
+
+
+def _rel_cost(interval, timesteps=TIMESTEPS):
+    """Forward-row cost relative to full CFG: guided steps run 2 rows per
+    image, unguided steps 1 (upper bound on speedup; measured numbers
+    come from the runs themselves)."""
+    k = _cfg_steps(interval, timesteps)
+    return (2 * k + (timesteps - k)) / (2 * timesteps)
+
+
+def speed8b(args):
+    """Interval wall-clock at bench.py's t2i headline op (FULL 8B 32L,
+    1536 seq, batch 4, 15 steps, cfg 3.5) on the zero-weight quantized
+    structure — timing is weight-independent; the scheme mirrors the
+    promoted headline (w8a8 activations when the gate artifact says so,
+    bench.pick_scheme)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmada_tpu.core.precision import BF16
+    from mmada_tpu.core.vocab import MMADA_8B
+    from mmada_tpu.models import llada
+    from mmada_tpu.models.mmada import MMadaModel
+    from mmada_tpu.ops import quantization as Q
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), ".."))
+    import bench
+
+    out_path = args.get("out", "CFG_INTERVAL_8B_r03.json")
+    scheme, gate_artifact = bench.pick_scheme()
+
+    batch, num_vq, text_frame = 4, 1024, 510
+    cfg = llada.LLaDAConfig(
+        d_model=4096, n_heads=32, n_layers=32, mlp_hidden_size=12288,
+        vocab_size=MMADA_8B.total_vocab_size,
+        embedding_size=MMADA_8B.total_vocab_size,
+        max_sequence_length=2048, rope_theta=500000.0,
+    )
+    shapes = jax.eval_shape(
+        lambda k: Q.quantize_llada_params(
+            llada.init_params(k, cfg, dtype=jnp.bfloat16),
+            activations=scheme.startswith("w8a8")),
+        jax.random.key(0),
+    )
+
+    def mk(s):
+        if s.dtype == jnp.float32 and len(s.shape) <= 2:
+            return jnp.ones(s.shape, s.dtype)
+        return jnp.zeros(s.shape, s.dtype)
+
+    params = jax.jit(lambda: jax.tree.map(mk, shapes))()
+    model = MMadaModel(cfg=cfg, params=params, vocab=MMADA_8B, policy=BF16)
+    mask_id = MMADA_8B.mask_token_id
+    soi, eoi = MMADA_8B.special("<|soi|>"), MMADA_8B.special("<|eoi|>")
+    prompt = jax.random.randint(
+        jax.random.key(1), (batch, text_frame), 3, 100000)
+    frame = jnp.concatenate([
+        prompt, jnp.full((batch, 1), soi),
+        jnp.full((batch, num_vq), mask_id),
+        jnp.full((batch, 1), eoi),
+    ], axis=1).astype(jnp.int32)
+    uncond = frame.at[:, :text_frame].set(MMADA_8B.pad_token_id)
+
+    def sync(x):
+        return int(jax.device_get(x.sum()))
+
+    report = {
+        "operating_point": {"batch": batch, "timesteps": TIMESTEPS,
+                            "guidance_scale": GUIDANCE, "num_vq": num_vq,
+                            "seq_len": text_frame + num_vq + 2},
+        "scheme": scheme, "gate_artifact": gate_artifact,
+        "sweep": [],
+    }
+    exact_img_s = None
+    for name, interval in [("exact", (0.0, 1.0))] + ARMS:
+        @jax.jit
+        def run(model, frame, uncond, key, iv=tuple(interval)):
+            return model.t2i_generate(
+                frame, uncond_input_ids=uncond, temperature=1.0,
+                timesteps=TIMESTEPS, guidance_scale=GUIDANCE,
+                num_vq_tokens=num_vq, key=key, cfg_interval=iv,
+            )
+
+        sync(run(model, frame, uncond, jax.random.key(2)))  # compile+warm
+        runs = 3
+        t0 = time.perf_counter()
+        for i in range(runs):
+            out = run(model, frame, uncond, jax.random.key(3 + i))
+        sync(out)
+        dt = time.perf_counter() - t0
+        img_s = batch * runs / dt
+        if name == "exact":
+            exact_img_s = img_s
+        entry = {
+            "arm": name, "cfg_interval": list(interval),
+            "cfg_steps": _cfg_steps(interval),
+            "rel_row_cost": round(_rel_cost(interval), 4),
+            "images_per_s": round(img_s, 4),
+            "speed_vs_exact": round(img_s / exact_img_s, 3),
+        }
+        report["sweep"].append(entry)
+        logger.info("%s (%d cfg steps): %.4f img/s (%.2fx)", name,
+                    entry["cfg_steps"], img_s, entry["speed_vs_exact"])
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps({"sweep": [
+        {k: e[k] for k in ("arm", "images_per_s", "speed_vs_exact")}
+        for e in report["sweep"]]}))
+    logger.info("wrote %s", out_path)
+    return 0
+
+
+def main(argv):
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+    args = dict(kv.split("=", 1) for kv in argv if "=" in kv)
+    out_path = args.get("out", "CFG_INTERVAL_r03.json")
+
+    import jax
+
+    if args.get("cpu") == "1":
+        jax.config.update("jax_platforms", "cpu")
+
+    if args.get("speed8b") == "1":
+        return speed8b(args)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from quant_gate import gate_decode_inputs, gate_truth_targets
+    from mmada_tpu.checkpoints.hf_import import (
+        config_from_hf_json, load_pretrained,
+    )
+    from mmada_tpu.core.config import load_config
+    from mmada_tpu.core.precision import BF16
+    from mmada_tpu.models.mmada import MMadaModel
+    from mmada_tpu.serve.loader import (
+        build_prompting, build_text_tokenizer, build_vocab,
+    )
+
+    ckpt = args["ckpt"]
+    ycfg = load_config(args.get("config", "configs/proxy_160m.yaml"))
+    tokenizer = build_text_tokenizer(ycfg)
+    vocab = build_vocab(ycfg)
+    prompting = build_prompting(ycfg, tokenizer, vocab)
+    num_vq = int(ycfg.get_path("model.mmada.num_vq_tokens", 1024))
+
+    cfg = config_from_hf_json(ckpt)
+    params = load_pretrained(ckpt, cfg, dtype=jnp.bfloat16)
+    model = MMadaModel(cfg=cfg, params=params, vocab=vocab, policy=BF16)
+
+    _, frame, uncond = gate_decode_inputs(tokenizer, prompting, vocab, num_vq)
+    frame, uncond = jnp.asarray(frame), jnp.asarray(uncond)
+    _, truth_t2i = gate_truth_targets(tokenizer, prompting, vocab, ycfg)
+
+    def sync(x):
+        return int(jax.device_get(jnp.asarray(x).sum()))
+
+    def run_arm(interval):
+        @jax.jit
+        def run(model, f, u, iv=tuple(interval)):
+            return model.t2i_generate(
+                f, uncond_input_ids=u, temperature=0.0, greedy=True,
+                timesteps=TIMESTEPS, guidance_scale=GUIDANCE,
+                num_vq_tokens=num_vq, key=jax.random.key(0),
+                cfg_interval=iv,
+            )
+
+        out = run(model, frame, uncond)
+        sync(out)  # compile + warm
+        t0 = time.perf_counter()
+        out = run(model, frame, uncond)
+        sync(out)
+        return np.asarray(out), time.perf_counter() - t0
+
+    exact, exact_dt = run_arm((0.0, 1.0))
+    exact_truth = float((exact == truth_t2i).mean())
+    bank_ok = exact_truth >= BANK_MEMORIZED_MIN
+    report = {
+        "checkpoint": ckpt,
+        "operating_point": {"timesteps": TIMESTEPS,
+                            "guidance_scale": GUIDANCE,
+                            "num_vq": num_vq, "greedy": True,
+                            "scorable_positions": int(truth_t2i.size)},
+        "exact_truth_acc": round(exact_truth, 4),
+        "exact_seconds": round(exact_dt, 4),
+        "bank_memorized": bool(bank_ok),
+        "truth_slack": TRUTH_SLACK,
+        "sweep": [],
+    }
+    best = None
+    for name, interval in ARMS:
+        out, dt = run_arm(interval)
+        truth_acc = float((out == truth_t2i).mean())
+        agree = float((out == exact).mean())
+        entry = {
+            "arm": name, "cfg_interval": list(interval),
+            "cfg_steps": _cfg_steps(interval),
+            "rel_row_cost": round(_rel_cost(interval), 4),
+            "truth_acc": round(truth_acc, 4),
+            "agreement_vs_exact": round(agree, 4),
+            "seconds": round(dt, 4),
+            "speed_vs_exact": round(exact_dt / max(dt, 1e-9), 3),
+        }
+        report["sweep"].append(entry)
+        logger.info("%s (%d cfg steps, %.0f%% rows): truth=%.4f "
+                    "agree=%.4f %.2fx", name, entry["cfg_steps"],
+                    100 * entry["rel_row_cost"], truth_acc, agree,
+                    entry["speed_vs_exact"])
+        # cheapest-first ordering: keep the FIRST passer
+        if (bank_ok and best is None
+                and truth_acc >= exact_truth - TRUTH_SLACK):
+            best = entry
+    report["recommended"] = best
+    report["promote_cfg_interval"] = best is not None and (
+        best["cfg_steps"] < TIMESTEPS
+    )
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps({"recommended": best,
+                      "promote_cfg_interval": report["promote_cfg_interval"]}))
+    logger.info("wrote %s", out_path)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
