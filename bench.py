@@ -89,6 +89,24 @@ def pick_parallel():
     return None, 0, None
 
 
+def pick_cfg_interval():
+    """Latest guidance-interval sweep decides the promoted t2i interval
+    (CFG_INTERVAL_r*.json recommended arm, tools/cfg_interval_sweep.py:
+    cheapest band within truth slack of the exact sampler). None when no
+    promoted interval exists — the arm is opt-in like every
+    approximation; the headline stays the exact (all-steps-CFG)
+    sampler."""
+    arts = sorted(glob.glob(os.path.join(os.path.dirname(__file__) or ".",
+                                         "CFG_INTERVAL_r*.json")))
+    if arts:
+        with open(arts[-1]) as f:
+            sweep = json.load(f)
+        rec = sweep.get("recommended")
+        if sweep.get("promote_cfg_interval") and rec:
+            return tuple(rec["cfg_interval"]), os.path.basename(arts[-1])
+    return None, None
+
+
 def model_flops_per_token(cfg, seq_len, head_positions, head_width):
     """Matmul FLOPs per processed token of one forward."""
     from mmada_tpu.utils.flops import forward_matmul_flops_per_token
@@ -381,6 +399,30 @@ def main():
         lats.append(time.perf_counter() - t0)
     mmu_cached_p50 = sorted(lats)[1]
 
+    # promoted guidance interval (opt-in like every approximation): CFG
+    # rows only inside the gated [lo, hi) band — measured here because
+    # its speedup is weight-independent (fewer forward rows) even though
+    # the QUALITY verdict lives in the gate artifact
+    cfg_interval, cfg_interval_artifact = pick_cfg_interval()
+    t2i_interval_img_s = None
+    if cfg_interval is not None:
+        @jax.jit
+        def run_t2i_interval(model, frame, uncond, key):
+            return model.t2i_generate(
+                frame, uncond_input_ids=uncond, temperature=1.0,
+                timesteps=timesteps, guidance_scale=3.5,
+                num_vq_tokens=num_vq, key=key,
+                cfg_interval=cfg_interval,
+            )
+
+        sync(run_t2i_interval(model, frame, uncond, jax.random.key(30)))
+        t0 = time.perf_counter()
+        for i in range(runs):
+            out = run_t2i_interval(model, frame, uncond,
+                                   jax.random.key(31 + i))
+        sync(out)
+        t2i_interval_img_s = batch * runs / (time.perf_counter() - t0)
+
     # cached t2i (+13.8% measured) is gated off by default: its remote
     # compile alone is ~7 min on the tunneled chip
     t2i_cached_img_s = None
@@ -437,6 +479,10 @@ def main():
                     "kv_cached at the promoted refresh cadence"}
                    if text_fast_tok_s else {}),
                 "mmu_p50_latency_s_kv_cached": round(mmu_cached_p50, 2),
+                **({"t2i_img_s_cfg_interval": round(t2i_interval_img_s, 4),
+                    "cfg_interval": list(cfg_interval),
+                    "cfg_interval_artifact": cfg_interval_artifact}
+                   if t2i_interval_img_s else {}),
                 **({"t2i_img_s_kv_cached": round(t2i_cached_img_s, 4)}
                    if t2i_cached_img_s else {}),
                 "kv_cached_note": "opt-in approximate block-KV-cached "
