@@ -162,3 +162,45 @@ def test_harness_shares_policy_and_inputs():
     for name in ("ckpt_promotion_checks", "gate_decode_inputs",
                  "smooth_calibration", "GATE_TEXT_OP"):
         assert name in imported, name
+
+
+def test_bench_pickers_honor_promotion_flags(tmp_path, monkeypatch):
+    """bench.py's artifact pickers (the seam between gate verdicts and
+    what the headline bench actually runs) only adopt an arm when its
+    artifact says promoted AND carries a recommendation — a demoted or
+    recommendation-less artifact must leave the default (exact) path."""
+    import importlib.util
+    import json as _json
+    import pathlib
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location("bench", repo / "bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    # point the pickers at an isolated artifact dir
+    monkeypatch.setattr(bench.os.path, "dirname", lambda _: str(tmp_path))
+
+    assert bench.pick_cfg_interval() == (None, None)
+    assert bench.pick_kv_refresh() == (0, None)
+
+    art = tmp_path / "CFG_INTERVAL_r99.json"
+    art.write_text(_json.dumps({
+        "promote_cfg_interval": False,
+        "recommended": {"cfg_interval": [0.0, 0.4]},
+    }))
+    assert bench.pick_cfg_interval() == (None, None), "demoted must not ship"
+
+    art.write_text(_json.dumps({
+        "promote_cfg_interval": True,
+        "recommended": {"cfg_interval": [0.2, 0.8]},
+    }))
+    iv, name = bench.pick_cfg_interval()
+    assert iv == (0.2, 0.8) and name == "CFG_INTERVAL_r99.json"
+
+    kv = tmp_path / "KV_REFRESH_r99.json"
+    kv.write_text(_json.dumps({
+        "promote_kv_refresh": True,
+        "recommended": {"cache_refresh_every": 4},
+    }))
+    assert bench.pick_kv_refresh() == (4, "KV_REFRESH_r99.json")
