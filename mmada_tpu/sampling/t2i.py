@@ -366,8 +366,12 @@ class SegmentedT2IRun:
         use_cfg = uncond_input_ids is not None and cfg.guidance_scale > 0
         interval_active = use_cfg and (lo_idx > 0 or hi_idx < cfg.timesteps)
         boundaries = {lo_idx, hi_idx} if interval_active else set()
+        # strip the interval even when it is moot (no uncond rows -> the
+        # windows never apply guidance anyway): run_timestep_window
+        # rejects any non-trivial interval it is handed
         flat_cfg = (dataclasses.replace(cfg, cfg_interval=(0.0, 1.0))
-                    if interval_active else cfg)
+                    if cfg_interval_steps(cfg) != (0, cfg.timesteps)
+                    else cfg)
         off_cfg = dataclasses.replace(flat_cfg, guidance_scale=0.0)
         self._windows = []
         for s in range(0, cfg.timesteps, segment_timesteps):

@@ -466,3 +466,18 @@ def test_model_t2i_cfg_interval():
         jnp.asarray(frame), cfg_interval=(1 / 6, 4 / 6),
         segment_timesteps=4, **kw))
     np.testing.assert_array_equal(seg, iv)
+
+
+def test_t2i_segmented_interval_without_uncond_is_moot():
+    """A non-trivial cfg_interval with NO uncond rows (guidance can never
+    apply) must run, not trip run_timestep_window's interval guard — the
+    runner strips the moot interval from its window cfgs."""
+    t2i_sampling, fwd, input_ids, mcfg, _ = _t2i_setup(0.0)
+    mcfg_iv = dataclasses.replace(mcfg, guidance_scale=2.0,
+                                  cfg_interval=(0.2, 0.8))
+    key = jax.random.key(17)
+    got = np.asarray(t2i_sampling.t2i_generate_segmented(
+        fwd, input_ids, mcfg_iv, key=key, segment_timesteps=4))
+    want = np.asarray(t2i_sampling.t2i_generate(
+        fwd, input_ids, mcfg_iv, key=key))
+    np.testing.assert_array_equal(got, want)
