@@ -1,0 +1,36 @@
+#!/usr/bin/env bash
+# Regenerate every trained-proxy gate artifact against the checkpoint in
+# $CKPT_DIR (default proxy-output-d — the campaign-D recipe,
+# configs/proxy_campaign_d.yaml). Run after (re)training the gate proxy:
+#
+#   python train.py config=configs/proxy_campaign_d.yaml
+#   bash scripts/regate_proxy.sh [suffix]
+#
+# The optional suffix lands in the artifact names (e.g. `r03d2` ->
+# QUANT_r03d2.json); bench.py's pickers glob `*_r*.json` sorted, so a
+# later suffix supersedes earlier artifacts without erasing them.
+# ONE chip process at a time: this script is strictly sequential.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SUF="${1:-r03}"
+CKPT_DIR="${CKPT_DIR:-proxy-output-d}"
+CKPT="$CKPT_DIR/export"
+CFG="$CKPT_DIR/config.yaml"
+
+if [ ! -f "$CFG" ]; then
+  cp configs/proxy_campaign_d.yaml "$CFG"
+fi
+if [ ! -d "$CKPT" ]; then
+  python tools/export_checkpoint.py config="$CFG" \
+    checkpoint_dir="$CKPT_DIR" out_dir="$CKPT"
+fi
+
+python tools/quant_gate.py        ckpt="$CKPT" config="$CFG" out="QUANT_${SUF}.json"
+python tools/kv_refresh_sweep.py  ckpt="$CKPT" config="$CFG" out="KV_REFRESH_${SUF}.json"
+python tools/parallel_sweep.py    ckpt="$CKPT" config="$CFG" out="PARALLEL_${SUF}.json"
+python tools/parallel_sweep.py warmup=1 ckpt="$CKPT" config="$CFG" out="PARALLEL_WARMUP_${SUF}.json"
+python tools/mmu_truth_gate.py    ckpt="$CKPT" config="$CFG" out="MMU_GATE_${SUF}.json"
+python tools/composed_fast_gate.py ckpt="$CKPT" config="$CFG" out="COMPOSED_FAST_${SUF}.json"
+python tools/cfg_interval_sweep.py ckpt="$CKPT" config="$CFG" out="CFG_INTERVAL_${SUF}.json"
+echo "regate done: *_${SUF}.json"
