@@ -204,3 +204,37 @@ def test_bench_pickers_honor_promotion_flags(tmp_path, monkeypatch):
         "recommended": {"cache_refresh_every": 4},
     }))
     assert bench.pick_kv_refresh() == (4, "KV_REFRESH_r99.json")
+
+
+def test_cfg_interval_recommend_never_picks_zero_step_off_arm():
+    """tools/cfg_interval_sweep.recommend: the 0-step "off" arm is the
+    measured no-guidance floor but must never be recommended — on a
+    memorized truth bank the cond model alone reproduces truth, so
+    CFG-off passes on ANY well-trained proxy; the gate can price WHERE
+    to guide, not WHETHER to guide."""
+    sweep_spec = importlib.util.spec_from_file_location(
+        "cfg_interval_sweep",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "cfg_interval_sweep.py"),
+    )
+    sweep = importlib.util.module_from_spec(sweep_spec)
+    sweep_spec.loader.exec_module(sweep)
+
+    entries = [
+        {"arm": "off", "cfg_steps": 0, "truth_acc": 0.97},
+        {"arm": "early3", "cfg_steps": 3, "truth_acc": 0.96},
+        {"arm": "mid7", "cfg_steps": 7, "truth_acc": 0.958},
+    ]
+    # "off" has the best truth accuracy yet the cheapest GUIDED passer wins
+    got = sweep.recommend(entries, exact_truth=0.959, bank_ok=True)
+    assert got is not None and got["arm"] == "early3"
+
+    # no guided arm within slack -> no recommendation (NOT a fallback to off)
+    got = sweep.recommend(
+        [{"arm": "off", "cfg_steps": 0, "truth_acc": 0.97},
+         {"arm": "early3", "cfg_steps": 3, "truth_acc": 0.80}],
+        exact_truth=0.959, bank_ok=True)
+    assert got is None
+
+    # dead instrument -> no recommendation regardless of scores
+    assert sweep.recommend(entries, exact_truth=0.959, bank_ok=False) is None

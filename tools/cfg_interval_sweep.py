@@ -30,9 +30,11 @@ kv_refresh_sweep.speed8b):
 
     python tools/cfg_interval_sweep.py speed8b=1 out=CFG_INTERVAL_8B_r03.json
 
-Verdict: the cheapest arm (fewest CFG steps) whose truth accuracy is
-within TRUTH_SLACK of the exact sampler's, with the same instrument
-check (bank memorized) the other gates carry.
+Verdict: the cheapest arm with AT LEAST ONE CFG step whose truth
+accuracy is within TRUTH_SLACK of the exact sampler's, with the same
+instrument check (bank memorized) the other gates carry. The 0-step
+"off" arm is reported as the floor but never recommended — a memorized
+bank cannot price guidance strength (see the verdict-loop comment).
 """
 
 import json
@@ -78,6 +80,24 @@ def _rel_cost(interval, timesteps=TIMESTEPS):
     come from the runs themselves)."""
     k = _cfg_steps(interval, timesteps)
     return (2 * k + (timesteps - k)) / (2 * timesteps)
+
+
+def recommend(entries, exact_truth, bank_ok, slack=TRUTH_SLACK):
+    """First (cheapest, in ARMS order) arm within `slack` of the exact
+    sampler's truth accuracy — EXCLUDING the 0-step "off" arm. "off" is
+    measured as the no-guidance floor but never recommended: on a
+    memorized truth bank the cond model alone reproduces truth, so
+    CFG-off passes on ANY well-trained proxy — the instrument can price
+    WHERE to guide (band placement changes tokens), not WHETHER to guide
+    (guidance strength is a distributional property a memorized bank
+    cannot see). Disabling CFG is a real-weight/human-eval decision, not
+    this gate's. Pinned by tests/test_quant_gate_policy.py."""
+    if not bank_ok:
+        return None
+    for entry in entries:
+        if entry["cfg_steps"] > 0 and entry["truth_acc"] >= exact_truth - slack:
+            return entry
+    return None
 
 
 def speed8b(args):
@@ -260,7 +280,6 @@ def main(argv):
         "truth_slack": TRUTH_SLACK,
         "sweep": [],
     }
-    best = None
     for name, interval in ARMS:
         out, dt = run_arm(interval)
         truth_acc = float((out == truth_t2i).mean())
@@ -279,10 +298,7 @@ def main(argv):
                     "agree=%.4f %.2fx", name, entry["cfg_steps"],
                     100 * entry["rel_row_cost"], truth_acc, agree,
                     entry["speed_vs_exact"])
-        # cheapest-first ordering: keep the FIRST passer
-        if (bank_ok and best is None
-                and truth_acc >= exact_truth - TRUTH_SLACK):
-            best = entry
+    best = recommend(report["sweep"], exact_truth, bank_ok)
     report["recommended"] = best
     report["promote_cfg_interval"] = best is not None and (
         best["cfg_steps"] < TIMESTEPS
