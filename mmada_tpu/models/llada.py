@@ -45,6 +45,7 @@ from mmada_tpu.ops.quantization import (
     QuantizedTensor,
     W8A8Tensor,
     maybe_matmul,
+    multi_matmul,
 )
 from mmada_tpu.ops.norms import layer_norm, rms_norm
 
@@ -335,9 +336,9 @@ def _qkv(cfg: LLaDAConfig, lp: Params, h: jax.Array):
     b, l, d = h.shape
     nh, kvh, hd = cfg.n_heads, cfg.effective_n_kv_heads, cfg.head_dim
     if cfg.block_type == "llama":
-        q = maybe_matmul(h, lp["q_proj"])
-        k = maybe_matmul(h, lp["k_proj"])
-        v = maybe_matmul(h, lp["v_proj"])
+        # multi_matmul shares one activation-quantize pass across q/k/v
+        # under w8a8 (identical numerics; bf16 weights take the plain path)
+        q, k, v = multi_matmul(h, (lp["q_proj"], lp["k_proj"], lp["v_proj"]))
         if "q_bias" in lp:
             q, k, v = q + lp["q_bias"], k + lp["k_bias"], v + lp["v_bias"]
     else:
@@ -362,7 +363,8 @@ def _mlp(cfg: LLaDAConfig, lp: Params, x: jax.Array) -> jax.Array:
     if cfg.block_type == "llama":
         # act(ff_proj(h)) * up_proj(h) — llama-style gated MLP
         # (modeling_llada.py:924-930: ff_proj is the gate input).
-        h = _activation(cfg, maybe_matmul(h, lp["ff_proj"])) * maybe_matmul(h, lp["up_proj"])
+        gate, up = multi_matmul(h, (lp["ff_proj"], lp["up_proj"]))
+        h = _activation(cfg, gate) * up
     else:
         h = _activation(cfg, maybe_matmul(h, lp["ff_proj"]))
     return x + maybe_matmul(h, lp["ff_out"])

@@ -71,22 +71,42 @@ class W8A8Tensor:
         return self.values.shape
 
 
-def w8a8_matmul(x: jax.Array, qw: "W8A8Tensor") -> jax.Array:
-    """Per-token dynamic activation quantization + int8×int8 dot with int32
-    accumulation; output rescaled by (token scale × channel scale)."""
-    orig_dtype = x.dtype
+def quantize_activations(x: jax.Array):
+    """Per-token symmetric int8: `(x_q int8, x_scale f32 keepdims)`.
+
+    Split out so a block can quantize a shared input ONCE for several
+    consuming matmuls (q/k/v share the attn-norm output; ff/up share the
+    ff-norm output) — the quantize pass is 2 HBM reads + 1 write of the
+    activation per call, pure VPU work, and was the largest non-MXU cost
+    in the round-3 w8a8 profile."""
     xf = x.astype(jnp.float32)
     x_scale = jnp.maximum(
         jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0, 1e-12
     )
     x_q = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
+    return x_q, x_scale
+
+
+def w8a8_matmul_prequant(
+    x_q: jax.Array, x_scale: jax.Array, qw: "W8A8Tensor",
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """int8×int8 dot on pre-quantized activations; output rescaled by
+    (token scale × channel scale)."""
     acc = jax.lax.dot_general(
         x_q, qw.values,
         (((x_q.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
     out = acc.astype(jnp.float32) * x_scale * qw.scales
-    return out.astype(orig_dtype)
+    return out.astype(out_dtype)
+
+
+def w8a8_matmul(x: jax.Array, qw: "W8A8Tensor") -> jax.Array:
+    """Per-token dynamic activation quantization + int8×int8 dot with int32
+    accumulation; output rescaled by (token scale × channel scale)."""
+    x_q, x_scale = quantize_activations(x)
+    return w8a8_matmul_prequant(x_q, x_scale, qw, out_dtype=x.dtype)
 
 
 @jax.tree_util.register_dataclass
@@ -180,6 +200,20 @@ def quantize_llada_params(
 
 def _to_w8a8(q: QuantizedTensor) -> W8A8Tensor:
     return W8A8Tensor(values=q.values, scales=q.scales)
+
+
+def multi_matmul(x: jax.Array, weights) -> list:
+    """`[x @ w for w in weights]` with the activation quantization shared
+    when every weight is a W8A8Tensor (identical numerics to per-matmul
+    `w8a8_matmul`: same quantize, same dots — just one pass over x instead
+    of len(weights))."""
+    if all(isinstance(w, W8A8Tensor) for w in weights):
+        x_q, x_scale = quantize_activations(x)
+        return [
+            w8a8_matmul_prequant(x_q, x_scale, w, out_dtype=x.dtype)
+            for w in weights
+        ]
+    return [maybe_matmul(x, w) for w in weights]
 
 
 def is_quantized(leaf) -> bool:

@@ -74,11 +74,20 @@ def pytest_runtest_teardown(item, nextitem):
         )
 
 
+def _kernel_map_limit():
+    """vm.max_map_count, or 'n/a' if unreadable (mirrors _vm_map_count)."""
+    try:
+        with open("/proc/sys/vm/max_map_count") as f:
+            return int(f.read())
+    except OSError:
+        return "n/a"
+
+
 def pytest_terminal_summary(terminalreporter):
     terminalreporter.write_line(
         f"vm maps high-water: {_map_high_water} "
         f"(clear threshold {_MAP_CLEAR_THRESHOLD}, "
-        f"kernel limit {int(open('/proc/sys/vm/max_map_count').read()) if os.path.exists('/proc/sys/vm/max_map_count') else 'n/a'})"
+        f"kernel limit {_kernel_map_limit()})"
     )
     terminalreporter.write_line(
         f"compilation cache dir set during suite: {_cache_dir_setter or 'never'}"

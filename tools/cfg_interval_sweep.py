@@ -95,7 +95,11 @@ def recommend(entries, exact_truth, bank_ok, slack=TRUTH_SLACK):
     if not bank_ok:
         return None
     for entry in entries:
-        if entry["cfg_steps"] > 0 and entry["truth_acc"] >= exact_truth - slack:
+        # compare UNROUNDED accuracies ("_truth_acc"; "truth_acc" is the
+        # report-rounded display value) so the verdict can't flip on an
+        # arm within 5e-5 of the slack boundary
+        acc = entry.get("_truth_acc", entry["truth_acc"])
+        if entry["cfg_steps"] > 0 and acc >= exact_truth - slack:
             return entry
     return None
 
@@ -288,6 +292,7 @@ def main(argv):
             "arm": name, "cfg_interval": list(interval),
             "cfg_steps": _cfg_steps(interval),
             "rel_row_cost": round(_rel_cost(interval), 4),
+            "_truth_acc": truth_acc,  # unrounded, for recommend(); stripped
             "truth_acc": round(truth_acc, 4),
             "agreement_vs_exact": round(agree, 4),
             "seconds": round(dt, 4),
@@ -299,10 +304,12 @@ def main(argv):
                     100 * entry["rel_row_cost"], truth_acc, agree,
                     entry["speed_vs_exact"])
     best = recommend(report["sweep"], exact_truth, bank_ok)
+    for entry in report["sweep"]:       # display copy: drop the unrounded
+        entry.pop("_truth_acc", None)   # comparison key
     report["recommended"] = best
-    report["promote_cfg_interval"] = best is not None and (
-        best["cfg_steps"] < TIMESTEPS
-    )
+    # recommend() only returns ARMS entries, all of which guide on fewer
+    # than TIMESTEPS steps — any recommendation is a promotion
+    report["promote_cfg_interval"] = best is not None
     with open(out_path, "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps({"recommended": best,
