@@ -618,38 +618,57 @@ def _attn_bwd_dq_bias_kernel(q_ref, k_ref, v_ref, do_ref, delta_ref, b_ref,
 
 
 def _attn_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                         dk_ref, dv_ref, *, scale: float, bias_ref=None):
-    q = q_ref[0, 0].astype(jnp.float32)        # (L, D)
+                         dk_ref, dv_ref, *, scale: float, group: int = 1,
+                         bias_ref=None):
+    q = q_ref[0, 0].astype(jnp.float32)        # (Lq, D)
     k = k_ref[0, 0].astype(jnp.float32)        # (bk, D)
     v = v_ref[0, 0].astype(jnp.float32)        # (bk, D)
-    do = do_ref[0, 0].astype(jnp.float32)      # (L, D)
-    lse = lse_ref[0, 0].astype(jnp.float32)    # (L, 128) broadcast lanes
+    do = do_ref[0, 0].astype(jnp.float32)      # (Lq, D)
+    lse = lse_ref[0, 0].astype(jnp.float32)    # (Lq, 128) broadcast lanes
     delta = delta_ref[0, 0].astype(jnp.float32)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale                                  # (L, bk)
+    ) * scale                                  # (Lq, bk)
     if bias_ref is not None:
         s = s + bias_ref[0, 0].astype(jnp.float32)
     # no column mask needed: padded KEY rows of this block get p from
     # finite scores, but their dk/dv rows are sliced off by the caller;
     # padded QUERY rows carry zero dO and zero delta, so ds vanishes.
-    p = jnp.exp(s - lse[:, :1])                # (L, bk)
+    p = jnp.exp(s - lse[:, :1])                # (Lq, bk)
     dv = jax.lax.dot_general(
         p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )                                          # (bk, D)
-    dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)  # (L, bk)
+    dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)  # (Lq, bk)
     ds = p * (dp - delta[:, :1])
     dk = jax.lax.dot_general(
         ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale                                  # (bk, D)
-    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
-    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+    if group == 1:
+        dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+    else:
+        # GQA: the innermost grid axis walks the `group` query heads that
+        # share this KV head; the output block is revisited across those
+        # iterations (index map ignores gi) and accumulates in fp32
+        gi = pl.program_id(3)
+
+        @pl.when(gi == 0)
+        def _first():
+            dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+            dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+        @pl.when(gi > 0)
+        def _rest():
+            dk_ref[0, 0] += dk.astype(dk_ref.dtype)
+            dv_ref[0, 0] += dv.astype(dv_ref.dtype)
 
 
 def _attn_bwd_dkv_bias_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref,
-                              delta_ref, b_ref, dk_ref, dv_ref, *, scale):
+                              delta_ref, b_ref, dk_ref, dv_ref, *, scale,
+                              group: int = 1):
     _attn_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                         dk_ref, dv_ref, scale=scale, bias_ref=b_ref)
+                         dk_ref, dv_ref, scale=scale, group=group,
+                         bias_ref=b_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
@@ -664,26 +683,38 @@ def flash_attention_bwd(
     block_k: Optional[int] = None,
     interpret: bool = False,
 ):
-    """(dq, dk, dv) for the one-pass tier (square attention, whole-K-in-VMEM
-    regime, MHA). GQA callers fall back to the XLA backward at dispatch."""
-    b, h, l_in, d = q.shape
-    assert k.shape == q.shape, "backward kernels are square-MHA only"
+    """(dq, dk, dv) for the one-pass-tier regime (whole-K rows in VMEM for
+    dq, whole-Q rows for dkv). Handles rectangular Lq != Lk (independent
+    128-padding per axis, like the forward one-pass tier) and GQA
+    (n_kv_heads < n_heads: the dq kernel index-maps each query head to its
+    shared KV head; the dkv grid walks the `group` query heads of a KV head
+    on its innermost axis and accumulates dk/dv in fp32 — the
+    q-head→kv-head reduction the reference's flash-attn backward performs,
+    modeling_llada.py:646-650)."""
+    b, h, lq_in, d = q.shape
+    kvh, lk_in = k.shape[1], k.shape[2]
+    assert h % kvh == 0, "query heads must evenly group over kv heads"
+    group = h // kvh
     if block_q is None:
-        block_q = 512 if l_in <= 2048 else 256
+        block_q = 512 if lq_in <= 2048 else 256
     if block_k is None:
-        block_k = 512 if l_in <= 2048 else 256
+        block_k = 512 if lk_in <= 2048 else 256
 
-    l = -(-l_in // 128) * 128
-    valid_len = l_in if l != l_in else None
-    if l != l_in:
-        pad = ((0, 0), (0, 0), (0, l - l_in), (0, 0))
-        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
-        out, ct = jnp.pad(out, pad), jnp.pad(ct, pad)
-        if bias is not None:
-            bias = jnp.pad(bias, ((0, 0), (0, 0), (0, l - l_in),
-                                  (0, l - l_in)))
-    block_q = _fit_block(block_q, l)
-    block_k = _fit_block(block_k, l)
+    lq = -(-lq_in // 128) * 128
+    lk = -(-lk_in // 128) * 128
+    valid_len = lk_in if lk != lk_in else None
+    if lq != lq_in:
+        pad_q = ((0, 0), (0, 0), (0, lq - lq_in), (0, 0))
+        q = jnp.pad(q, pad_q)
+        out, ct = jnp.pad(out, pad_q), jnp.pad(ct, pad_q)
+    if lk != lk_in:
+        pad_k = ((0, 0), (0, 0), (0, lk - lk_in), (0, 0))
+        k, v = jnp.pad(k, pad_k), jnp.pad(v, pad_k)
+    if bias is not None and (lq != lq_in or lk != lk_in):
+        bias = jnp.pad(bias, ((0, 0), (0, 0), (0, lq - lq_in),
+                              (0, lk - lk_in)))
+    block_q = _fit_block(block_q, lq)
+    block_k = _fit_block(block_k, lk)
     scale = 1.0 / (d ** 0.5)
 
     # delta_i = sum_d dO_id O_id, broadcast over 128 lanes for a
@@ -691,15 +722,15 @@ def flash_attention_bwd(
     # kernel's running max/sum scratch)
     delta = jnp.sum(
         ct.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
-    )[..., None]                                    # (B, H, L, 1)
-    delta = jnp.broadcast_to(delta, (b, h, l, 128))
+    )[..., None]                                    # (B, H, Lq, 1)
+    delta = jnp.broadcast_to(delta, (b, h, lq, 128))
 
     row_spec_q = pl.BlockSpec(
         (1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
         memory_space=pltpu.VMEM,
     )
-    full_spec = pl.BlockSpec(
-        (1, 1, l, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+    full_spec_k = pl.BlockSpec(  # whole K/V rows for this q head's KV head
+        (1, 1, lk, d), lambda bi, hi, qi: (bi, hi // group, 0, 0),
         memory_space=pltpu.VMEM,
     )
     stat_blk_spec = pl.BlockSpec(
@@ -713,7 +744,7 @@ def flash_attention_bwd(
         bias_h = 0 if bias.shape[1] == 1 else None
         bias_args = (bias,)
         bias_specs = [pl.BlockSpec(
-            (1, 1, block_q, l),
+            (1, 1, block_q, lk),
             lambda bi, hi, qi: (
                 bias_b if bias_b is not None else bi,
                 bias_h if bias_h is not None else hi, qi, 0,
@@ -730,65 +761,95 @@ def flash_attention_bwd(
     )
     dq, lse = pl.pallas_call(
         dq_kernel,
-        grid=(b, h, l // block_q),
-        in_specs=[row_spec_q, full_spec, full_spec, row_spec_q,
+        grid=(b, h, lq // block_q),
+        in_specs=[row_spec_q, full_spec_k, full_spec_k, row_spec_q,
                   stat_blk_spec, *bias_specs],
         out_specs=[row_spec_q, stat_blk_spec],
         out_shape=[
             jax.ShapeDtypeStruct(q.shape, q.dtype),
-            jax.ShapeDtypeStruct((b, h, l, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, lq, 128), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=6 * b * h * l * l * d,
+            flops=6 * b * h * lq * lk * d,
             bytes_accessed=4 * q.size * q.dtype.itemsize,
-            transcendentals=b * h * l * l,
+            transcendentals=b * h * lq * lk,
         ),
         interpret=interpret,
     )(q, k, v, ct, delta, *bias_args)
 
-    row_spec_k = pl.BlockSpec(
-        (1, 1, block_k, d), lambda bi, hi, ki: (bi, hi, ki, 0),
-        memory_space=pltpu.VMEM,
-    )
-    stat_full_spec = pl.BlockSpec(
-        (1, 1, l, 128), lambda bi, hi, ki: (bi, hi, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
+    # dkv grid: (batch, kv head, k block, [q-head group]) — the group axis
+    # exists only under GQA; its iterations revisit the same output block
+    dkv_grid = (b, kvh, lk // block_k) + ((group,) if group > 1 else ())
+    if group > 1:
+        def _kvmap(bi, hi, ki, gi):
+            return (bi, hi, ki, 0)
+
+        def _qmap(bi, hi, ki, gi):
+            return (bi, hi * group + gi, 0, 0)
+
+        def _outmap(bi, hi, ki, gi):
+            return (bi, hi, ki, 0)
+    else:
+        def _kvmap(bi, hi, ki):
+            return (bi, hi, ki, 0)
+
+        def _qmap(bi, hi, ki):
+            return (bi, hi, 0, 0)
+
+        _outmap = _kvmap
+    row_spec_k = pl.BlockSpec((1, 1, block_k, d), _kvmap,
+                              memory_space=pltpu.VMEM)
+    out_spec_k = pl.BlockSpec((1, 1, block_k, d), _outmap,
+                              memory_space=pltpu.VMEM)
+    full_spec_q = pl.BlockSpec((1, 1, lq, d), _qmap,
+                               memory_space=pltpu.VMEM)
+    stat_full_spec = pl.BlockSpec((1, 1, lq, 128), _qmap,
+                                  memory_space=pltpu.VMEM)
     dkv_bias_specs = []
     if bias is not None:
-        dkv_bias_specs = [pl.BlockSpec(
-            (1, 1, l, block_k),
-            lambda bi, hi, ki: (
-                bias_b if bias_b is not None else bi,
-                bias_h if bias_h is not None else hi, 0, ki,
-            ),
-            memory_space=pltpu.VMEM,
-        )]
+        if group > 1:
+            def _bmap(bi, hi, ki, gi):
+                return (bias_b if bias_b is not None else bi,
+                        bias_h if bias_h is not None else hi * group + gi,
+                        0, ki)
+        else:
+            def _bmap(bi, hi, ki):
+                return (bias_b if bias_b is not None else bi,
+                        bias_h if bias_h is not None else hi, 0, ki)
+        dkv_bias_specs = [pl.BlockSpec((1, 1, lq, block_k), _bmap,
+                                       memory_space=pltpu.VMEM)]
     dkv_kernel = (
-        functools.partial(_attn_bwd_dkv_bias_kernel, scale=scale)
+        functools.partial(_attn_bwd_dkv_bias_kernel, scale=scale,
+                          group=group)
         if bias is not None
-        else functools.partial(_attn_bwd_dkv_kernel, scale=scale)
+        else functools.partial(_attn_bwd_dkv_kernel, scale=scale,
+                               group=group)
     )
+    # GQA accumulates across the group axis — keep those outputs fp32
+    kv_dtype = k.dtype if group == 1 else jnp.float32
     dk, dv = pl.pallas_call(
         dkv_kernel,
-        grid=(b, h, l // block_k),
-        in_specs=[full_spec, row_spec_k, row_spec_k, full_spec,
+        grid=dkv_grid,
+        in_specs=[full_spec_q, row_spec_k, row_spec_k, full_spec_q,
                   stat_full_spec, stat_full_spec, *dkv_bias_specs],
-        out_specs=[row_spec_k, row_spec_k],
+        out_specs=[out_spec_k, out_spec_k],
         out_shape=[
-            jax.ShapeDtypeStruct(k.shape, k.dtype),
-            jax.ShapeDtypeStruct(v.shape, v.dtype),
+            jax.ShapeDtypeStruct(k.shape, kv_dtype),
+            jax.ShapeDtypeStruct(v.shape, kv_dtype),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=8 * b * h * l * l * d,
+            flops=8 * b * h * lq * lk * d,
             bytes_accessed=4 * q.size * q.dtype.itemsize,
-            transcendentals=b * h * l * l,
+            transcendentals=b * h * lq * lk,
         ),
         interpret=interpret,
     )(q, k, v, ct, lse, delta, *bias_args)
+    if group > 1:
+        dk, dv = dk.astype(k.dtype), dv.astype(v.dtype)
 
-    if l != l_in:
-        dq = dq[:, :, :l_in, :]
-        dk = dk[:, :, :l_in, :]
-        dv = dv[:, :, :l_in, :]
+    if lq != lq_in:
+        dq = dq[:, :, :lq_in, :]
+    if lk != lk_in:
+        dk = dk[:, :, :lk_in, :]
+        dv = dv[:, :, :lk_in, :]
     return dq, dk, dv

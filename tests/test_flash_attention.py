@@ -446,13 +446,14 @@ def test_kernel_backward_bf16(rng, monkeypatch):
         )
 
 
-def test_kernel_backward_gqa_falls_back(rng, monkeypatch):
-    """GQA shapes are outside the square-MHA backward kernels
-    (_kernel_bwd_eligible) — the XLA-recompute fallback must still give
-    correct grads."""
+def test_kernel_backward_gqa(rng, monkeypatch):
+    """GQA shapes now run the backward kernels (r3 weak #4): the dq kernel
+    index-maps each query head to its shared KV head; the dkv kernel
+    accumulates dk/dv over the query-head group on its innermost grid
+    axis. Grads must match the XLA backward."""
     import mmada_tpu.ops.attention as A
 
-    assert not A._kernel_bwd_eligible(
+    assert A._kernel_bwd_eligible(
         jnp.zeros((1, 4, 256, 128)), jnp.zeros((1, 2, 256, 128))
     )
     q = jnp.asarray(rng.normal(size=(1, 4, 256, 128)), jnp.float32)
@@ -462,6 +463,66 @@ def test_kernel_backward_gqa_falls_back(rng, monkeypatch):
     monkeypatch.setattr(A, "_INTERPRET", True)
     gp, gx = _grad_pair(A, q, k, v)
     for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_kernel_backward_gqa_bias_rope_unaligned(rng, monkeypatch):
+    """GQA backward composed with everything at once: additive bias,
+    fused rope, and a non-128-aligned training length."""
+    import mmada_tpu.ops.attention as A
+    from mmada_tpu.models.llada import rope_sin_cos
+
+    q = jnp.asarray(rng.normal(size=(2, 4, 390, 128)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(2, 2, 390, 128)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(2, 2, 390, 128)), jnp.float32)
+    allowed = jnp.asarray(rng.random((2, 1, 390, 390)) > 0.2)
+    sin, cos = rope_sin_cos(390, 128, 500000.0)
+
+    monkeypatch.setattr(A, "_INTERPRET", True)
+    gp, gx = _grad_pair(A, q, k, v, bias=allowed, rope_sin=sin, rope_cos=cos)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-4)
+
+
+def test_kernel_backward_fallback_warns(rng, monkeypatch, caplog):
+    """Out-of-regime shapes (seq < 256) take the XLA-recompute fallback,
+    give correct grads, and log a warning (the r3 silent -12%)."""
+    import logging
+
+    import mmada_tpu.ops.attention as A
+
+    q = jnp.asarray(rng.normal(size=(1, 2, 128, 128)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(1, 2, 128, 128)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(1, 2, 128, 128)), jnp.float32)
+    assert not A._kernel_bwd_eligible(q, k)
+
+    monkeypatch.setattr(A, "_INTERPRET", True)
+    monkeypatch.setattr(A, "_bwd_fallback_warned", False)
+    with caplog.at_level(logging.WARNING, "mmada_tpu.ops.attention"):
+        gp, gx = _grad_pair(A, q, k, v, bias=None)
+    assert any("falling back" in r.message for r in caplog.records)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_flash_attention_bwd_rectangular(rng):
+    """Direct kernel parity on Lq != Lk (both padded independently to the
+    128 tile) with GQA on top — the cached-span training regime."""
+    from mmada_tpu.ops.attention import xla_attention
+    from mmada_tpu.ops.flash_attention import flash_attention_bwd
+
+    q = jnp.asarray(rng.normal(size=(1, 4, 500, 128)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(1, 2, 330, 128)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(1, 2, 330, 128)), jnp.float32)
+    ct = jnp.asarray(rng.normal(size=q.shape), jnp.float32)
+
+    out, vjp = jax.vjp(lambda q, k, v: xla_attention(q, k, v), q, k, v)
+    want = vjp(ct)
+    got = flash_attention_bwd(q, k, v, out, ct, interpret=True)
+    for a, b in zip(got, want):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4)
 

@@ -676,7 +676,8 @@ def main(argv):
 
             scorer = ImageQualityScorer(_embed_images, _embed_texts)
         else:
-            scorer = load_scorer(args.get("clip_dir"))
+            scorer = load_scorer(args.get("clip_dir"),
+                                 reward_dir=args.get("reward_dir"))
             pixels = None
             if vq_dir and scorer.available:
                 from mmada_tpu.checkpoints.magvit_import import load_magvit2
