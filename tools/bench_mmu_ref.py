@@ -112,6 +112,47 @@ def main(argv):
         save()
         del m_w8a8  # 8.6 GB on-device — must be freed before arm 2 builds
 
+    # --- arms 3/4: the MMU_GATE promoted COMPOSITION (VERDICT r4 #2) ---
+    # w8a8 weights + int8 block-KV cache, alone and with the adaptive
+    # parallel commit (tau 0.9, warmup 2 — the literal kv_parallel_warmup2
+    # arm MMU_GATE_r03e.json promotes at 2.65x). The parallel arm is a
+    # lax.while_loop (early exit when the block fully commits) so it
+    # cannot be segmented — but it exits long before the ~60 s worker
+    # kill precisely because it commits early.
+    if "composed" in arms:
+        m_c = build("w8a8")
+        runner_kv = jax.jit(lambda m, p: m.mmu_generate(
+            p, max_new_tokens=1024, steps=512, block_length=1024,
+            temperature=0.0, block_kv_cache="int8",
+        ))
+        try:
+            results["w8a8_kv_int8_p50_s"] = round(
+                p50(lambda: runner_kv(m_c, prefix)), 2)
+            logging.info("w8a8 + kv int8: %.2f s",
+                         results["w8a8_kv_int8_p50_s"])
+        except Exception as e:
+            results["w8a8_kv_int8_p50_s"] = None
+            results["w8a8_kv_int8_error"] = f"{type(e).__name__}: {e}"[:300]
+            logging.exception("w8a8+kv arm failed")
+        save()
+        runner_par = jax.jit(lambda m, p: m.mmu_generate(
+            p, max_new_tokens=1024, steps=512, block_length=1024,
+            temperature=0.0, block_kv_cache="int8",
+            parallel_threshold=0.9, parallel_warmup_steps=2,
+        ))
+        try:
+            results["w8a8_kv_parallel_p50_s"] = round(
+                p50(lambda: runner_par(m_c, prefix)), 2)
+            logging.info("w8a8 + kv + tau0.9/warmup2: %.2f s",
+                         results["w8a8_kv_parallel_p50_s"])
+        except Exception as e:
+            results["w8a8_kv_parallel_p50_s"] = None
+            results["w8a8_kv_parallel_error"] = (
+                f"{type(e).__name__}: {e}"[:300])
+            logging.exception("w8a8+kv+parallel arm failed")
+        save()
+        del m_c
+
     if "kv" not in arms:
         print(json.dumps(results))
         return 0
