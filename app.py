@@ -59,7 +59,11 @@ class AppState:
         thread owns the device. VQ decode stays in the caller thread."""
         from mmada_tpu.serve.engine import ServingEngine
 
-        self.engine = ServingEngine(self.model).start()
+        self.engine = ServingEngine(
+            self.model,
+            min_chunk_device_ms=float(self.cfg.get_path(
+                "serving.min_chunk_device_ms", 25.0)),
+        ).start()
         return self
 
     def stop_engine(self):

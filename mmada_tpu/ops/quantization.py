@@ -216,13 +216,84 @@ def multi_matmul(x: jax.Array, weights) -> list:
     return [maybe_matmul(x, w) for w in weights]
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class W8A8TrainTensor:
+    """bf16 MASTER weight tagged for W8A8 forward execution during
+    TRAINING (straight-through estimator). The leaf stays the trainable
+    bf16 array — optimizer state, checkpoints and gradients are untouched
+    — but every matmul that consumes it quantizes weight (per-channel)
+    and activation (per-token) on the fly and runs the int8×int8 MXU dot;
+    the backward pass differentiates the plain bf16 `x @ w` (STE). The
+    TPU analog of fp8 forward training on H100-class GPUs; the reference
+    has no quantized training at all. Tag/untag with `tag_w8a8_ste`
+    inside the jitted step (zero-cost retagging, no copies)."""
+
+    values: jax.Array   # bf16 (in, out) or (L, in, out) — TRAINABLE
+
+    @property
+    def shape(self):
+        return self.values.shape
+
+
+@jax.custom_vjp
+def w8a8_ste_matmul(x: jax.Array, w: jax.Array) -> jax.Array:
+    """Forward: dynamic per-token + per-channel int8 quantize, int8 MXU
+    dot, rescale. Backward: grads of the UNQUANTIZED `x @ w` (STE)."""
+    qw = quantize_tensor(w)
+    x_q, x_scale = quantize_activations(x)
+    return w8a8_matmul_prequant(
+        x_q, x_scale, W8A8Tensor(values=qw.values, scales=qw.scales),
+        out_dtype=x.dtype,
+    )
+
+
+def _ste_fwd(x, w):
+    return w8a8_ste_matmul(x, w), (x, w)
+
+
+def _ste_bwd(res, g):
+    x, w = res
+    # dx = g @ w^T ; dw = x^T g (sum over all leading/batch dims of x)
+    dx = jax.lax.dot_general(
+        g, w, (((g.ndim - 1,), (w.ndim - 1,)), ((), ()))
+    ).astype(x.dtype)
+    batch_axes = tuple(range(x.ndim - 1))
+    dw = jax.lax.dot_general(
+        x, g, ((batch_axes, batch_axes), ((), ()))
+    ).astype(w.dtype)
+    return dx, dw
+
+
+w8a8_ste_matmul.defvjp(_ste_fwd, _ste_bwd)
+
+
+def tag_w8a8_ste(params: Any) -> Any:
+    """Wrap the block matmul weights (QUANT_TARGETS) in W8A8TrainTensor so
+    the forward runs them through the STE int8 path. Call INSIDE the
+    jitted train step — tagging is pytree re-labeling, not a copy. The
+    vocab head stays bf16 (its logits feed the loss directly; quantizing
+    it trades loss fidelity for little speedup at loss_chunk head widths)."""
+    out = dict(params)
+    blocks = dict(params["blocks"])
+    for name in QUANT_TARGETS:
+        if name in blocks and isinstance(blocks[name], jax.Array):
+            blocks[name] = W8A8TrainTensor(values=blocks[name])
+    out["blocks"] = blocks
+    return out
+
+
 def is_quantized(leaf) -> bool:
-    return isinstance(leaf, (QuantizedTensor, W8A8Tensor, Int4Tensor))
+    return isinstance(
+        leaf, (QuantizedTensor, W8A8Tensor, Int4Tensor, W8A8TrainTensor)
+    )
 
 
 def maybe_matmul(x: jax.Array, w) -> jax.Array:
     if isinstance(w, W8A8Tensor):
         return w8a8_matmul(x, w)
+    if isinstance(w, W8A8TrainTensor):
+        return w8a8_ste_matmul(x, w.values)
     if isinstance(w, QuantizedTensor):
         return qmatmul(x, w)
     if isinstance(w, Int4Tensor):

@@ -486,10 +486,21 @@ class ServingEngine:
         max_batch: int = 8,
         max_wait_ms: float = 10.0,
         max_queue: int = 256,
+        min_chunk_device_ms: float = 25.0,
     ):
         self.model = model
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
+        # chunked-scheduling auto-guard: honoring segment_steps is a pure
+        # loss when a chunk's device work is smaller than the per-chunk
+        # dispatch overhead (~25 ms measured on the 165M proxy,
+        # SERVING_r03.json: chunking made every op point 1.6-6x WORSE
+        # there, while the 8B heavy op won 12.4x on short-request p50).
+        # Requests whose estimated per-chunk device time is below this
+        # floor run monolithic instead. 0 disables the guard (always
+        # honor segment_steps).
+        self.min_chunk_device_s = min_chunk_device_ms / 1000.0
+        self._chunk_guard_logged: set = set()
         self.buckets = _buckets_up_to(max_batch)
         # bounded queue: submit raises queue.Full under overload instead of
         # accumulating unbounded request memory
@@ -501,7 +512,8 @@ class ServingEngine:
         self._thread: Optional[threading.Thread] = None
         self._stats_lock = threading.Lock()
         self.stats = {"requests": 0, "batches": 0, "batched_requests": 0,
-                      "chunks": 0, "stream_joins": 0, "cancelled": 0}
+                      "chunks": 0, "stream_joins": 0, "cancelled": 0,
+                      "chunk_guard_skips": 0}
         self._draining = False
         # dispatcher-owned: True only when no stream is in flight AND the
         # queue was empty at the end of a loop iteration (drain waits on
@@ -728,31 +740,74 @@ class ServingEngine:
                     "block_kv_cache"
                 )
             prompt_len = int(np.asarray(grp[0].payload).reshape(-1).shape[0])
-            skey = (kind, settings, prompt_len)
-            reqs = list(grp)
-            for stream in self._active:
-                if stream.key != skey:
-                    continue
-                while reqs and stream.join(reqs[0]):
-                    reqs.pop(0)
-                    self._bump("stream_joins")
-            while reqs:
-                take, reqs = reqs[:self.max_batch], reqs[self.max_batch:]
-                b0 = next(b for b in self.buckets if len(take) <= b)
-                stream = _Stream(
-                    self.model, kind, settings, prompt_len, b0,
-                    self.buckets,
-                )
-                for r in take:
-                    stream.join(r)
-                self._active.append(stream)
-            return
+            est = self._est_chunk_device_s(settings, prompt_len)
+            if 0 < est < self.min_chunk_device_s:
+                # auto-guard: the op is too small for chunking to pay —
+                # run it monolithic (policy was README prose until r4)
+                gk = (kind, settings)
+                if gk not in self._chunk_guard_logged:
+                    self._chunk_guard_logged.add(gk)
+                    logger.info(
+                        "segment_steps=%d ignored for %s op (est. chunk "
+                        "device time %.1f ms < %.0f ms floor): running "
+                        "monolithic", settings.segment_steps, kind,
+                        est * 1e3, self.min_chunk_device_s * 1e3,
+                    )
+                self._bump("chunk_guard_skips")
+            else:
+                self._admit_chunked(kind, settings, grp, prompt_len)
+                return
 
         bucket = next(b for b in self.buckets if n <= b)
         self._bump("batches")
         self._bump("batched_requests", n)
         key = jax.random.key(grp[0].seed)
+        self._run_monolithic(kind, settings, grp, n, bucket, key)
 
+    def _est_chunk_device_s(self, settings, prompt_len: int) -> float:
+        """Estimated device seconds of ONE chunk of this request at a
+        deliberately conservative achieved rate (50 TFLOP/s — well under
+        any TPU's real rate, so the estimate overstates chunk time and
+        errs toward KEEPING the fairness lever). Uses the model config's
+        matmul FLOPs; returns 0.0 when the model exposes no config (duck
+        -typed test doubles), which disables the guard for that model."""
+        cfg = getattr(self.model, "cfg", None)
+        if cfg is None or settings.block_length <= 0:
+            return 0.0
+        from mmada_tpu.utils.flops import forward_matmul_flops_per_token
+
+        L = prompt_len + settings.gen_length
+        nb = max(settings.gen_length // settings.block_length, 1)
+        spb = max(settings.steps // nb, 1)
+        c = min(settings.segment_steps, spb)
+        rows = 2 if settings.cfg_scale > 0 else 1
+        flops_per_step = rows * L * forward_matmul_flops_per_token(
+            cfg, L, settings.block_length,
+            getattr(cfg, "embedding_size", None) or cfg.vocab_size,
+        )
+        return c * flops_per_step / 50e12
+
+    def _admit_chunked(self, kind, settings, grp, prompt_len):
+        skey = (kind, settings, prompt_len)
+        reqs = list(grp)
+        for stream in self._active:
+            if stream.key != skey:
+                continue
+            while reqs and stream.join(reqs[0]):
+                reqs.pop(0)
+                self._bump("stream_joins")
+        while reqs:
+            take, reqs = reqs[:self.max_batch], reqs[self.max_batch:]
+            b0 = next(b for b in self.buckets if len(take) <= b)
+            stream = _Stream(
+                self.model, kind, settings, prompt_len, b0,
+                self.buckets,
+            )
+            for r in take:
+                stream.join(r)
+            self._active.append(stream)
+
+    def _run_monolithic(self, kind, settings, grp, n, bucket, key):
         if kind in ("text", "mmu"):
             prompts = np.stack([np.asarray(r.payload).reshape(-1) for r in grp])
             seeds = [r.seed for r in grp]

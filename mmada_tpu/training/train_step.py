@@ -74,6 +74,9 @@ class StepConfig:
     skip_nonfinite_updates: bool = True  # drop a poison batch's update on
                                          # device (train_t2m.py:219-238
                                          # analog, without the host sync)
+    forward_quantize: str = "none"       # "w8a8": STE int8-MXU forward
+                                         # matmuls, bf16 master weights
+                                         # (ops/quantization.tag_w8a8_ste)
 
 
 def corrupt_batch(model: MMadaModel, sc: StepConfig, batch: dict, rng: jax.Array):
@@ -145,6 +148,14 @@ def make_train_step(
     model_template = dataclasses.replace(model_template, params=None)
 
     def loss_fn(params, batch, rng):
+        if sc.forward_quantize == "w8a8":
+            # STE forward quantization (ops/quantization.tag_w8a8_ste):
+            # block matmuls run on the int8 MXU, gradients flow to the
+            # bf16 master weights — retagging inside the jitted step is
+            # free (pytree relabeling, no copies)
+            from mmada_tpu.ops.quantization import tag_w8a8_ste
+
+            params = tag_w8a8_ste(params)
         model = dataclasses.replace(model_template, params=params)
         prepared = corrupt_batch(model, sc, batch, rng)
         _, loss_t2i, loss_lm, loss_mmu = L.forward_process(

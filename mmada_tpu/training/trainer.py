@@ -93,6 +93,7 @@ class Trainer:
             lm_pad_loss=tr.get("lm_pad_loss", True),
             skip_nonfinite_updates=tr.get("skip_nonfinite_updates", True),
             log_param_grad_norms=tr.get("log_param_grad_norms", False),
+            forward_quantize=tr.get("forward_quantize", "none"),
         )
 
         total_steps = tr.get("max_train_steps", 10000)

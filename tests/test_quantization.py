@@ -307,3 +307,65 @@ def test_int4_kernel_k_grid_accumulation():
         / jnp.linalg.norm(want.astype(jnp.float32))
     )
     assert rel < 2e-2, rel
+
+
+def test_w8a8_ste_forward_matches_w8a8_backward_matches_bf16():
+    """STE training matmul (ops/quantization.w8a8_ste_matmul): the
+    forward equals the serving w8a8 path on the same weight; the
+    gradients equal the plain bf16 matmul's (straight-through)."""
+    kx, kw = jax.random.split(jax.random.key(11))
+    x = jax.random.normal(kx, (2, 6, 32), jnp.float32)
+    w = jax.random.normal(kw, (32, 48), jnp.float32)
+
+    y_ste = Q.w8a8_ste_matmul(x, w)
+    y_w8a8 = Q.w8a8_matmul(x, Q._to_w8a8(Q.quantize_tensor(w)))
+    np.testing.assert_allclose(np.asarray(y_ste), np.asarray(y_w8a8),
+                               rtol=1e-6, atol=1e-6)
+
+    def loss_ste(x, w):
+        return (Q.w8a8_ste_matmul(x, w) ** 2).sum()
+
+    def loss_bf16(x, w):
+        return ((x @ w) ** 2).sum()
+
+    gx_ste, gw_ste = jax.grad(loss_ste, argnums=(0, 1))(x, w)
+    gx_ref, gw_ref = jax.grad(loss_bf16, argnums=(0, 1))(x, w)
+    # cotangents differ (quantized forward output vs exact), so compare
+    # the STE grads against the bf16 rule applied to the STE cotangent:
+    # d loss/dy = 2*y_ste; dx = g @ w.T, dw = x.T g
+    g = 2.0 * np.asarray(y_ste)
+    np.testing.assert_allclose(
+        np.asarray(gx_ste), g @ np.asarray(w).T, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(gw_ste),
+        np.einsum("bld,blo->do", np.asarray(x), g), rtol=1e-4, atol=2e-4)
+    # and sanity: same SHAPES/dtypes as the bf16 grads
+    assert gx_ste.shape == gx_ref.shape and gw_ste.shape == gw_ref.shape
+
+
+def test_tag_w8a8_ste_forward_and_grads():
+    """Tagged params run the model forward through the STE path (output
+    close to the w8a8 serving forward) and gradients land on the plain
+    bf16 leaves with unchanged tree structure."""
+    cfg = llada.tiny_config()
+    params = llada.init_params(jax.random.key(0), cfg, dtype=jnp.float32)
+    ids = jax.random.randint(jax.random.key(1), (2, 16), 0, cfg.vocab_size)
+
+    tagged = Q.tag_w8a8_ste(params)
+    out_ste = llada.forward(tagged, cfg, ids)
+    out_w8a8 = llada.forward(
+        Q.quantize_llada_params(params, quantize_head=False,
+                                activations=True),
+        cfg, ids)
+    np.testing.assert_allclose(np.asarray(out_ste), np.asarray(out_w8a8),
+                               rtol=2e-2, atol=2e-2)
+
+    def loss(p):
+        return (llada.forward(Q.tag_w8a8_ste(p), cfg, ids) ** 2).mean()
+
+    grads = jax.grad(loss)(params)
+    assert jax.tree_util.tree_structure(grads) == \
+        jax.tree_util.tree_structure(params)
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    assert any(float(jnp.abs(g).max()) > 0 for g in flat)

@@ -27,7 +27,7 @@ def model():
 
 
 def test_text_batching_matches_direct(model):
-    engine = ServingEngine(model, max_wait_ms=50).start()
+    engine = ServingEngine(model, min_chunk_device_ms=0, max_wait_ms=50).start()
     try:
         settings = TextSettings(gen_length=8, steps=4, block_length=8)
         rng = np.random.default_rng(0)
@@ -53,7 +53,7 @@ def test_text_batching_matches_direct(model):
 
 
 def test_t2i_requests(model):
-    engine = ServingEngine(model, max_wait_ms=30).start()
+    engine = ServingEngine(model, min_chunk_device_ms=0, max_wait_ms=30).start()
     try:
         n_img = 16
         sp_soi, sp_eoi = 280, 281
@@ -79,7 +79,7 @@ def test_stochastic_seed_reproducibility(model):
     device batch (the 2.2x text-serving win)."""
     import jax.numpy as jnp
 
-    engine = ServingEngine(model, max_wait_ms=50).start()
+    engine = ServingEngine(model, min_chunk_device_ms=0, max_wait_ms=50).start()
     try:
         settings = TextSettings(
             gen_length=8, steps=4, block_length=8, temperature=1.0
@@ -110,7 +110,7 @@ def test_random_remasking_needs_key_and_reproduces(model):
     """remasking='random' is stochastic even at temperature 0: the engine
     must route it through the per-row-key path (a keyless run would raise),
     and the same seed must reproduce."""
-    engine = ServingEngine(model, max_wait_ms=30).start()
+    engine = ServingEngine(model, min_chunk_device_ms=0, max_wait_ms=30).start()
     try:
         settings = TextSettings(
             gen_length=8, steps=4, block_length=8,
@@ -130,7 +130,7 @@ def test_random_remasking_needs_key_and_reproduces(model):
 def test_stop_drains_queued_futures(model):
     """stop() must resolve still-queued requests with an exception rather
     than leaving callers hanging on result()."""
-    engine = ServingEngine(model, max_wait_ms=10)
+    engine = ServingEngine(model, min_chunk_device_ms=0, max_wait_ms=10)
     # never started: submissions sit in the queue forever
     settings = TextSettings(gen_length=8, steps=4, block_length=8)
     fut = engine.submit_text(np.full(6, 9), settings)
@@ -142,7 +142,7 @@ def test_stop_drains_queued_futures(model):
 def test_queue_full_backpressure(model):
     """Submissions beyond max_queue resolve immediately with a backpressure
     error instead of accumulating unbounded memory."""
-    engine = ServingEngine(model, max_queue=2)  # not started: queue fills
+    engine = ServingEngine(model, min_chunk_device_ms=0, max_queue=2)  # not started: queue fills
     settings = TextSettings(gen_length=8, steps=4, block_length=8)
     futs = [engine.submit_text(np.full(6, 9), settings) for _ in range(4)]
     overflowed = [f for f in futs if f.done() and f.exception() is not None]
@@ -161,7 +161,7 @@ def test_engine_with_quantized_model(model):
     qmodel = _dc.replace(
         model, params=quantize_llada_params(model.params)
     )
-    engine = ServingEngine(qmodel, max_wait_ms=30).start()
+    engine = ServingEngine(qmodel, min_chunk_device_ms=0, max_wait_ms=30).start()
     try:
         settings = TextSettings(gen_length=8, steps=4, block_length=8)
         out = engine.submit_text(np.arange(3, 9), settings).result(120)
@@ -172,7 +172,7 @@ def test_engine_with_quantized_model(model):
 
 
 def test_mixed_kinds_and_lengths(model):
-    engine = ServingEngine(model, max_wait_ms=30).start()
+    engine = ServingEngine(model, min_chunk_device_ms=0, max_wait_ms=30).start()
     try:
         settings = TextSettings(gen_length=8, steps=4, block_length=8)
         f1 = engine.submit_text(np.full(6, 9), settings)
@@ -194,7 +194,7 @@ def test_t2i_with_masks_matches_direct(model):
     # plumbing is actually load-bearing in this test
     cfg = _dc.replace(model.cfg, attention_bias_enabled=True)
     m = MMadaModel(cfg=cfg, params=model.params, vocab=model.vocab)
-    engine = ServingEngine(m, max_wait_ms=30).start()
+    engine = ServingEngine(m, min_chunk_device_ms=0, max_wait_ms=30).start()
     try:
         n_img = 16
         frame = np.concatenate([
@@ -250,7 +250,7 @@ def test_engine_serves_mesh_sharded_model(model):
     import dataclasses as _dc
 
     model_sh = _dc.replace(model, params=params_sh, mesh=mesh)
-    engine = ServingEngine(model_sh, max_wait_ms=50).start()
+    engine = ServingEngine(model_sh, min_chunk_device_ms=0, max_wait_ms=50).start()
     try:
         settings = TextSettings(gen_length=8, steps=4, block_length=8)
         prompts = [np.arange(3, 9) + i for i in range(4)]
@@ -299,7 +299,7 @@ def test_chunked_matches_monolithic(model):
     chunk counter proves the request really ran as multiple programs."""
     import jax.numpy as jnp
 
-    engine = ServingEngine(model, max_wait_ms=30).start()
+    engine = ServingEngine(model, min_chunk_device_ms=0, max_wait_ms=30).start()
     try:
         settings = TextSettings(
             gen_length=16, steps=8, block_length=8, segment_steps=2,
@@ -327,7 +327,7 @@ def test_chunked_stochastic_per_row_seed_exact(model):
     request is bit-identical to its solo `generate(key=seed)` run."""
     import jax.numpy as jnp
 
-    engine = ServingEngine(model, max_wait_ms=50).start()
+    engine = ServingEngine(model, min_chunk_device_ms=0, max_wait_ms=50).start()
     try:
         settings = TextSettings(
             gen_length=8, steps=4, block_length=8, temperature=1.0,
@@ -354,7 +354,7 @@ def test_chunked_no_head_of_line_blocking(model):
     out its full duration: the short one overtakes it at a chunk boundary.
     (With a monolithic heavy program the short request always finishes
     last — that inversion is the scheduling win.)"""
-    engine = ServingEngine(model, max_wait_ms=5).start()
+    engine = ServingEngine(model, min_chunk_device_ms=0, max_wait_ms=5).start()
     try:
         long_settings = TextSettings(
             gen_length=32, steps=32, block_length=8, segment_steps=1,
@@ -379,7 +379,7 @@ def test_chunked_no_head_of_line_blocking(model):
 
 
 def test_chunked_rejects_kv_cache(model):
-    engine = ServingEngine(model, max_wait_ms=5).start()
+    engine = ServingEngine(model, min_chunk_device_ms=0, max_wait_ms=5).start()
     try:
         settings = TextSettings(
             gen_length=8, steps=4, block_length=8, segment_steps=2,
@@ -395,7 +395,7 @@ def test_chunked_rejects_kv_cache(model):
 def test_stop_resolves_active_chunked_tasks(model):
     """stop() with chunked work in flight must leave no hanging future:
     every submitted request is resolved (result or 'engine stopped')."""
-    engine = ServingEngine(model, max_wait_ms=5).start()
+    engine = ServingEngine(model, min_chunk_device_ms=0, max_wait_ms=5).start()
     settings = TextSettings(
         gen_length=32, steps=32, block_length=8, segment_steps=1,
     )
@@ -414,7 +414,7 @@ def test_stream_join_mid_flight(model):
     progress keeps the mixed batch correct."""
     import jax.numpy as jnp
 
-    engine = ServingEngine(model, max_wait_ms=5).start()
+    engine = ServingEngine(model, min_chunk_device_ms=0, max_wait_ms=5).start()
     try:
         settings = TextSettings(
             gen_length=32, steps=16, block_length=8, segment_steps=1,
@@ -446,7 +446,7 @@ def test_stream_join_stochastic_seed_exact(model):
     it shares chunk programs with rows at different block offsets."""
     import jax.numpy as jnp
 
-    engine = ServingEngine(model, max_wait_ms=5).start()
+    engine = ServingEngine(model, min_chunk_device_ms=0, max_wait_ms=5).start()
     try:
         settings = TextSettings(
             gen_length=16, steps=8, block_length=8, temperature=1.0,
@@ -478,7 +478,7 @@ def test_stream_padding_chunk_is_noop(model):
     exact (the no-op guarantee the stream design rests on)."""
     import jax.numpy as jnp
 
-    engine = ServingEngine(model, max_wait_ms=5).start()
+    engine = ServingEngine(model, min_chunk_device_ms=0, max_wait_ms=5).start()
     try:
         settings = TextSettings(
             gen_length=16, steps=8, block_length=8, segment_steps=3,
@@ -503,7 +503,7 @@ def test_stream_bucket_growth_and_overflow(model):
     being dropped. Every output stays exact vs the batched direct run."""
     import jax.numpy as jnp
 
-    engine = ServingEngine(model, max_batch=4, max_wait_ms=1).start()
+    engine = ServingEngine(model, min_chunk_device_ms=0, max_batch=4, max_wait_ms=1).start()
     try:
         settings = TextSettings(
             gen_length=16, steps=16, block_length=8, segment_steps=1,
@@ -548,7 +548,7 @@ def test_stream_on_mesh_sharded_model(model):
         model.params, sharding.llada_param_specs(model.cfg), mesh
     )
     model_sh = _dc.replace(model, params=params_sh, mesh=mesh)
-    engine = ServingEngine(model_sh, max_wait_ms=30).start()
+    engine = ServingEngine(model_sh, min_chunk_device_ms=0, max_wait_ms=30).start()
     try:
         settings = TextSettings(
             gen_length=8, steps=4, block_length=8, segment_steps=2,
@@ -575,7 +575,7 @@ def test_stream_stochastic_nondividing_segment(model):
     key windows — per-seed outputs must stay bit-exact vs solo runs."""
     import jax.numpy as jnp
 
-    engine = ServingEngine(model, max_wait_ms=30).start()
+    engine = ServingEngine(model, min_chunk_device_ms=0, max_wait_ms=30).start()
     try:
         settings = TextSettings(
             gen_length=16, steps=8, block_length=8, temperature=1.0,
@@ -603,7 +603,7 @@ def test_chunked_warmup_parallel_matches_monolithic(model):
     silently dropped warmup (and would re-suppress tau per chunk)."""
     import jax.numpy as jnp
 
-    engine = ServingEngine(model, max_wait_ms=30).start()
+    engine = ServingEngine(model, min_chunk_device_ms=0, max_wait_ms=30).start()
     try:
         settings = TextSettings(
             gen_length=16, steps=8, block_length=8, segment_steps=1,
@@ -628,7 +628,7 @@ def test_stream_rejects_invalid_shape(model):
     """Chunked requests get the SAME shape validation as the monolithic
     sampler: gen_length not divisible by block_length must fail the
     future, not silently return truncated output with mask residue."""
-    engine = ServingEngine(model, max_wait_ms=5).start()
+    engine = ServingEngine(model, min_chunk_device_ms=0, max_wait_ms=5).start()
     try:
         bad = TextSettings(
             gen_length=12, steps=4, block_length=8, segment_steps=2,
@@ -650,7 +650,7 @@ def test_engine_stress_mixed_workload(model):
 
     import jax.numpy as jnp
 
-    engine = ServingEngine(model, max_batch=4, max_wait_ms=5).start()
+    engine = ServingEngine(model, min_chunk_device_ms=0, max_batch=4, max_wait_ms=5).start()
     variants = [
         TextSettings(gen_length=16, steps=8, block_length=8),
         TextSettings(gen_length=16, steps=8, block_length=8,
@@ -706,7 +706,7 @@ def test_t2i_chunked_matches_direct(model):
     multi-window t2i overtakes it."""
     import jax.numpy as jnp
 
-    engine = ServingEngine(model, max_wait_ms=5).start()
+    engine = ServingEngine(model, min_chunk_device_ms=0, max_wait_ms=5).start()
     try:
         n_img = 16
         frame = np.concatenate([
@@ -741,7 +741,7 @@ def test_t2i_chunked_matches_direct(model):
 
 
 def test_t2i_chunked_rejects_kv_cache(model):
-    engine = ServingEngine(model, max_wait_ms=5).start()
+    engine = ServingEngine(model, min_chunk_device_ms=0, max_wait_ms=5).start()
     try:
         n_img = 16
         frame = np.concatenate([
@@ -764,7 +764,7 @@ def test_cancellation_queued_and_mid_stream(model):
     (including batch-mates) complete exactly."""
     import jax.numpy as jnp
 
-    engine = ServingEngine(model, max_wait_ms=40).start()
+    engine = ServingEngine(model, min_chunk_device_ms=0, max_wait_ms=40).start()
     try:
         # (a) cancel inside the batching window -> dropped before dispatch
         settings = TextSettings(gen_length=8, steps=4, block_length=8)
@@ -826,7 +826,7 @@ def test_t2m_requests_match_direct():
     cfg = _dc.replace(cfg, mask_token_id=vl.mask_token_id)
     params = llada.init_params(jax.random.key(0), cfg)
     m = MMadaModel(cfg=cfg, params=params, vocab=vl)
-    engine = ServingEngine(m, max_wait_ms=20).start()
+    engine = ServingEngine(m, min_chunk_device_ms=0, max_wait_ms=20).start()
     try:
         n = 16
         frame = np.concatenate([
@@ -856,7 +856,7 @@ def test_drain_finishes_inflight_and_rejects_new(model):
     starts are rejected; latency percentiles are recorded."""
     import jax.numpy as jnp
 
-    engine = ServingEngine(model, max_wait_ms=5).start()
+    engine = ServingEngine(model, min_chunk_device_ms=0, max_wait_ms=5).start()
     settings = TextSettings(
         gen_length=16, steps=16, block_length=8, segment_steps=1,
     )
@@ -918,7 +918,7 @@ def test_t2i_cfg_interval_through_engine(model):
     import jax
     import jax.numpy as jnp
 
-    engine = ServingEngine(model, max_wait_ms=5).start()
+    engine = ServingEngine(model, min_chunk_device_ms=0, max_wait_ms=5).start()
     try:
         n_img = 16
         frame = np.concatenate([
@@ -942,3 +942,64 @@ def test_t2i_cfg_interval_through_engine(model):
         np.testing.assert_array_equal(got_c, want)
     finally:
         engine.stop()
+
+
+def test_chunk_guard_demotes_small_ops(model):
+    """The min-chunk-work auto-guard (SERVING_r03.json proxy165m: chunking
+    is a pure loss when per-chunk dispatch dominates): with the default
+    floor, a tiny model's segment_steps request runs MONOLITHIC — same
+    tokens, zero chunk programs, and the skip is counted."""
+    import jax.numpy as jnp
+
+    engine = ServingEngine(model, max_wait_ms=30).start()  # default floor
+    try:
+        settings = TextSettings(
+            gen_length=16, steps=8, block_length=8, segment_steps=2,
+        )
+        prompt = np.random.default_rng(5).integers(3, 200, size=(6,))
+        out = engine.submit_text(prompt, settings).result(timeout=120)
+        direct = np.asarray(
+            model.generate(
+                jnp.asarray(prompt)[None],
+                gen_length=16, steps=8, block_length=8, temperature=0.0,
+            )
+        )[0]
+        np.testing.assert_array_equal(out, direct)
+        assert engine.stats["chunks"] == 0
+        assert engine.stats["chunk_guard_skips"] == 1
+        assert engine.stats["batches"] == 1
+    finally:
+        engine.stop()
+
+
+def test_chunk_guard_estimate_scales_to_heavy_ops():
+    """The conservative 50 TFLOP/s estimate keeps chunking for real op
+    points: the flagship 8B heavy op estimates far above the floor, the
+    165M proxy's small op far below (the two measured rows of
+    SERVING_r03.json), and a config-less test double disables the guard."""
+    from mmada_tpu.serve.engine import TextSettings
+
+    eng = ServingEngine.__new__(ServingEngine)  # estimate is self-contained
+    eng.min_chunk_device_s = 0.025
+
+    class _M:
+        cfg = None
+    eng.model = _M()
+    small = TextSettings(gen_length=64, steps=32, block_length=32,
+                         segment_steps=8)
+    assert eng._est_chunk_device_s(small, 64) == 0.0  # duck-typed double
+
+    eng.model = type("M", (), {"cfg": llada.tiny_config(
+        vocab_size=VOCAB.total_vocab_size, d_model=32, n_heads=2,
+        n_layers=2, mlp_hidden_size=64)})()
+    assert eng._est_chunk_device_s(small, 64) < eng.min_chunk_device_s
+
+    big = llada.LLaDAConfig(
+        d_model=4096, n_heads=32, n_layers=32, mlp_hidden_size=12288,
+        vocab_size=VOCAB.total_vocab_size,
+        embedding_size=VOCAB.total_vocab_size, max_sequence_length=2048,
+    )
+    eng.model = type("M", (), {"cfg": big})()
+    heavy = TextSettings(gen_length=512, steps=256, block_length=64,
+                         segment_steps=16)
+    assert eng._est_chunk_device_s(heavy, 64) > eng.min_chunk_device_s
