@@ -372,11 +372,46 @@ class AppState:
             if done:
                 break
 
+    def status(self) -> dict:
+        """Model registry/status payload (reference app.py:79-123 shows a
+        model dropdown + load status; one in-process model here, so the
+        registry is its identity card + live engine counters)."""
+        import jax
+
+        from mmada_tpu.ops import quantization as Q
+
+        leaves = jax.tree_util.tree_leaves(self.model.params)
+        n_params = int(sum(
+            np.prod(l.shape) for l in leaves if hasattr(l, "shape")
+        ))
+        schemes = {type(l).__name__ for l in jax.tree_util.tree_leaves(
+            self.model.params, is_leaf=Q.is_quantized) if Q.is_quantized(l)}
+        payload = {
+            "model": {
+                "layers": self.model.cfg.n_layers,
+                "d_model": self.model.cfg.d_model,
+                "n_heads": self.model.cfg.n_heads,
+                "params": n_params,
+                "vocab_size": self.vocab.total_vocab_size,
+                "quantized_leaves": sorted(schemes) or ["bf16"],
+                "checkpoint": str(self.cfg.get_path(
+                    "model.mmada.pretrained_model_path", "(random init)")),
+            },
+            "vq_model_loaded": self.vq_params is not None,
+            "devices": [str(d) for d in jax.devices()],
+            "engine_running": self.engine is not None,
+        }
+        if self.engine is not None:
+            payload["engine"] = dict(self.engine.stats)
+            payload["latency"] = self.engine.latency_stats()
+        return payload
+
     def mmu(self, image_arr, question, max_new_tokens=128, steps=64,
             block_length=64, temperature=0.0, cfg_scale=0.0,
             remasking="low_confidence", seed=0, kv_cache=None,
             parallel_threshold=None, parallel_warmup_steps=None,
-            cache_refresh_every=None, segment_steps=None):
+            cache_refresh_every=None, segment_steps=None,
+            thinking=False):
         d = self.serving_defaults["mmu"]
         if kv_cache is None:
             kv_cache = d["kv_cache"]
@@ -403,6 +438,10 @@ class AppState:
             )
         fused = np.asarray(codes)[0] + self.vocab.image_offset
         sp = self.prompting.sp
+        if thinking:
+            # reference app.py:380-381: MMU thinking-mode instruction
+            # prepended to the question
+            question = THINK_PREFIX + "\n" + question
         text_ids = self.tokenizer([question])["input_ids"][0]
         frame = np.concatenate(
             [[sp.mmu, sp.soi], fused, [sp.eoi, sp.bos], text_ids]
@@ -467,18 +506,12 @@ def run_http(state: AppState, port: int):
             if self.path == "/health":
                 self._reply({"status": "ok"})
             elif self.path == "/stats":
-                import jax
-
-                payload = {
-                    "devices": [str(d) for d in jax.devices()],
-                    "vocab_size": state.vocab.total_vocab_size,
-                    "model_layers": state.model.cfg.n_layers,
-                    "d_model": state.model.cfg.d_model,
-                }
-                if state.engine is not None:
-                    payload["engine"] = dict(state.engine.stats)
-                    payload["latency"] = state.engine.latency_stats()
-                self._reply(payload)
+                st = state.status()
+                # keep the flat legacy keys HTTP clients already consume
+                st["vocab_size"] = st["model"]["vocab_size"]
+                st["model_layers"] = st["model"]["layers"]
+                st["d_model"] = st["model"]["d_model"]
+                self._reply(st)
             else:
                 self._reply({"error": "not found"}, 404)
 
@@ -659,6 +692,7 @@ def run_http(state: AppState, port: int):
                     text = state.mmu(
                         image_transform(img, res),
                         req.get("question", "Describe this image."),
+                        thinking=bool(req.get("thinking", False)),
                         max_new_tokens=int(req.get("max_new_tokens", 128)),
                         steps=int(req.get("steps", 64)),
                         block_length=int(req.get("block_length", 64)),
@@ -723,16 +757,34 @@ def run_gradio(state: AppState, port: int):  # pragma: no cover - optional dep
             gr.Button("Generate").click(_stream_text, [inp, think], [viz, out])
         with gr.Tab("Text To Image"):
             p2 = gr.Textbox(label="Prompt")
+            stepwise = gr.Checkbox(
+                label="Stepwise (stream each denoising window's decode)",
+                value=True,
+            )
             img = gr.Image(label="Image")
-            gr.Button("Generate").click(lambda p: state.t2i(p), p2, img)
+
+            def _t2i_ui(p, sw):
+                # stepwise: the UI shows each ≤window decode as soon as
+                # its device segment finishes (reference app.py:168-203
+                # yields a PIL image per step) — same frames the HTTP
+                # /t2i_stepwise NDJSON stream serves, byte-equal by test
+                if sw:
+                    yield from state.t2i_stepwise_iter(p)
+                else:
+                    yield state.t2i(p)
+
+            gr.Button("Generate").click(_t2i_ui, [p2, stepwise], img)
         with gr.Tab("Image Understanding"):
             img_in = gr.Image(label="Image", type="numpy")
             q = gr.Textbox(label="Question")
+            think_mmu = gr.Checkbox(
+                label="Thinking mode"  # reference app.py:380-381
+            )
             fast = gr.Checkbox(
                 label="Fast decode (block-KV cache — approximate)"
             )
             a = gr.Textbox(label="Answer")
-            def _mmu_ui(i, qq, f):
+            def _mmu_ui(i, qq, t, f):
                 if i is None:
                     return "(no image provided)"
                 from PIL import Image as _Image
@@ -743,9 +795,16 @@ def run_gradio(state: AppState, port: int):  # pragma: no cover - optional dep
                     state.cfg.get_path("dataset.preprocessing.resolution", 512)
                 )
                 pixels = image_transform(_Image.fromarray(i), res)
-                return state.mmu(pixels, qq, kv_cache=True if f else None)
+                return state.mmu(pixels, qq, thinking=t,
+                                 kv_cache=True if f else None)
 
-            gr.Button("Ask").click(_mmu_ui, [img_in, q, fast], a)
+            gr.Button("Ask").click(_mmu_ui, [img_in, q, think_mmu, fast], a)
+        with gr.Tab("Model Status"):
+            # model registry/status panel (reference app.py:79-123): the
+            # loaded model's identity card + live engine counters
+            status_json = gr.JSON(label="Registry / engine status")
+            gr.Button("Refresh").click(lambda: state.status(), None,
+                                       status_json)
     demo.launch(server_port=port)
 
 

@@ -243,3 +243,59 @@ def test_generate_stepwise_stream_matches_batch(server):
             if line:
                 streamed.append(json.loads(line)["step"])
     assert streamed == batch
+
+
+def test_stats_model_registry(server):
+    """/stats carries the model registry payload (AppState.status):
+    identity card + engine counters + legacy flat keys."""
+    out = json.loads(
+        urllib.request.urlopen(f"http://127.0.0.1:{PORT}/stats").read()
+    )
+    assert out["model"]["layers"] == out["model_layers"]
+    assert out["model"]["params"] > 0
+    assert out["model"]["quantized_leaves"] == ["bf16"]
+    assert out["vq_model_loaded"] is True
+    assert out["engine_running"] is True
+    assert "requests" in out["engine"]
+
+
+def test_mmu_thinking_prepends_instruction(server):
+    """thinking=true reaches AppState.mmu and prepends the reference's
+    think-instruction to the question before tokenization
+    (reference app.py:380-381)."""
+    import app as app_mod
+
+    seen = []
+    orig = server.tokenizer.__call__
+
+    class _Spy:
+        def __call__(self, texts, **kw):
+            seen.extend(texts)
+            return orig(texts, **kw)
+
+        def __getattr__(self, name):
+            return getattr(orig.__self__, name)
+
+    # the real instruction (~230 byte-tokens) overflows the tiny test
+    # model's 256-position RoPE table — shrink it for the wiring check
+    # (the server thread shares this process, so the patch reaches it)
+    tok, server.tokenizer = server.tokenizer, _Spy()
+    prefix, app_mod.THINK_PREFIX = app_mod.THINK_PREFIX, "THINK:"
+    try:
+        buf = io.BytesIO()
+        from PIL import Image
+        Image.fromarray(
+            (np.random.default_rng(1).random((32, 32, 3)) * 255)
+            .astype(np.uint8)
+        ).save(buf, format="PNG")
+        out = post("/mmu", {
+            "image_png_b64": base64.b64encode(buf.getvalue()).decode(),
+            "question": "what?", "max_new_tokens": 16, "steps": 8,
+            "block_length": 16, "thinking": True,
+        })
+        assert isinstance(out["text"], str)
+    finally:
+        server.tokenizer = tok
+        app_mod.THINK_PREFIX = prefix
+    assert any(t.startswith("THINK:") and t.endswith("what?")
+               for t in seen), seen

@@ -35,6 +35,7 @@ fractions (89.4% MXU t2i forward, BENCH_r02; train MFU from
 tools/bench_train.py) — override with t2i_eff=/train_eff=.
 """
 
+import dataclasses
 import json
 import logging
 import os
@@ -112,7 +113,21 @@ def main(argv):
     args = dict(kv.split("=", 1) for kv in argv if "=" in kv)
     out_path = args.get("out", "PROJECTION_r03.json")
     t2i_eff = float(args.get("t2i_eff", 0.894))   # measured, BENCH_r02
-    train_eff = float(args.get("train_eff", 0.55))  # measured, bench_train r3
+
+    # Train MFU is MEASURED by tools/bench_train.py (BASELINE.md rounds
+    # 3b/3d, 8-layer single-chip, kernel backward), keyed by (seq, remat):
+    #   full remat: 60.1% @ seq 388, 63.6% @ seq 2048
+    #   dots remat: 64.9% @ seq 388, 71.0% @ seq 2048
+    # The projection interpolates linearly in seq between the two
+    # measured points for the compiled shape. Override: train_eff=0.xx.
+    MEASURED_TRAIN_MFU = {"full": (0.601, 0.636), "dots": (0.649, 0.710)}
+
+    def measured_train_mfu(seq: int, remat: str) -> float:
+        lo, hi = MEASURED_TRAIN_MFU[remat]
+        t = min(max((seq - 388) / (2048 - 388), 0.0), 1.0)
+        return lo + t * (hi - lo)
+
+    train_eff_override = args.get("train_eff")
 
     import jax
     from jax.experimental import topologies
@@ -276,8 +291,6 @@ def main(argv):
     # ----------------------------------------------- training (fsdp 8)
     mesh_t = make_mesh(data=1, fsdp=8, tensor=1, devices=devices)
     abstract_params_t = _shard_like(param_shapes, suffix_map, mesh_t)
-    model_t = MMadaModel(cfg=cfg, params=abstract_params_t, vocab=MMADA_8B,
-                         policy=BF16, mesh=mesh_t, remat=True)
     sc = StepConfig(batch_size_t2i=8, batch_size_lm=8, batch_size_mmu=8,
                     max_seq_length=130, loss_chunk=128)
     n_img = 256
@@ -303,49 +316,131 @@ def main(argv):
         "mmu_labels": bshape(sc.batch_size_mmu),
         "mmu_prompt_masks": bshape(sc.batch_size_mmu),
     }
-    logger.info("AOT-compiling full 8B train step (fsdp8, remat, AdamW)")
-    step = jax.jit(make_train_step(model_t, opt, sc), donate_argnums=(0,))
-    c_step = step.lower(
-        abstract_state, abstract_batch,
-        jax.ShapeDtypeStruct((), jax.random.key(0).dtype,
-                             sharding=NamedSharding(mesh_t, P())),
-    ).compile()
-    mem_step = _mem(c_step)
-    col_step = H.analyze_collectives(c_step.as_text())
 
+    # measured int8-MXU serving rate (bench.py w8a8 headline): prices the
+    # forward+recompute of the STE arm; backward dots stay bf16
+    w8a8_fwd_tflops = float(args.get("w8a8_fwd_tflops", 269.4e12))
+
+    def project_training(name, remat_mode, forward_quantize="none"):
+        """AOT-compile one 8B train-step arm on the fsdp8 mesh and price
+        it with MEASURED rates: bf16 MXU at the bench_train MFU for this
+        (seq, remat) shape; the STE w8a8 arm prices forward+recompute
+        FLOPs (1/3 + remat share of useful) at the measured single-chip
+        w8a8 rate instead. Collective bytes come from the arm's own GSPMD
+        lowering, never reused across arms."""
+        model_t = MMadaModel(cfg=cfg, params=abstract_params_t,
+                             vocab=MMADA_8B, policy=BF16, mesh=mesh_t,
+                             remat=remat_mode)
+        sc_arm = dataclasses.replace(sc, forward_quantize=forward_quantize)
+        logger.info("AOT-compiling 8B train step (%s)", name)
+        step = jax.jit(make_train_step(model_t, opt, sc_arm),
+                       donate_argnums=(0,))
+        c_step = step.lower(
+            abstract_state, abstract_batch,
+            jax.ShapeDtypeStruct((), jax.random.key(0).dtype,
+                                 sharding=NamedSharding(mesh_t, P())),
+        ).compile()
+        mem_step = _mem(c_step)
+        col_step = H.analyze_collectives(c_step.as_text())
+
+        remat_key = "dots" if remat_mode == "dots" else "full"
+        mfu = (float(train_eff_override) if train_eff_override
+               else measured_train_mfu(l_total, remat_key))
+        useful, hw = train_step_flops(
+            cfg, bsz, l_total,
+            remat=remat_mode if remat_mode == "dots" else True)
+        if forward_quantize == "w8a8":
+            # split hw FLOPs: backward dots are 2/3 of useful and run
+            # bf16; everything else (forward + remat recompute) runs the
+            # int8 MXU at the measured w8a8 rate
+            bwd = 2.0 * useful / 3.0
+            fwd_like = hw - bwd
+            t_compute = (fwd_like / 8 / w8a8_fwd_tflops
+                         + bwd / 8 / (V5E_BF16_PEAK * mfu))
+            eff = {"bf16_mfu_measured": mfu,
+                   "w8a8_fwd_tflops_measured": w8a8_fwd_tflops,
+                   "ici_bw_bytes_s": ICI_BW}
+        else:
+            t_compute = hw / 8 / (V5E_BF16_PEAK * mfu)
+            eff = {"mxu_mfu_measured": mfu,
+                   "mfu_source": "tools/bench_train.py (BASELINE.md "
+                                 "rounds 3b/3d), interpolated by seq",
+                   "ici_bw_bytes_s": ICI_BW}
+        t_comm = col_step["total_ici_bytes"] / ICI_BW
+        entry = {
+            "mesh": {"data": 1, "fsdp": 8, "tensor": 1},
+            "shape": {"batch": bsz, "seq": l_total, "remat": remat_mode,
+                      "loss_chunk": sc.loss_chunk, "optimizer": "adamw",
+                      **({"forward_quantize": forward_quantize}
+                         if forward_quantize != "none" else {})},
+            "per_device_memory": mem_step,
+            "fits_16gb_with_sharded_adam": mem_step["peak_gb"]
+            < V5E_HBM_BYTES / 1e9,
+            "collectives_per_step": {
+                k: {kk: round(vv, 1) for kk, vv in v.items()}
+                for k, v in col_step["per_op"].items()
+            },
+            "ici_bytes_per_step": round(col_step["total_ici_bytes"]),
+            "step_compute_s": round(t_compute, 4),
+            "step_comm_s": round(t_comm, 4),
+            "assumed_efficiencies": eff,
+            "samples_per_s": {
+                "comm_overlapped": round(bsz / max(t_compute, t_comm), 2),
+                "comm_serial": round(bsz / (t_compute + t_comm), 2),
+            },
+            "useful_tflops_per_step": round(useful / 1e12, 1),
+        }
+        report[name] = entry
+        logger.info(
+            "%s: peak %s GB/dev (fits=%s), %.2f GB ICI/step -> %.1f-%.1f "
+            "samples/s", name, mem_step["peak_gb"],
+            entry["fits_16gb_with_sharded_adam"],
+            col_step["total_ici_bytes"] / 1e9,
+            entry["samples_per_s"]["comm_serial"],
+            entry["samples_per_s"]["comm_overlapped"],
+        )
+        return entry
+
+    project_training("training_fsdp8", True)
+    project_training("training_fsdp8_dots", "dots")
+    project_training("training_fsdp8_w8a8", True, forward_quantize="w8a8")
+
+    # ---------------------------------------- training PP arm (analytic)
+    # The repo trains 8B with FSDP (PP is unnecessary at this scale —
+    # SURVEY §2.6); this row projects a GPipe trainer from the REAL
+    # compiled PP serving forward's per-stage collectives plus the
+    # standard bubble model: efficiency = M / (M + S - 1) at S stages and
+    # M microbatches, per-stage compute priced at the measured MFU. It
+    # exists to bound what PP training would buy (answer: a bubble tax
+    # with no memory win over sharded-Adam FSDP, which already fits).
+    S = 8
+    M = int(args.get("pp_microbatches", 8))
+    mfu_pp = (float(train_eff_override) if train_eff_override
+              else measured_train_mfu(l_total, "full"))
     useful, hw = train_step_flops(cfg, bsz, l_total, remat=True)
-    t_compute = hw / 8 / (V5E_BF16_PEAK * train_eff)
-    t_comm = col_step["total_ici_bytes"] / ICI_BW
-    report["training_fsdp8"] = {
-        "mesh": {"data": 1, "fsdp": 8, "tensor": 1},
-        "shape": {"batch": bsz, "seq": l_total, "remat": True,
-                  "loss_chunk": sc.loss_chunk, "optimizer": "adamw"},
-        "per_device_memory": mem_step,
-        "fits_16gb_with_sharded_adam": mem_step["peak_gb"]
-        < V5E_HBM_BYTES / 1e9,
-        "collectives_per_step": {
-            k: {kk: round(vv, 1) for kk, vv in v.items()}
-            for k, v in col_step["per_op"].items()
-        },
-        "ici_bytes_per_step": round(col_step["total_ici_bytes"]),
-        "step_compute_s": round(t_compute, 4),
-        "step_comm_s": round(t_comm, 4),
-        "assumed_efficiencies": {"mxu": train_eff,
-                                 "ici_bw_bytes_s": ICI_BW},
+    bubble_eff = M / (M + S - 1)
+    t_compute_pp = hw / 8 / (V5E_BF16_PEAK * mfu_pp) / bubble_eff
+    # activation transfers between stages: 2 boundary tensors per
+    # microbatch per direction (fwd + bwd), bf16 (B/M, L, D)
+    act_bytes = 2 * 2 * M * (bsz // M) * l_total * cfg.d_model * 2
+    t_comm_pp = act_bytes / ICI_BW
+    report["training_pp8_gpipe_projection"] = {
+        "mesh": {"pipeline_stages": S, "microbatches": M},
+        "basis": "analytic GPipe bubble model over the measured MFU; "
+                 "stage-boundary activation bytes computed from shapes "
+                 "(parallel/pipeline.py is the compiled serving analog)",
+        "bubble_efficiency": round(bubble_eff, 3),
+        "step_compute_s": round(t_compute_pp, 4),
+        "step_comm_s": round(t_comm_pp, 5),
         "samples_per_s": {
-            "comm_overlapped": round(bsz / max(t_compute, t_comm), 2),
-            "comm_serial": round(bsz / (t_compute + t_comm), 2),
+            "comm_overlapped": round(bsz / max(t_compute_pp, t_comm_pp), 2),
+            "comm_serial": round(bsz / (t_compute_pp + t_comm_pp), 2),
         },
-        "useful_tflops_per_step": round(useful / 1e12, 1),
+        "verdict": "FSDP wins: same compute rate without the "
+                   f"{round((1 - bubble_eff) * 100)}% bubble, and 8B "
+                   "already fits with sharded Adam",
     }
-    logger.info(
-        "training: peak %s GB/dev (fits=%s), %.1f GB ICI/step -> %.1f-%.1f "
-        "samples/s", mem_step["peak_gb"],
-        report["training_fsdp8"]["fits_16gb_with_sharded_adam"],
-        col_step["total_ici_bytes"] / 1e9,
-        report["training_fsdp8"]["samples_per_s"]["comm_serial"],
-        report["training_fsdp8"]["samples_per_s"]["comm_overlapped"],
-    )
+    mem_step = report["training_fsdp8"]["per_device_memory"]
 
     with open(out_path, "w") as f:
         json.dump(report, f, indent=2)
@@ -358,6 +453,12 @@ def main(argv):
         "serving_img_s_w8a8_replicated8": report[
             "serving_t2i_w8a8_replicated8"]["t2i_img_per_s_8chips"],
         "train_samples_s": report["training_fsdp8"]["samples_per_s"],
+        "train_samples_s_dots": report["training_fsdp8_dots"][
+            "samples_per_s"],
+        "train_samples_s_w8a8": report["training_fsdp8_w8a8"][
+            "samples_per_s"],
+        "train_samples_s_pp_projection": report[
+            "training_pp8_gpipe_projection"]["samples_per_s"],
         "train_peak_gb": mem_step["peak_gb"],
         "train_fits": report["training_fsdp8"][
             "fits_16gb_with_sharded_adam"],
