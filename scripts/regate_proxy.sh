@@ -30,7 +30,9 @@ python tools/quant_gate.py        ckpt="$CKPT" config="$CFG" out="QUANT_${SUF}.j
 python tools/kv_refresh_sweep.py  ckpt="$CKPT" config="$CFG" out="KV_REFRESH_${SUF}.json"
 python tools/parallel_sweep.py    ckpt="$CKPT" config="$CFG" out="PARALLEL_${SUF}.json"
 python tools/parallel_sweep.py warmup=1 ckpt="$CKPT" config="$CFG" out="PARALLEL_WARMUP_${SUF}.json"
-python tools/mmu_truth_gate.py    ckpt="$CKPT" config="$CFG" out="MMU_GATE_${SUF}.json"
+# n=48 captions (vs the r03 default 16): the round-3u power lesson —
+# the MMU verdict gets >=3x the truth positions (VERDICT r4 #6)
+python tools/mmu_truth_gate.py    ckpt="$CKPT" config="$CFG" n="${MMU_GATE_N:-48}" out="MMU_GATE_${SUF}.json"
 python tools/composed_fast_gate.py ckpt="$CKPT" config="$CFG" out="COMPOSED_FAST_${SUF}.json"
 python tools/cfg_interval_sweep.py ckpt="$CKPT" config="$CFG" out="CFG_INTERVAL_${SUF}.json"
 echo "regate done: *_${SUF}.json"

@@ -245,9 +245,16 @@ def main(argv):
     params = load_pretrained(ckpt, cfg, dtype=jnp.bfloat16)
     model = MMadaModel(cfg=cfg, params=params, vocab=vocab, policy=BF16)
 
-    _, frame, uncond = gate_decode_inputs(tokenizer, prompting, vocab, num_vq)
+    # power knob (VERDICT r4 #6): t2i_rows=4 doubles the scorable truth
+    # positions of the r03e sweep (2x1024 -> 4x1024) — the round-3u
+    # minimum said verdicts under ~500 positions flip; the band verdict
+    # deserves the same several-flips-wide margin as the text gate
+    n_t2i = int(args.get("t2i_rows", 4))
+    _, frame, uncond = gate_decode_inputs(tokenizer, prompting, vocab,
+                                          num_vq, n_t2i=n_t2i)
     frame, uncond = jnp.asarray(frame), jnp.asarray(uncond)
-    _, truth_t2i = gate_truth_targets(tokenizer, prompting, vocab, ycfg)
+    _, truth_t2i = gate_truth_targets(tokenizer, prompting, vocab, ycfg,
+                                      n_t2i=n_t2i)
 
     def sync(x):
         return int(jax.device_get(jnp.asarray(x).sum()))

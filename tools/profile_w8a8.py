@@ -198,7 +198,34 @@ def main(argv=None) -> int:
     ap.add_argument("--out", default=None)
     ap.add_argument("--logdir", default=None,
                     help="reuse an existing trace instead of capturing")
+    ap.add_argument("--time-only", action="store_true",
+                    help="p50 of 3 untraced runs (no xprof overhead) — "
+                         "the quick headline probe between bench.py runs")
     args = ap.parse_args(argv)
+
+    if args.time_only:
+        import jax
+
+        model, run, frame, uncond, flops, batch = build_t2i(args.scheme)
+
+        def sync(x):
+            return int(jax.device_get(x.sum()))
+
+        sync(run(model, frame, uncond, jax.random.key(2)))
+        lats = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            sync(run(model, frame, uncond, jax.random.key(3 + i)))
+            lats.append(time.perf_counter() - t0)
+        wall = sorted(lats)[1]
+        print(json.dumps({
+            "scheme": args.scheme, "p50_wall_s": round(wall, 3),
+            "images_per_s": round(batch / wall, 4),
+            "achieved_tflops": round(flops / wall / 1e12, 1),
+            "vs_int8_peak": round(flops / wall / V5E_INT8_PEAK, 4),
+            "runs": [round(x, 3) for x in lats],
+        }))
+        return 0
 
     logdir = args.logdir or tempfile.mkdtemp(prefix=f"xprof_{args.scheme}_")
     if args.logdir:

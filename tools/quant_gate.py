@@ -281,7 +281,7 @@ GATE_TEXT_BATCH = 32
 GATE_TEXT_PROMPT_LEN = 40
 
 
-def gate_decode_inputs(tokenizer, prompting, vocab, num_vq):
+def gate_decode_inputs(tokenizer, prompting, vocab, num_vq, n_t2i=2):
     """Shared decode-agreement inputs: (text_prompt 8x40 BOS-framed, t2i
     frame, t2i uncond). quant_gate ckpt mode and the real-weight harness
     drive the SAME greedy samplers on the SAME inputs (plus
@@ -300,10 +300,10 @@ def gate_decode_inputs(tokenizer, prompting, vocab, num_vq):
         tokenizer, prompting.sp.bos, n=GATE_TEXT_BATCH,
         prompt_len=GATE_TEXT_PROMPT_LEN, start=0
     )
-    captions = [synthetic.caption_for(k) for k in range(2)]
-    masked = np.full((2, num_vq), vocab.mask_token_id, np.int64)
+    captions = [synthetic.caption_for(k) for k in range(n_t2i)]
+    masked = np.full((n_t2i, num_vq), vocab.mask_token_id, np.int64)
     frame, _ = prompting((captions, masked), "t2i_gen")
-    uncond, _ = prompting.t2i_gen_uncond(2, num_vq, vocab.mask_token_id)
+    uncond, _ = prompting.t2i_gen_uncond(n_t2i, num_vq, vocab.mask_token_id)
     return (np.asarray(text_prompt, np.int64), np.asarray(frame),
             np.asarray(uncond))
 
@@ -329,7 +329,7 @@ def smooth_calibration(tokenizer, prompting, vocab, num_vq):
     return [text_prompt, np.asarray(fwd), np.asarray(frame)]
 
 
-def gate_truth_targets(tokenizer, prompting, vocab, yaml_cfg):
+def gate_truth_targets(tokenizer, prompting, vocab, yaml_cfg, n_t2i=2):
     """Ground truth for the decode gates (trained-proxy mode only).
 
     The synthetic bank is deterministic, so the gates can score each
@@ -359,7 +359,8 @@ def gate_truth_targets(tokenizer, prompting, vocab, yaml_cfg):
     ), "quant gate (ckpt mode)")
     res = int(yaml_cfg.get_path("dataset.preprocessing.resolution", 512))
     vq_params, vq_cfg = build_vq_model(yaml_cfg)
-    pats = np.stack([synthetic.pattern_image(k, res) for k in range(2)])
+    pats = np.stack([synthetic.pattern_image(k, res)
+                     for k in range(n_t2i)])
     codes = np.asarray(magvit2.get_code(vq_params, vq_cfg, jnp.asarray(pats)))
     return truths, codes
 

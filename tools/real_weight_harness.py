@@ -543,8 +543,17 @@ def main(argv):
         lambda m, p: m.generate(p, temperature=0.0, parallel_threshold=0.9,
                                 parallel_warmup_steps=2, **kv_op)
     )(model, kv_prompt))[:, kv_plen:]
+    # the COMPOSED promoted fast stack (bench.py's text_fast arm /
+    # MMU_GATE's kv_parallel_warmup2): int8 kv at the quality-restoring
+    # refresh cadence + tau-parallel with warmup — mount day gets a
+    # verdict on the composition itself, not just its factors
+    # (round-3u: the plain-freeze composition FAILS while the
+    # refresh+warmup one passes; factor gates alone would miss that)
+    f_text = _kv_text("int8", cache_refresh_every=2,
+                      parallel_threshold=0.9, parallel_warmup_steps=2)
     text_agree = float((c_text == kv_ref_text).mean())
     t2i_agree = float((c_t2i == kv_ref_t2i).mean())
+    f_text_agree = float((f_text == kv_ref_text).mean())
     i_text_agree = float((i_text == kv_ref_text).mean())
     i_t2i_agree = float((i_t2i == kv_ref_t2i).mean())
     r_text_agree = float((r_text == kv_ref_text).mean())
@@ -580,6 +589,11 @@ def main(argv):
         "refresh2_text_decode_agreement": r_text_agree,
         "refresh2_t2i_decode_agreement": r_t2i_agree,
         "warmup2_text_decode_agreement": w_text_agree,
+        "composed_fast_text_decode_agreement": f_text_agree,
+        "composed_fast_config": {"kv_cache": "int8",
+                                 "cache_refresh_every": 2,
+                                 "parallel_threshold": 0.9,
+                                 "parallel_warmup_steps": 2},
         "parallel_tau": 0.9,
         "parallel_text_agreement": par_agree,
         "parallel_speedup_vs_exact": float(exact_dt / max(par_dt, 1e-9)),
@@ -605,6 +619,7 @@ def main(argv):
 
         p_truth = round(_tacc(p_gen, truth_text), 4)
         w_truth = round(_tacc(w_text, truth_text), 4)
+        f_truth = round(_tacc(f_text, truth_text), 4)
         stage.update({
             "bf16_truth": gate["bf16"],
             "kv_cache_truth": kv_accs,
@@ -625,6 +640,10 @@ def main(argv):
             "promote_parallel_warmup2": bool(
                 bank_ok and w_truth >= bf_text - DECODE_SLACK
             ),
+            "composed_fast_text_truth_acc": f_truth,
+            "promote_composed_fast": bool(
+                bank_ok and f_truth >= bf_text - DECODE_SLACK
+            ),
         })
     else:
         stage.update({
@@ -637,6 +656,7 @@ def main(argv):
                 r_text_agree >= 0.95 and r_t2i_agree >= 0.90),
             "promote_parallel": bool(par_agree >= 0.95),
             "promote_parallel_warmup2": bool(w_text_agree >= 0.95),
+            "promote_composed_fast": bool(f_text_agree >= 0.95),
         })
     report["stages"]["kv_cache_gate"] = stage
 
