@@ -73,9 +73,14 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
     s = _mask_padded_cols(s, valid_len)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    # normalize AFTER the PV dot: the divide touches a (bq, D) tile
+    # instead of the (bq, L) score tile — 12x fewer VPU divides at the
+    # flagship shape (L=1536, D=128). p casts to bf16 unnormalized; bf16
+    # relative precision is scale-free, so the rounding behavior matches
+    # the pre-normalized form (goldens unchanged).
+    l = jnp.sum(p, axis=-1, keepdims=True)
     o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-    o_ref[0, 0] = o.astype(o_ref.dtype)
+    o_ref[0, 0] = (o / l).astype(o_ref.dtype)
 
 
 def _attn_rope_kernel(q_ref, k_ref, v_ref, sq_ref, cq_ref, sk_ref, ck_ref,
@@ -83,6 +88,59 @@ def _attn_rope_kernel(q_ref, k_ref, v_ref, sq_ref, cq_ref, sk_ref, ck_ref,
     _attn_kernel(q_ref, k_ref, v_ref, o_ref, scale=scale,
                  rope_refs=(sq_ref, cq_ref, sk_ref, ck_ref),
                  valid_len=valid_len)
+
+
+def _attn_kernel_interleaved(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                             rope_refs=(), valid_len=None):
+    """One-pass kernel with the q block split in two interleaved halves.
+
+    Same math as _attn_kernel (bit-identical per half). The point is
+    SCHEDULING: the fp32 softmax of half 0 has no data dependence on
+    half 1's QK^T dot, and half 1's softmax none on half 0's PV dot —
+    written straight-line, Mosaic's VLIW scheduler may overlap VPU
+    (exp/reduce) with MXU (dot) work that the single-block body
+    serializes (the profiled one-pass kernel reaches only 63% of bf16
+    peak at the t2i shape, and the gap is softmax-shaped). Opt-in via
+    flash_attention(interleave=True); promoted only if the chip A/B
+    (tools/bench_attn_interleave.py) wins."""
+    q_in = q_ref[0, 0]
+    k_in = k_ref[0, 0]
+    if rope_refs:
+        sin_q, cos_q, sin_k, cos_k = rope_refs
+        q_in = _rope_tile(q_in, sin_q[...], cos_q[...])
+        k_in = _rope_tile(k_in, sin_k[...], cos_k[...])
+    q = q_in.astype(jnp.float32)
+    k = k_in.astype(jnp.float32)
+    v = v_ref[0, 0]
+    h = q.shape[0] // 2
+    q0, q1 = q[:h], q[h:]
+
+    s0 = jax.lax.dot_general(
+        q0, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale                                       # MXU
+    s1 = jax.lax.dot_general(
+        q1, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale                                       # MXU (independent)
+    s0 = _mask_padded_cols(s0, valid_len)
+    p0 = jnp.exp(s0 - jnp.max(s0, axis=-1, keepdims=True))   # VPU
+    l0 = jnp.sum(p0, axis=-1, keepdims=True)
+    o0 = jnp.dot(p0.astype(v.dtype), v,
+                 preferred_element_type=jnp.float32)         # MXU
+    s1 = _mask_padded_cols(s1, valid_len)
+    p1 = jnp.exp(s1 - jnp.max(s1, axis=-1, keepdims=True))   # VPU ∥ o0 dot
+    l1 = jnp.sum(p1, axis=-1, keepdims=True)
+    o1 = jnp.dot(p1.astype(v.dtype), v,
+                 preferred_element_type=jnp.float32)
+    o_ref[0, 0] = jnp.concatenate(
+        [o0 / l0, o1 / l1], axis=0).astype(o_ref.dtype)
+
+
+def _attn_rope_kernel_interleaved(q_ref, k_ref, v_ref, sq_ref, cq_ref,
+                                  sk_ref, ck_ref, o_ref, *, scale: float,
+                                  valid_len=None):
+    _attn_kernel_interleaved(q_ref, k_ref, v_ref, o_ref, scale=scale,
+                             rope_refs=(sq_ref, cq_ref, sk_ref, ck_ref),
+                             valid_len=valid_len)
 
 
 def _attn_bias_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale: float,
@@ -103,9 +161,10 @@ def _attn_bias_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale: float,
     s = _mask_padded_cols(s, valid_len)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    # end-normalization, as in _attn_kernel (12x fewer divides)
+    l = jnp.sum(p, axis=-1, keepdims=True)
     o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-    o_ref[0, 0] = o.astype(o_ref.dtype)
+    o_ref[0, 0] = (o / l).astype(o_ref.dtype)
 
 
 def _attn_rope_bias_kernel(q_ref, k_ref, v_ref, b_ref, sq_ref, cq_ref,
@@ -402,7 +461,7 @@ def flash_attention_online(
     )(q, k, v, bias)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block_q", "interpret", "interleave"))
 def flash_attention(
     q: jax.Array,  # (B, H, L, D)
     k: jax.Array,  # (B, KVH, L, D)
@@ -412,6 +471,7 @@ def flash_attention(
     interpret: bool = False,
     rope_sin: Optional[jax.Array] = None,  # (L, D) fp32 — fuse RoPE on q/k
     rope_cos: Optional[jax.Array] = None,
+    interleave: bool = False,  # experimental 2-half MXU/VPU overlap body
 ) -> jax.Array:
     if block_q is None:
         # v5e sweep at flagship shapes (B8 H32 L1536 D128): 512 beats 256
@@ -505,13 +565,16 @@ def flash_attention(
         rope_specs = [sq_spec, sq_spec, sk_spec, sk_spec]
 
     if bias is None:
+        use_il = interleave and block_q % 2 == 0
         kernel = (
             functools.partial(
-                _attn_rope_kernel, scale=scale, valid_len=valid_len
+                _attn_rope_kernel_interleaved if use_il
+                else _attn_rope_kernel, scale=scale, valid_len=valid_len
             )
             if rope_args
             else functools.partial(
-                _attn_kernel, scale=scale, valid_len=valid_len
+                _attn_kernel_interleaved if use_il else _attn_kernel,
+                scale=scale, valid_len=valid_len
             )
         )
         return unpad(pl.pallas_call(

@@ -26,13 +26,16 @@ if [ ! -d "$CKPT" ]; then
     checkpoint_dir="$CKPT_DIR" out_dir="$CKPT"
 fi
 
+# Re-powered gates FIRST (VERDICT r4 #6 — the round's new verdicts),
+# then the reproducibility replications of the r03 artifacts.
+# n=32 captions (vs the r03 default 16): the round-3u power lesson — 2x
+# the truth positions. 32 is ALL of the trained bank (dataset.n_patterns
+# default 32) — more would score unmemorized rows.
+python tools/mmu_truth_gate.py    ckpt="$CKPT" config="$CFG" n="${MMU_GATE_N:-32}" out="MMU_GATE_${SUF}.json"
+python tools/cfg_interval_sweep.py ckpt="$CKPT" config="$CFG" out="CFG_INTERVAL_${SUF}.json"
 python tools/quant_gate.py        ckpt="$CKPT" config="$CFG" out="QUANT_${SUF}.json"
 python tools/kv_refresh_sweep.py  ckpt="$CKPT" config="$CFG" out="KV_REFRESH_${SUF}.json"
 python tools/parallel_sweep.py    ckpt="$CKPT" config="$CFG" out="PARALLEL_${SUF}.json"
 python tools/parallel_sweep.py warmup=1 ckpt="$CKPT" config="$CFG" out="PARALLEL_WARMUP_${SUF}.json"
-# n=48 captions (vs the r03 default 16): the round-3u power lesson —
-# the MMU verdict gets >=3x the truth positions (VERDICT r4 #6)
-python tools/mmu_truth_gate.py    ckpt="$CKPT" config="$CFG" n="${MMU_GATE_N:-48}" out="MMU_GATE_${SUF}.json"
 python tools/composed_fast_gate.py ckpt="$CKPT" config="$CFG" out="COMPOSED_FAST_${SUF}.json"
-python tools/cfg_interval_sweep.py ckpt="$CKPT" config="$CFG" out="CFG_INTERVAL_${SUF}.json"
 echo "regate done: *_${SUF}.json"

@@ -543,3 +543,30 @@ def test_flash_attention_bwd_direct(rng):
     for a, b in zip(got, want):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_flash_interleaved_bitwise_equal(rng):
+    """The 2-half interleaved body (scheduling experiment) is the SAME
+    math — bitwise-equal to the baseline kernel, with and without fused
+    rope, including padded-key masking."""
+    from mmada_tpu.models.llada import rope_sin_cos
+
+    q, k, v = make_qkv(rng, 2, 4, 4, 256, 64)
+    base = flash_attention(q, k, v, block_q=128, interpret=True)
+    il = flash_attention(q, k, v, block_q=128, interpret=True,
+                         interleave=True)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(il))
+
+    sin, cos = rope_sin_cos(256, 64, 10000.0)
+    base_r = flash_attention(q, k, v, block_q=128, interpret=True,
+                             rope_sin=sin, rope_cos=cos)
+    il_r = flash_attention(q, k, v, block_q=128, interpret=True,
+                           rope_sin=sin, rope_cos=cos, interleave=True)
+    np.testing.assert_array_equal(np.asarray(base_r), np.asarray(il_r))
+
+    # unaligned L exercises the padded-col mask inside both halves
+    qu, ku, vu = make_qkv(rng, 1, 2, 2, 200, 64)
+    base_u = flash_attention(qu, ku, vu, block_q=128, interpret=True)
+    il_u = flash_attention(qu, ku, vu, block_q=128, interpret=True,
+                           interleave=True)
+    np.testing.assert_array_equal(np.asarray(base_u), np.asarray(il_u))

@@ -319,10 +319,11 @@ def test_real_weight_harness_dryrun(tmp_path):
     r = subprocess.run(
         [sys.executable, str(repo / "tools" / "real_weight_harness.py"),
          "dryrun=1", f"out={out}"],
-        capture_output=True, text=True, timeout=300, cwd=repo,
+        capture_output=True, text=True, timeout=600, cwd=repo,
     )
     assert r.returncode == 0, r.stderr[-2000:]
     report = json.loads(out.read_text())
     assert report["ok"]
     assert report["stages"]["samplers"]["ok"]
     assert "promote_w8a8" in report["stages"]["quant_gate"]
+    assert "promote_composed_fast" in report["stages"]["kv_cache_gate"]

@@ -399,11 +399,20 @@ def main(argv):
             entry["samples_per_s"]["comm_serial"],
             entry["samples_per_s"]["comm_overlapped"],
         )
+        # incremental save: each AOT train-arm compile is minutes; a
+        # timeout mid-arm must not lose the completed ones
+        with open(out_path, "w") as f:
+            json.dump(report, f, indent=2)
         return entry
 
-    project_training("training_fsdp8", True)
-    project_training("training_fsdp8_dots", "dots")
-    project_training("training_fsdp8_w8a8", True, forward_quantize="w8a8")
+    train_arms = args.get("train_arms", "full,dots,w8a8").split(",")
+    if "full" in train_arms:
+        project_training("training_fsdp8", True)
+    if "dots" in train_arms:
+        project_training("training_fsdp8_dots", "dots")
+    if "w8a8" in train_arms:
+        project_training("training_fsdp8_w8a8", True,
+                         forward_quantize="w8a8")
 
     # ---------------------------------------- training PP arm (analytic)
     # The repo trains 8B with FSDP (PP is unnecessary at this scale —
@@ -452,13 +461,13 @@ def main(argv):
         },
         "serving_img_s_w8a8_replicated8": report[
             "serving_t2i_w8a8_replicated8"]["t2i_img_per_s_8chips"],
-        "train_samples_s": report["training_fsdp8"]["samples_per_s"],
-        "train_samples_s_dots": report["training_fsdp8_dots"][
-            "samples_per_s"],
-        "train_samples_s_w8a8": report["training_fsdp8_w8a8"][
-            "samples_per_s"],
-        "train_samples_s_pp_projection": report[
-            "training_pp8_gpipe_projection"]["samples_per_s"],
+        **{f"train_samples_s{sfx}": report[key]["samples_per_s"]
+           for sfx, key in (("", "training_fsdp8"),
+                            ("_dots", "training_fsdp8_dots"),
+                            ("_w8a8", "training_fsdp8_w8a8"),
+                            ("_pp_projection",
+                             "training_pp8_gpipe_projection"))
+           if key in report},
         "train_peak_gb": mem_step["peak_gb"],
         "train_fits": report["training_fsdp8"][
             "fits_16gb_with_sharded_adam"],
