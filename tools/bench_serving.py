@@ -138,7 +138,7 @@ def main(argv):
 
     # ---------------------------------------------------------------- hol
     def run_hol(seg):
-        engine = ServingEngine(model, max_wait_ms=10).start()
+        engine = ServingEngine(model, min_chunk_device_ms=0, max_wait_ms=10).start()
         try:
             t0 = time.perf_counter()
             f_heavy = engine.submit_text(prompts[0], settings(heavy_kw, seg))
@@ -154,7 +154,7 @@ def main(argv):
             engine.stop()
 
     def run_hol_timed(seg):
-        engine = ServingEngine(model, max_wait_ms=10).start()
+        engine = ServingEngine(model, min_chunk_device_ms=0, max_wait_ms=10).start()
         try:
             done = {}
             t0 = time.perf_counter()
@@ -199,7 +199,7 @@ def main(argv):
 
     # --------------------------------------------------------------- join
     def run_join(seg):
-        engine = ServingEngine(model, max_wait_ms=10).start()
+        engine = ServingEngine(model, min_chunk_device_ms=0, max_wait_ms=10).start()
         try:
             done = {}
             t0 = time.perf_counter()
@@ -255,7 +255,7 @@ def main(argv):
     agg_kw = dict(gen_length=128, steps=64, block_length=64)
 
     def run_agg(**skw):
-        engine = ServingEngine(model, max_wait_ms=50).start()
+        engine = ServingEngine(model, min_chunk_device_ms=0, max_wait_ms=50).start()
         try:
             s = TextSettings(temperature=0.0, **skw, **agg_kw)
             for _ in range(2):     # pass 1 warms the batch-8 executable
