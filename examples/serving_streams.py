@@ -49,7 +49,8 @@ def main():
     vocab = build_vocab(cfg)
     build_prompting(cfg, tokenizer, vocab)
     model = build_model(cfg, vocab)
-    engine = ServingEngine(model, max_batch=8, max_wait_ms=20).start()
+    engine = ServingEngine(model, max_batch=8, max_wait_ms=20,
+                           min_chunk_device_ms=0).start()
     rng = np.random.default_rng(0)
     prompt = lambda: rng.integers(3, 200, size=(8,))  # noqa: E731
 
