@@ -78,9 +78,15 @@ def main(argv):
     opt = optax.sgd(1e-4)
     opt_state = jax.jit(opt.init)(params)
 
+    fq = args.get("quantize", "none")  # w8a8: STE int8-MXU forward dots
+
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, ids, labels, masked):
         def loss_fn(p):
+            if fq == "w8a8":
+                from mmada_tpu.ops.quantization import tag_w8a8_ste
+
+                p = tag_w8a8_ste(p)
             m = MMadaModel(cfg=cfg, params=p, vocab=MMADA_8B,
                            policy=BF16, remat=remat)
             logits = m.forward(ids).astype(jnp.float32)
@@ -116,6 +122,7 @@ def main(argv):
         "hw_tflops_per_s_incl_remat": round(hardware / step_s / 1e12, 1),
         "attention_backward": args.get("bwd", "kernel"),
         "remat": remat,
+        "forward_quantize": fq,
     }))
     return 0
 
