@@ -19,7 +19,23 @@ CKPT="$CKPT_DIR/export"
 CFG="$CKPT_DIR/config.yaml"
 
 if [ ! -f "$CFG" ]; then
-  cp configs/proxy_campaign_d.yaml "$CFG"
+  # write a RESOLVED copy — the campaign yaml's `_base_:` is relative to
+  # configs/, so a raw cp breaks every gate tool that loads it from the
+  # checkpoint dir (bit the r04 pipeline)
+  python - "$CFG" <<'PY'
+import sys
+
+import jax
+import yaml
+
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, ".")
+from mmada_tpu.core.config import load_config
+
+cfg = load_config("configs/proxy_campaign_d.yaml")
+with open(sys.argv[1], "w") as f:
+    yaml.safe_dump(cfg.to_dict() if hasattr(cfg, "to_dict") else dict(cfg), f)
+PY
 fi
 if [ ! -d "$CKPT" ]; then
   python tools/export_checkpoint.py config="$CFG" \
