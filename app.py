@@ -380,12 +380,15 @@ class AppState:
 
         from mmada_tpu.ops import quantization as Q
 
-        leaves = jax.tree_util.tree_leaves(self.model.params)
+        # walk with is_leaf so a quantized leaf counts its LOGICAL shape
+        # once (raw tree_leaves adds the scale tensors and halves Int4's
+        # packed count — ADVICE r4)
+        leaves = jax.tree_util.tree_leaves(
+            self.model.params, is_leaf=Q.is_quantized)
         n_params = int(sum(
             np.prod(l.shape) for l in leaves if hasattr(l, "shape")
         ))
-        schemes = {type(l).__name__ for l in jax.tree_util.tree_leaves(
-            self.model.params, is_leaf=Q.is_quantized) if Q.is_quantized(l)}
+        schemes = {type(l).__name__ for l in leaves if Q.is_quantized(l)}
         payload = {
             "model": {
                 "layers": self.model.cfg.n_layers,

@@ -73,14 +73,16 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
     s = _mask_padded_cols(s, valid_len)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
-    # normalize AFTER the PV dot: the divide touches a (bq, D) tile
-    # instead of the (bq, L) score tile — 12x fewer VPU divides at the
-    # flagship shape (L=1536, D=128). p casts to bf16 unnormalized; bf16
-    # relative precision is scale-free, so the rounding behavior matches
-    # the pre-normalized form (goldens unchanged).
-    l = jnp.sum(p, axis=-1, keepdims=True)
+    # normalize BEFORE the bf16 cast: end-normalization (divide the
+    # (bq, D) output instead of the (bq, L) probabilities) saves 12x the
+    # VPU divides but changes which values round under bf16 — measured
+    # ~49% of outputs differ, which breaks the token-exact T=0 sampler
+    # invariant and desyncs this forward from its XLA-recompute backward
+    # (ADVICE r4). Keep the exact order; revisit only behind an opt-in
+    # flag plus an on-chip T=0 regate.
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
     o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-    o_ref[0, 0] = (o / l).astype(o_ref.dtype)
+    o_ref[0, 0] = o.astype(o_ref.dtype)
 
 
 def _attn_rope_kernel(q_ref, k_ref, v_ref, sq_ref, cq_ref, sk_ref, ck_ref,
@@ -123,16 +125,16 @@ def _attn_kernel_interleaved(q_ref, k_ref, v_ref, o_ref, *, scale: float,
     ) * scale                                       # MXU (independent)
     s0 = _mask_padded_cols(s0, valid_len)
     p0 = jnp.exp(s0 - jnp.max(s0, axis=-1, keepdims=True))   # VPU
-    l0 = jnp.sum(p0, axis=-1, keepdims=True)
+    p0 = p0 / jnp.sum(p0, axis=-1, keepdims=True)
     o0 = jnp.dot(p0.astype(v.dtype), v,
                  preferred_element_type=jnp.float32)         # MXU
     s1 = _mask_padded_cols(s1, valid_len)
     p1 = jnp.exp(s1 - jnp.max(s1, axis=-1, keepdims=True))   # VPU ∥ o0 dot
-    l1 = jnp.sum(p1, axis=-1, keepdims=True)
+    p1 = p1 / jnp.sum(p1, axis=-1, keepdims=True)
     o1 = jnp.dot(p1.astype(v.dtype), v,
                  preferred_element_type=jnp.float32)
     o_ref[0, 0] = jnp.concatenate(
-        [o0 / l0, o1 / l1], axis=0).astype(o_ref.dtype)
+        [o0, o1], axis=0).astype(o_ref.dtype)
 
 
 def _attn_rope_kernel_interleaved(q_ref, k_ref, v_ref, sq_ref, cq_ref,
@@ -161,10 +163,10 @@ def _attn_bias_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale: float,
     s = _mask_padded_cols(s, valid_len)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
-    # end-normalization, as in _attn_kernel (12x fewer divides)
-    l = jnp.sum(p, axis=-1, keepdims=True)
+    # normalize before the cast, as in _attn_kernel (bf16-exact order)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
     o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-    o_ref[0, 0] = (o / l).astype(o_ref.dtype)
+    o_ref[0, 0] = o.astype(o_ref.dtype)
 
 
 def _attn_rope_bias_kernel(q_ref, k_ref, v_ref, b_ref, sq_ref, cq_ref,

@@ -740,7 +740,11 @@ class ServingEngine:
                     "block_kv_cache"
                 )
             prompt_len = int(np.asarray(grp[0].payload).reshape(-1).shape[0])
-            est = self._est_chunk_device_s(settings, prompt_len)
+            # the chunk program runs the whole joined group, so price all
+            # rows that will share it (ADVICE r4: one-row pricing demoted
+            # full batches of near-floor requests to monolithic)
+            est = self._est_chunk_device_s(settings, prompt_len) * min(
+                n, self.max_batch)
             if 0 < est < self.min_chunk_device_s:
                 # auto-guard: the op is too small for chunking to pay —
                 # run it monolithic (policy was README prose until r4)

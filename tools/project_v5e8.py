@@ -449,7 +449,9 @@ def main(argv):
                    f"{round((1 - bubble_eff) * 100)}% bubble, and 8B "
                    "already fits with sharded Adam",
     }
-    mem_step = report["training_fsdp8"]["per_device_memory"]
+    # train_arms may exclude the 'full' arm — guard the summary lookups
+    # (ADVICE r4: unconditional indexing crashed train_arms=dots runs)
+    fsdp_full = report.get("training_fsdp8")
 
     with open(out_path, "w") as f:
         json.dump(report, f, indent=2)
@@ -468,9 +470,9 @@ def main(argv):
                             ("_pp_projection",
                              "training_pp8_gpipe_projection"))
            if key in report},
-        "train_peak_gb": mem_step["peak_gb"],
-        "train_fits": report["training_fsdp8"][
-            "fits_16gb_with_sharded_adam"],
+        **({"train_peak_gb": fsdp_full["per_device_memory"]["peak_gb"],
+            "train_fits": fsdp_full["fits_16gb_with_sharded_adam"]}
+           if fsdp_full else {}),
     }))
     logger.info("wrote %s", out_path)
     return 0
