@@ -238,3 +238,27 @@ def test_cfg_interval_recommend_never_picks_zero_step_off_arm():
 
     # dead instrument -> no recommendation regardless of scores
     assert sweep.recommend(entries, exact_truth=0.959, bank_ok=False) is None
+
+
+def test_cfg_interval_guidance_informative_health_key():
+    """tools/cfg_interval_sweep.guidance_informative: flags the run as
+    uninformative whenever the no-guidance "off" arm matches or beats the
+    exact guided sampler (guidance net-neutral-or-negative on the eval
+    model — CFG_INTERVAL_r04.json's shape). Only a strictly-worse off arm
+    makes the WHETHER-to-guide axis observable (VERDICT r4 #7)."""
+    sweep_spec = importlib.util.spec_from_file_location(
+        "cfg_interval_sweep_gi",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "cfg_interval_sweep.py"),
+    )
+    sweep = importlib.util.module_from_spec(sweep_spec)
+    sweep_spec.loader.exec_module(sweep)
+
+    off_beats = [{"arm": "off", "cfg_steps": 0, "truth_acc": 0.9604}]
+    assert sweep.guidance_informative(off_beats, exact_truth=0.9402) is False
+    off_ties = [{"arm": "off", "cfg_steps": 0, "truth_acc": 0.94}]
+    assert sweep.guidance_informative(off_ties, exact_truth=0.94) is False
+    off_worse = [{"arm": "off", "cfg_steps": 0, "_truth_acc": 0.80,
+                  "truth_acc": 0.99}]  # unrounded key must win
+    assert sweep.guidance_informative(off_worse, exact_truth=0.94) is True
+    assert sweep.guidance_informative([], exact_truth=0.5) is False

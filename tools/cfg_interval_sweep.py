@@ -104,6 +104,21 @@ def recommend(entries, exact_truth, bank_ok, slack=TRUTH_SLACK):
     return None
 
 
+def guidance_informative(entries, exact_truth):
+    """Instrument-health check (VERDICT r4 #7): True only when the
+    no-guidance "off" arm scores strictly BELOW the exact guided sampler
+    on the truth bank. When off >= exact, guidance is net-neutral-or-
+    negative on this eval model, so the sweep can rank WHERE to guide
+    but is structurally blind to WHETHER guiding has value — its
+    promotions must stay opt-in until a real-weight re-gate. Pinned by
+    tests/test_quant_gate_policy.py."""
+    off = next((e for e in entries if e["arm"] == "off"), None)
+    if off is None:
+        return False
+    acc = off.get("_truth_acc", off["truth_acc"])
+    return bool(acc < exact_truth)
+
+
 def speed8b(args):
     """Interval wall-clock at bench.py's t2i headline op (FULL 8B 32L,
     1536 seq, batch 4, 15 steps, cfg 3.5) on the zero-weight quantized
@@ -311,6 +326,15 @@ def main(argv):
                     100 * entry["rel_row_cost"], truth_acc, agree,
                     entry["speed_vs_exact"])
     best = recommend(report["sweep"], exact_truth, bank_ok)
+    # instrument-health key — False on every memorized-proxy run to date
+    # (CFG_INTERVAL_r04.json: off 0.9604 vs exact 0.9402)
+    report["guidance_informative"] = guidance_informative(
+        report["sweep"], exact_truth)
+    if not report["guidance_informative"]:
+        report["guidance_informative_note"] = (
+            "no-guidance floor >= exact guided accuracy: the eval model "
+            "cannot see guidance value; interval verdicts rank band "
+            "placement only and remain proxy-gated opt-ins")
     for entry in report["sweep"]:       # display copy: drop the unrounded
         entry.pop("_truth_acc", None)   # comparison key
     report["recommended"] = best
@@ -320,7 +344,8 @@ def main(argv):
     with open(out_path, "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps({"recommended": best,
-                      "promote_cfg_interval": report["promote_cfg_interval"]}))
+                      "promote_cfg_interval": report["promote_cfg_interval"],
+                      "guidance_informative": report["guidance_informative"]}))
     logger.info("wrote %s", out_path)
     return 0
 

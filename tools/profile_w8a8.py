@@ -122,26 +122,29 @@ def capture(scheme: str, logdir: str):
     return wall, flops, batch
 
 
-def _walk_categories(node, depth=0, rows=None):
-    """Flatten xprof op_profile byCategory tree into (category, op) rows."""
-    if rows is None:
-        rows = []
+def _node_row(node, program=None):
     m = node.get("metrics", {})
-    rows.append({
-        "depth": depth,
+    # rawTime is the wall-clock device time; normalizedTimePs is
+    # DVFS-rescaled (aggDvfsTimeScaleMultiplier) and overstated ~3x on
+    # the tunneled v5e — the r04 artifact's 30.3 "device seconds" for an
+    # 11.2 s wall came from trusting it
+    return {
         "name": node.get("name", "?"),
-        "time_ps": m.get("normalizedTimePs", m.get("rawTime", 0)),
+        "program": program,
+        "time_ps": m.get("rawTime") or m.get("normalizedTimePs", 0),
         "flops_frac": m.get("flops", 0.0),
-        "raw_flops": m.get("rawFlops", 0),
         "occurrences": m.get("occurrences", 0),
-    })
-    for c in node.get("children", []):
-        _walk_categories(c, depth + 1, rows)
-    return rows
+    }
 
 
 def analyze(logdir: str, wall: float, flops: float, batch: int,
             scheme: str) -> dict:
+    """xprof op_profile tree shape (vm.xplane.pb, op_profile tool):
+    byProgram root -> depth 1 = jit programs (jit_run, ...) -> depth 2 =
+    HLO categories (convolution fusion, custom-call, loop fusion, data
+    formatting, ...) -> depth 3 = individual ops. The r04 analyzer read
+    depth 1 as categories (got programs) and the deepest leaves as ops
+    (got zero-time instruction components) — VERDICT r4 weak #1."""
     from xprof.convert import raw_to_tool_data as rtd
 
     files = glob.glob(logdir + "/**/*.xplane.pb", recursive=True)
@@ -149,17 +152,32 @@ def analyze(logdir: str, wall: float, flops: float, batch: int,
         raise SystemExit("no xplane captured — tracing unsupported here?")
     data, _ = rtd.xspace_to_tool_data(files, "op_profile", {})
     prof = json.loads(data)
-    by_cat = prof.get("byCategory") or prof.get("byProgram")
-    rows = _walk_categories(by_cat)
-    total_ps = rows[0]["time_ps"] or 1
+    root = (prof.get("byCategory") or prof.get("byProgramExcludeIdle")
+            or prof.get("byProgram"))
+    programs = [_node_row(p) for p in root.get("children", [])]
 
-    # category rollup: depth-1 nodes under the root are the HLO categories
-    cats = [r for r in rows if r["depth"] == 1]
-    cats.sort(key=lambda r: -r["time_ps"])
-    # deepest rows are individual ops
-    max_depth = max(r["depth"] for r in rows)
-    ops = [r for r in rows if r["depth"] == max_depth]
+    # merge the depth-2 category nodes across programs (the tiny helper
+    # programs — reduce_sum sync, threefry seed — contribute their own
+    # copies of e.g. "loop fusion")
+    cats: dict = {}
+    ops = []
+    for p in root.get("children", []):
+        pname = p.get("name", "?")
+        for c in p.get("children", []):
+            row = _node_row(c)
+            agg = cats.setdefault(row["name"], {
+                "name": row["name"], "time_ps": 0, "flops_ps": 0.0,
+                "occurrences": 0})
+            agg["time_ps"] += row["time_ps"]
+            # flops is a fraction-of-peak; time-weight it for the merge
+            agg["flops_ps"] += row["flops_frac"] * row["time_ps"]
+            agg["occurrences"] += row["occurrences"]
+            for o in c.get("children", []):
+                ops.append({**_node_row(o, program=pname),
+                            "category": row["name"]})
+    cat_rows = sorted(cats.values(), key=lambda r: -r["time_ps"])
     ops.sort(key=lambda r: -r["time_ps"])
+    total_ps = sum(r["time_ps"] for r in cat_rows) or 1
 
     def pct(ps):
         return round(100.0 * ps / total_ps, 2)
@@ -173,15 +191,22 @@ def analyze(logdir: str, wall: float, flops: float, batch: int,
         "vs_bf16_peak": round(flops / wall / V5E_BF16_PEAK, 4),
         "vs_int8_peak": round(flops / wall / V5E_INT8_PEAK, 4),
         "images_per_s": round(batch / wall, 4),
+        "programs": [
+            {"program": p["name"],
+             "time_s": round(p["time_ps"] * 1e-12, 4)}
+            for p in sorted(programs, key=lambda r: -r["time_ps"])
+        ],
         "categories": [
             {"category": c["name"], "time_pct": pct(c["time_ps"]),
              "time_s": round(c["time_ps"] * 1e-12, 4),
-             "mxu_flops_frac": round(c["flops_frac"], 4),
+             "mxu_flops_frac": round(
+                 c["flops_ps"] / max(c["time_ps"], 1), 4),
              "occurrences": c["occurrences"]}
-            for c in cats
+            for c in cat_rows
         ],
         "top_ops": [
-            {"op": o["name"], "time_pct": pct(o["time_ps"]),
+            {"op": o["name"], "category": o["category"],
+             "time_pct": pct(o["time_ps"]),
              "time_s": round(o["time_ps"] * 1e-12, 4),
              "mxu_flops_frac": round(o["flops_frac"], 4),
              "occurrences": o["occurrences"]}
@@ -240,6 +265,8 @@ def main(argv=None) -> int:
 
     report = analyze(logdir, wall, flops, batch, args.scheme)
     report["logdir"] = logdir
+    if args.logdir:
+        report["reanalyzed_offline"] = True  # trace predates this run
     out_path = args.out or f"PROFILE_{args.scheme}_r04.json"
     with open(out_path, "w") as f:
         json.dump(report, f, indent=2)
