@@ -70,6 +70,9 @@ def main(argv):
             row["baseline"]["p50_s"] / row["interleaved"]["p50_s"], 4)
         out[name] = row
         print(name, json.dumps(row))
+        if "out" in args:           # incremental: save after each shape
+            with open(args["out"], "w") as f:
+                json.dump(out, f, indent=1)
     print(json.dumps(out))
     return 0
 

@@ -112,7 +112,7 @@ def main(argv):
 
     useful, hardware = train_step_flops(cfg, batch, seq, remat=remat)
     step_s = dt / steps
-    print(json.dumps({
+    row = {
         "train_samples_per_s": round(batch * steps / dt, 2),
         "step_ms": round(1000 * step_s, 1),
         "layers": n_layers, "batch": batch, "seq": seq,
@@ -123,7 +123,16 @@ def main(argv):
         "attention_backward": args.get("bwd", "kernel"),
         "remat": remat,
         "forward_quantize": fq,
-    }))
+    }
+    print(json.dumps(row))
+    if "out" in args:  # append-merge so a multi-arm sweep accumulates
+        merged = {}
+        if os.path.exists(args["out"]):
+            with open(args["out"]) as f:
+                merged = json.load(f)
+        merged[f"remat={remat}_quantize={fq}"] = row
+        with open(args["out"], "w") as f:
+            json.dump(merged, f, indent=1)
     return 0
 
 
