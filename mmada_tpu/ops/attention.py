@@ -149,17 +149,27 @@ def _pallas_attention_fwd(q, k, v, bias, rope_sin, rope_cos):
 
 
 def _kernel_bwd_eligible(q, k) -> bool:
-    """One-pass-tier backward: the dq kernel holds whole K rows in VMEM and
-    the dkv kernel whole Q rows, so both sequence lengths must sit in the
-    one-pass range. GQA (n_kv_heads dividing n_heads) and rectangular
-    Lq != Lk are handled by the kernels directly (flash_attention_bwd);
-    anything past 4096 uses the XLA-recompute fallback (and warns once)."""
-    return (
-        q.shape[1] % k.shape[1] == 0
-        and 256 <= q.shape[2] <= 4096
-        and 256 <= k.shape[2] <= 4096
-        and q.shape[-1] % 128 == 0
-    )
+    """Backward-kernel regime. Both seq lens in the one-pass range
+    ([256, 4096], any alignment — the kernels pad) take
+    flash_attention_bwd (whole-K rows in VMEM for dq, whole-Q rows for
+    dkv); longer 128-ALIGNED shapes take flash_attention_bwd_staged
+    (reduction axes streamed with scratch accumulators — unbounded L,
+    matching the forward's online/staged tiers). GQA (n_kv_heads
+    dividing n_heads) and rectangular Lq != Lk are handled by both.
+    Only genuinely unsupported shapes (seq < 256, unaligned past 4096,
+    head_dim not a 128 multiple) fall back to XLA recompute and warn."""
+    if q.shape[1] % k.shape[1] or q.shape[-1] % 128:
+        return False
+    lq, lk = q.shape[2], k.shape[2]
+    if lq < 256 or lk < 256:
+        return False
+    one_pass = lq <= 4096 and lk <= 4096
+    staged = lq % 128 == 0 and lk % 128 == 0
+    return one_pass or staged
+
+
+def _bwd_tier_staged(q, k) -> bool:
+    return q.shape[2] > 4096 or k.shape[2] > 4096
 
 
 _bwd_fallback_warned = False
@@ -177,8 +187,9 @@ def _warn_bwd_fallback(q, k):
 
     logging.getLogger("mmada_tpu.ops.attention").warning(
         "flash-attention backward falling back to XLA recompute for "
-        "q=%s k=%s (kernel regime: both seq lens in [256, 4096], "
-        "head_dim %% 128 == 0, n_heads %% n_kv_heads == 0)",
+        "q=%s k=%s (kernel regime: seq lens >= 256 and either both "
+        "<= 4096 or both 128-aligned; head_dim %% 128 == 0; "
+        "n_heads %% n_kv_heads == 0)",
         q.shape, k.shape,
     )
 
@@ -194,7 +205,10 @@ def _pallas_attention_bwd(res, ct):
         # rope is applied/pulled-back OUTSIDE the kernels (cheap
         # elementwise; jax.vjp of the fp32 rotation), the dq/dkv kernels
         # see roped q/k — value-identical to the forward's fused rotation.
-        from mmada_tpu.ops.flash_attention import flash_attention_bwd
+        from mmada_tpu.ops.flash_attention import (
+            flash_attention_bwd,
+            flash_attention_bwd_staged,
+        )
 
         if rope_sin is not None:
             (qr, kr), rope_vjp = jax.vjp(
@@ -202,7 +216,9 @@ def _pallas_attention_bwd(res, ct):
             )
         else:
             qr, kr = q, k
-        dq, dk, dv = flash_attention_bwd(
+        bwd = (flash_attention_bwd_staged if _bwd_tier_staged(q, k)
+               else flash_attention_bwd)
+        dq, dk, dv = bwd(
             qr, kr, v, out, ct, bias=bias, interpret=_INTERPRET
         )
         if rope_sin is not None:

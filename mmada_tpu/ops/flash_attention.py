@@ -918,3 +918,277 @@ def flash_attention_bwd(
         dk = dk[:, :, :lk_in, :]
         dv = dv[:, :, :lk_in, :]
     return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# Staged backward (unbounded L) — VERDICT r4 #5. The one-pass backward
+# above holds whole K rows (dq kernel) / whole Q rows (dkv kernel) in
+# VMEM, capping both sequence lengths at 4096; past that the forward's
+# streamed tiers used to pair with an XLA-recompute backward (silent
+# ~12% training-step cliff for long-seq experiments). These kernels
+# stream the reduction axis as a sequential grid dimension with fp32
+# accumulators in VMEM scratch, so VMEM is O(block_q·block_k) and L is
+# unbounded:
+#
+#   dq kernel  — grid (B, H, Lq/bq, Lk/bk), K sequential. Online-softmax
+#                carry (m, l) like the staged forward, with the dq
+#                accumulator rescaled by alpha each step (the same trick
+#                the forward applies to its output accumulator works for
+#                dq because delta_i is row-constant); emits lse for the
+#                dkv pass at the final step — no separate LSE pass.
+#   dkv kernel — grid (B, KVH, Lk/bk, G·Lq/bq), the query axis (folded
+#                with the GQA group) sequential. p columns from the saved
+#                lse; dk/dv accumulate in scratch across the whole walk
+#                and write once at the end (no fp32-output revisit trick
+#                needed).
+#
+# Both require 128-aligned Lq/Lk (the long-sequence callers control
+# their shapes — same contract as the forward online/staged tiers).
+# ---------------------------------------------------------------------------
+
+
+def _attn_bwd_dq_staged_kernel(q_ref, k_ref, v_ref, do_ref, delta_ref,
+                               dq_ref, lse_ref, dqacc_ref, m_ref, s_ref,
+                               *, scale: float, num_kb: int, bias_ref=None):
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        dqacc_ref[...] = jnp.zeros_like(dqacc_ref)
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        s_ref[...] = jnp.zeros_like(s_ref)
+
+    q = q_ref[0, 0].astype(jnp.float32)            # (bq, D)
+    k = k_ref[0, 0].astype(jnp.float32)            # (bk, D)
+    v = v_ref[0, 0].astype(jnp.float32)            # (bk, D)
+    do = do_ref[0, 0].astype(jnp.float32)          # (bq, D)
+    delta = delta_ref[0, 0].astype(jnp.float32)    # (bq, 128)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale                                      # (bq, bk)
+    if bias_ref is not None:
+        s = s + bias_ref[0, 0].astype(jnp.float32)
+    m_prev = m_ref[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)                         # unnormalized probs
+    s_ref[...] = jnp.broadcast_to(
+        s_ref[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True),
+        s_ref.shape)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )                                              # (bq, bk)
+    t = p * (dp - delta[:, :1])
+    dqacc_ref[...] = dqacc_ref[...] * alpha + jnp.dot(
+        t, k, preferred_element_type=jnp.float32)
+    m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+
+    @pl.when(ki == num_kb - 1)
+    def _final():
+        l = jnp.maximum(s_ref[:, :1], 1e-30)
+        dq_ref[0, 0] = (dqacc_ref[...] / l * scale).astype(dq_ref.dtype)
+        lse_ref[0, 0] = jnp.broadcast_to(
+            m_ref[:, :1] + jnp.log(l), lse_ref.shape[2:])
+
+
+def _attn_bwd_dq_staged_bias_kernel(q_ref, k_ref, v_ref, do_ref, delta_ref,
+                                    b_ref, dq_ref, lse_ref, dqacc_ref,
+                                    m_ref, s_ref, *, scale, num_kb):
+    _attn_bwd_dq_staged_kernel(q_ref, k_ref, v_ref, do_ref, delta_ref,
+                               dq_ref, lse_ref, dqacc_ref, m_ref, s_ref,
+                               scale=scale, num_kb=num_kb, bias_ref=b_ref)
+
+
+def _attn_bwd_dkv_staged_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref,
+                                delta_ref, dk_ref, dv_ref, dkacc_ref,
+                                dvacc_ref, *, scale: float, num_jb: int,
+                                bias_ref=None):
+    ji = pl.program_id(3)
+
+    @pl.when(ji == 0)
+    def _init():
+        dkacc_ref[...] = jnp.zeros_like(dkacc_ref)
+        dvacc_ref[...] = jnp.zeros_like(dvacc_ref)
+
+    q = q_ref[0, 0].astype(jnp.float32)            # (bq, D)
+    k = k_ref[0, 0].astype(jnp.float32)            # (bk, D)
+    v = v_ref[0, 0].astype(jnp.float32)            # (bk, D)
+    do = do_ref[0, 0].astype(jnp.float32)          # (bq, D)
+    lse = lse_ref[0, 0].astype(jnp.float32)        # (bq, 128)
+    delta = delta_ref[0, 0].astype(jnp.float32)    # (bq, 128)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale                                      # (bq, bk)
+    if bias_ref is not None:
+        s = s + bias_ref[0, 0].astype(jnp.float32)
+    p = jnp.exp(s - lse[:, :1])                    # (bq, bk) normalized
+    dvacc_ref[...] += jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )                                              # (bk, D)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )                                              # (bq, bk)
+    ds = p * (dp - delta[:, :1])
+    dkacc_ref[...] += jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale                                      # (bk, D)
+
+    @pl.when(ji == num_jb - 1)
+    def _final():
+        dk_ref[0, 0] = dkacc_ref[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dvacc_ref[...].astype(dv_ref.dtype)
+
+
+def _attn_bwd_dkv_staged_bias_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref,
+                                     delta_ref, b_ref, dk_ref, dv_ref,
+                                     dkacc_ref, dvacc_ref, *, scale, num_jb):
+    _attn_bwd_dkv_staged_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref,
+                                delta_ref, dk_ref, dv_ref, dkacc_ref,
+                                dvacc_ref, scale=scale, num_jb=num_jb,
+                                bias_ref=b_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k",
+                                             "interpret"))
+def flash_attention_bwd_staged(
+    q: jax.Array,   # (B, H, Lq, D) — ROPED, 128-aligned Lq
+    k: jax.Array,   # (B, KVH, Lk, D) — 128-aligned Lk
+    v: jax.Array,
+    out: jax.Array,
+    ct: jax.Array,
+    bias: Optional[jax.Array] = None,  # (B|1, 1|H, Lq, Lk) float32
+    block_q: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+):
+    """(dq, dk, dv) with the reduction axes streamed — unbounded Lq/Lk.
+    Same GQA contract as flash_attention_bwd (dk/dv reduce over the
+    query-head group); the reference's long-context story is flash-attn's
+    own streamed backward (modeling_llada.py:574-581)."""
+    b, h, lq, d = q.shape
+    kvh, lk = k.shape[1], k.shape[2]
+    assert h % kvh == 0, "query heads must evenly group over kv heads"
+    if lq % 128 or lk % 128:
+        raise ValueError(
+            f"staged backward requires 128-aligned seq lens, got {lq}/{lk}")
+    group = h // kvh
+    block_q = _fit_block(block_q, lq)
+    block_k = _fit_block(block_k, lk)
+    scale = 1.0 / (d ** 0.5)
+    num_qb, num_kb = lq // block_q, lk // block_k
+
+    delta = jnp.sum(
+        ct.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    )[..., None]
+    delta = jnp.broadcast_to(delta, (b, h, lq, 128))
+
+    if bias is not None:
+        bias = bias.astype(jnp.float32)
+        bias_b = 0 if bias.shape[0] == 1 else None
+        bias_h = 0 if bias.shape[1] == 1 else None
+
+    # ---- dq pass: K sequential ----------------------------------------
+    q_spec = pl.BlockSpec((1, 1, block_q, d),
+                          lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, 1, block_k, d),
+                           lambda bi, hi, qi, ki: (bi, hi // group, ki, 0),
+                           memory_space=pltpu.VMEM)
+    stat_spec = pl.BlockSpec((1, 1, block_q, 128),
+                             lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+                             memory_space=pltpu.VMEM)
+    dq_bias_args, dq_bias_specs = (), []
+    if bias is not None:
+        dq_bias_args = (bias,)
+        dq_bias_specs = [pl.BlockSpec(
+            (1, 1, block_q, block_k),
+            lambda bi, hi, qi, ki: (
+                bias_b if bias_b is not None else bi,
+                bias_h if bias_h is not None else hi, qi, ki),
+            memory_space=pltpu.VMEM)]
+    dq_kernel = (
+        functools.partial(_attn_bwd_dq_staged_bias_kernel, scale=scale,
+                          num_kb=num_kb)
+        if bias is not None else
+        functools.partial(_attn_bwd_dq_staged_kernel, scale=scale,
+                          num_kb=num_kb))
+    params = pltpu.CompilerParams(dimension_semantics=(
+        "parallel", "parallel", "parallel", "arbitrary"))
+    dq, lse = pl.pallas_call(
+        dq_kernel,
+        grid=(b, h, num_qb, num_kb),
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec, stat_spec,
+                  *dq_bias_specs],
+        out_specs=[q_spec, stat_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct((b, h, lq, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),    # dq accumulator
+            pltpu.VMEM((block_q, 128), jnp.float32),  # running max
+            pltpu.VMEM((block_q, 128), jnp.float32),  # running sum
+        ],
+        compiler_params=params,
+        cost_estimate=pl.CostEstimate(
+            flops=6 * b * h * lq * lk * d,
+            bytes_accessed=4 * q.size * q.dtype.itemsize,
+            transcendentals=b * h * lq * lk,
+        ),
+        interpret=interpret,
+    )(q, k, v, ct, delta, *dq_bias_args)
+
+    # ---- dkv pass: query axis (folded with the GQA group) sequential --
+    num_jb = group * num_qb
+
+    def _qmap(bi, hi, ki, ji):
+        return (bi, hi * group + ji // num_qb, ji % num_qb, 0)
+
+    def _kvmap(bi, hi, ki, ji):
+        return (bi, hi, ki, 0)
+
+    qrow_spec = pl.BlockSpec((1, 1, block_q, d), _qmap,
+                             memory_space=pltpu.VMEM)
+    krow_spec = pl.BlockSpec((1, 1, block_k, d), _kvmap,
+                             memory_space=pltpu.VMEM)
+    qstat_spec = pl.BlockSpec((1, 1, block_q, 128), _qmap,
+                              memory_space=pltpu.VMEM)
+    dkv_bias_args, dkv_bias_specs = (), []
+    if bias is not None:
+        dkv_bias_args = (bias,)
+        dkv_bias_specs = [pl.BlockSpec(
+            (1, 1, block_q, block_k),
+            lambda bi, hi, ki, ji: (
+                bias_b if bias_b is not None else bi,
+                bias_h if bias_h is not None else hi * group + ji // num_qb,
+                ji % num_qb, ki),
+            memory_space=pltpu.VMEM)]
+    dkv_kernel = (
+        functools.partial(_attn_bwd_dkv_staged_bias_kernel, scale=scale,
+                          num_jb=num_jb)
+        if bias is not None else
+        functools.partial(_attn_bwd_dkv_staged_kernel, scale=scale,
+                          num_jb=num_jb))
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid=(b, kvh, lk // block_k, num_jb),
+        in_specs=[qrow_spec, krow_spec, krow_spec, qrow_spec, qstat_spec,
+                  qstat_spec, *dkv_bias_specs],
+        out_specs=[krow_spec, krow_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),    # dk accumulator
+            pltpu.VMEM((block_k, d), jnp.float32),    # dv accumulator
+        ],
+        compiler_params=params,
+        cost_estimate=pl.CostEstimate(
+            flops=8 * b * h * lq * lk * d,
+            bytes_accessed=4 * q.size * q.dtype.itemsize,
+            transcendentals=b * h * lq * lk,
+        ),
+        interpret=interpret,
+    )(q, k, v, ct, lse, delta, *dkv_bias_args)
+    return dq, dk, dv
