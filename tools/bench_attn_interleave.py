@@ -31,6 +31,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 def main(argv):
     args = dict(kv.split("=", 1) for kv in argv if "=" in kv)
     reps = int(args.get("reps", 5))
+    # loop the kernel inside ONE jit program: a single tunneled dispatch
+    # costs ~27 ms — at the 2.5 ms kernel this A/B used to measure the
+    # tunnel, not the kernel (round-5 first attempt: "10.1 TFLOP/s" for
+    # a kernel the in-program profile clocks at 121). The output feeds
+    # back as q so the chain cannot be DCE'd or overlapped.
+    iters = int(args.get("iters", 32))
 
     import jax
     import jax.numpy as jnp
@@ -51,12 +57,19 @@ def main(argv):
         k = jax.random.normal(kk, (b, h, l, d), jnp.bfloat16)
         v = jax.random.normal(kv_, (b, h, l, d), jnp.bfloat16)
         sin, cos = rope_sin_cos(l, d, 500000.0)
-        flops = 4 * b * h * l * l * d
+        flops = 4 * b * h * l * l * d * iters
 
         row = {}
         for mode, il in (("baseline", False), ("interleaved", True)):
-            fn = jax.jit(lambda q, k, v, il=il: flash_attention(
-                q, k, v, rope_sin=sin, rope_cos=cos, interleave=il))
+            @jax.jit
+            def fn(q, k, v, il=il):
+                def body(qc, _):
+                    o = flash_attention(qc, k, v, rope_sin=sin,
+                                        rope_cos=cos, interleave=il)
+                    return o, ()
+                qf, _ = jax.lax.scan(body, q, None, length=iters)
+                return qf
+
             sync(fn(q, k, v))
             lats = []
             for _ in range(reps):
@@ -65,6 +78,7 @@ def main(argv):
                 lats.append(time.perf_counter() - t0)
             p50 = sorted(lats)[len(lats) // 2]
             row[mode] = {"p50_s": round(p50, 5),
+                         "per_call_ms": round(1e3 * p50 / iters, 4),
                          "tflops": round(flops / p50 / 1e12, 1)}
         row["speedup"] = round(
             row["baseline"]["p50_s"] / row["interleaved"]["p50_s"], 4)

@@ -77,7 +77,13 @@ def main(argv):
     res = int(ycfg.get_path("dataset.preprocessing.resolution", 512))
     vq_params, vq_cfg = build_vq_model(ycfg)
     pats = np.stack([synthetic.pattern_image(k, res) for k in range(n)])
-    codes = np.asarray(magvit2.get_code(vq_params, vq_cfg, jnp.asarray(pats)))
+    # encode in chunks of 8: the VQ encoder's full-resolution activations
+    # are ~0.5 GB per image on-device — one n=32 batch RESOURCE_EXHAUSTED
+    # the 16 GB chip (round-5 pipeline, first mmu_gate attempt)
+    codes = np.concatenate([
+        np.asarray(magvit2.get_code(vq_params, vq_cfg, jnp.asarray(chunk)))
+        for chunk in np.array_split(pats, max(1, n // 8))
+    ])
     fused = codes + vocab.image_offset
     frames = np.concatenate([
         np.full((n, 1), sp.mmu), np.full((n, 1), sp.soi), fused,
