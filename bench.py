@@ -508,7 +508,13 @@ def main():
                 "mmu_p50_latency_s_kv_cached": round(mmu_cached_p50, 2),
                 **({"t2i_img_s_cfg_interval": round(t2i_interval_img_s, 4),
                     "cfg_interval": list(cfg_interval),
-                    "cfg_interval_artifact": cfg_interval_artifact}
+                    "cfg_interval_artifact": cfg_interval_artifact,
+                    "cfg_interval_note":
+                    "proxy-gated opt-in: the gate artifact's "
+                    "guidance_informative flag is False on the memorized "
+                    "proxy (the no-guidance floor beats exact), so the "
+                    "interval ranks WHERE to guide only; re-gate on real "
+                    "weights before serving it by default"}
                    if t2i_interval_img_s else {}),
                 **({"t2i_img_s_kv_cached": round(t2i_cached_img_s, 4)}
                    if t2i_cached_img_s else {}),

@@ -327,3 +327,10 @@ def test_real_weight_harness_dryrun(tmp_path):
     assert report["stages"]["samplers"]["ok"]
     assert "promote_w8a8" in report["stages"]["quant_gate"]
     assert "promote_composed_fast" in report["stages"]["kv_cache_gate"]
+    # round-5 additions: the realized composed number and the
+    # cfg-interval re-gate must be part of the mount-day evidence set
+    assert "composed_fast_speedup_vs_exact" in report["stages"][
+        "kv_cache_gate"]
+    cstage = report["stages"]["cfg_interval_gate"]
+    assert "promote_cfg_interval" in cstage
+    assert "band_agreement_vs_exact" in cstage

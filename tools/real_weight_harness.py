@@ -549,8 +549,15 @@ def main(argv):
     # verdict on the composition itself, not just its factors
     # (round-3u: the plain-freeze composition FAILS while the
     # refresh+warmup one passes; factor gates alone would miss that)
-    f_text = _kv_text("int8", cache_refresh_every=2,
-                      parallel_threshold=0.9, parallel_warmup_steps=2)
+    comp_fn = jax.jit(
+        lambda m, p: m.generate(p, temperature=0.0, block_kv_cache="int8",
+                                cache_refresh_every=2,
+                                parallel_threshold=0.9,
+                                parallel_warmup_steps=2, **kv_op))
+    f_text = np.asarray(comp_fn(model, kv_prompt))[:, kv_plen:]  # compile
+    t0 = time.perf_counter()
+    np.asarray(comp_fn(model, kv_prompt))
+    comp_dt = time.perf_counter() - t0
     text_agree = float((c_text == kv_ref_text).mean())
     t2i_agree = float((c_t2i == kv_ref_t2i).mean())
     f_text_agree = float((f_text == kv_ref_text).mean())
@@ -597,6 +604,12 @@ def main(argv):
         "parallel_tau": 0.9,
         "parallel_text_agreement": par_agree,
         "parallel_speedup_vs_exact": float(exact_dt / max(par_dt, 1e-9)),
+        # the REALIZED composed fast-stack number on these weights —
+        # bench.py's kv_parallel row is a floor on random weights
+        # (confidence never clears tau); mount day replaces it with this
+        # (VERDICT r4 weak #6)
+        "composed_fast_speedup_vs_exact": float(
+            exact_dt / max(comp_dt, 1e-9)),
     }
     if truth_mode:
         from quant_gate import DECODE_SLACK
@@ -659,6 +672,69 @@ def main(argv):
             "promote_composed_fast": bool(f_text_agree >= 0.95),
         })
     report["stages"]["kv_cache_gate"] = stage
+
+    # --------------------------------------- 5c. cfg-interval re-gate
+    # The proxy cfg gate is structurally blind to WHETHER guiding has
+    # value (guidance_informative=False on every memorized-proxy run:
+    # the no-guidance floor beats exact). This stage re-scores the
+    # promoted interval AND the off floor on the mounted weights — the
+    # first run where the flag can come back True (VERDICT r4 #7/#9).
+    import importlib.util as _ilu
+
+    _sw_spec = _ilu.spec_from_file_location(
+        "cfg_interval_sweep",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "cfg_interval_sweep.py"))
+    _sw = _ilu.module_from_spec(_sw_spec)
+    _sw_spec.loader.exec_module(_sw)
+    import bench as _bench
+
+    promoted_iv, iv_artifact = _bench.pick_cfg_interval()
+    iv = promoted_iv or (0.0, 3 / 15)   # early3 — the standing recommend
+
+    def _iv_t2i(interval):
+        fn = jax.jit(lambda m, f, u, ivv=tuple(interval): m.t2i_generate(
+            f, uncond_input_ids=u, temperature=0.0, greedy=True,
+            timesteps=15, guidance_scale=3.5, num_vq_tokens=n_vq,
+            key=jax.random.key(0), cfg_interval=ivv))
+        out = np.asarray(fn(model, kv_frame, kv_uncond))  # compile
+        t0 = time.perf_counter()
+        out = np.asarray(fn(model, kv_frame, kv_uncond))
+        return out, time.perf_counter() - t0
+
+    iv_exact, iv_exact_dt = _iv_t2i((0.0, 1.0))
+    iv_band, iv_band_dt = _iv_t2i(iv)
+    iv_off, iv_off_dt = _iv_t2i((0.0, 0.0))
+    cstage = {
+        "ok": True,
+        "interval": list(iv),
+        "interval_artifact": iv_artifact,
+        "band_agreement_vs_exact": float((iv_band == iv_exact).mean()),
+        "band_speedup_vs_exact": float(iv_exact_dt / max(iv_band_dt, 1e-9)),
+        "off_speedup_vs_exact": float(iv_exact_dt / max(iv_off_dt, 1e-9)),
+    }
+    if truth_mode:
+        ex_acc = float((iv_exact == truth_t2i).mean())
+        band_acc = float((iv_band == truth_t2i).mean())
+        off_acc = float((iv_off == truth_t2i).mean())
+        cstage.update({
+            "exact_truth_acc": round(ex_acc, 4),
+            "band_truth_acc": round(band_acc, 4),
+            "off_truth_acc": round(off_acc, 4),
+            "guidance_informative": _sw.guidance_informative(
+                [{"arm": "off", "truth_acc": off_acc}], ex_acc),
+            "promote_cfg_interval": bool(
+                band_acc >= ex_acc - _sw.TRUTH_SLACK),
+        })
+    else:
+        cstage.update({
+            "promote_cfg_interval": bool(
+                cstage["band_agreement_vs_exact"] >= 0.90),
+            "note": "no truth bank: MaskGIT re-samples masked positions "
+                    "each step, so modest interval drift self-corrects; "
+                    "agreement >= 0.90 mirrors the kv t2i bar",
+        })
+    report["stages"]["cfg_interval_gate"] = cstage
 
     # ------------------------------------------------ 5c. image quality
     # stage-4 `quantative_images` analog (train_mmada_stage4.py:1008-1115):
