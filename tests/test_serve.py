@@ -1003,3 +1003,72 @@ def test_chunk_guard_estimate_scales_to_heavy_ops():
     heavy = TextSettings(gen_length=512, steps=256, block_length=64,
                          segment_steps=16)
     assert eng._est_chunk_device_s(heavy, 64) > eng.min_chunk_device_s
+
+
+def test_chunk_guard_prices_whole_group(model, monkeypatch):
+    """The auto-guard estimate covers the whole joined group, not one row
+    (ADVICE r4): four near-floor requests that would each be demoted
+    alone clear the floor together and keep the chunked fairness lever."""
+    import jax.numpy as jnp
+
+    from mmada_tpu.serve import engine as E
+
+    # estimator says one row is just under the floor; 4 rows clear it
+    monkeypatch.setattr(
+        E.ServingEngine, "_est_chunk_device_s",
+        lambda self, settings, plen: 0.0008)
+    engine = ServingEngine(model, min_chunk_device_ms=1.0,
+                           max_batch=4, max_wait_ms=120).start()
+    try:
+        settings = TextSettings(
+            gen_length=16, steps=8, block_length=8, segment_steps=2,
+        )
+        rng = np.random.default_rng(6)
+        prompt = rng.integers(3, 200, size=(6,))
+        futs = [engine.submit_text(prompt, settings) for _ in range(4)]
+        outs = [f.result(timeout=240) for f in futs]
+        direct = np.asarray(
+            model.generate(
+                jnp.asarray(prompt)[None],
+                gen_length=16, steps=8, block_length=8, temperature=0.0,
+            )
+        )[0]
+        for out in outs:
+            np.testing.assert_array_equal(out, direct)
+        assert engine.stats["chunks"] > 0, "group must stay chunked"
+        assert engine.stats["chunk_guard_skips"] == 0
+    finally:
+        engine.stop()
+
+
+def test_chunk_guard_single_near_floor_request_still_demoted(model,
+                                                             monkeypatch):
+    """Same estimator, one request: 1 x est stays under the floor and the
+    guard demotes to monolithic — the group pricing is multiplicative,
+    not a blanket enable."""
+    import jax.numpy as jnp
+
+    from mmada_tpu.serve import engine as E
+
+    monkeypatch.setattr(
+        E.ServingEngine, "_est_chunk_device_s",
+        lambda self, settings, plen: 0.0008)
+    engine = ServingEngine(model, min_chunk_device_ms=1.0,
+                           max_batch=4, max_wait_ms=30).start()
+    try:
+        settings = TextSettings(
+            gen_length=16, steps=8, block_length=8, segment_steps=2,
+        )
+        prompt = np.random.default_rng(7).integers(3, 200, size=(6,))
+        out = engine.submit_text(prompt, settings).result(timeout=120)
+        direct = np.asarray(
+            model.generate(
+                jnp.asarray(prompt)[None],
+                gen_length=16, steps=8, block_length=8, temperature=0.0,
+            )
+        )[0]
+        np.testing.assert_array_equal(out, direct)
+        assert engine.stats["chunks"] == 0
+        assert engine.stats["chunk_guard_skips"] == 1
+    finally:
+        engine.stop()
