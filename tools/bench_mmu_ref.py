@@ -131,6 +131,7 @@ def main(argv):
         try:
             results["w8a8_kv_int8_p50_s"] = round(
                 p50(lambda: runner_kv(m_c, prefix)), 2)
+            results.pop("w8a8_kv_int8_error", None)  # stale merge key
             logging.info("w8a8 + kv int8: %.2f s",
                          results["w8a8_kv_int8_p50_s"])
         except Exception as e:
@@ -146,6 +147,7 @@ def main(argv):
         try:
             results["w8a8_kv_parallel_p50_s"] = round(
                 p50(lambda: runner_par(m_c, prefix)), 2)
+            results.pop("w8a8_kv_parallel_error", None)  # stale merge key
             logging.info("w8a8 + kv + tau0.9/warmup2: %.2f s",
                          results["w8a8_kv_parallel_p50_s"])
         except Exception as e:
