@@ -187,6 +187,21 @@ def _fit_block(preferred: int, l: int) -> int:
     return blk
 
 
+_SCORE_TILE_BUDGET = 10 << 20  # bytes of VMEM for the (block_q, Lk) fp32 tile
+
+
+def _auto_block_q(lq: int, lk: int) -> int:
+    """Largest 128-multiple divisor of lq whose fp32 score tile against
+    lk keys fits the VMEM budget (see the r05 sweep note at the call
+    site). Falls back to 128 when lq has no larger aligned divisor
+    (e.g. 2176 = 128·17)."""
+    best = 128
+    for bq in range(128, lq + 1, 128):
+        if lq % bq == 0 and bq * lk * 4 <= _SCORE_TILE_BUDGET:
+            best = bq
+    return best
+
+
 def _attn_online_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
                         block_k: int, seq_len: int):
     """Online-softmax (flash) variant: K/V walked in blocks with running
@@ -475,11 +490,6 @@ def flash_attention(
     rope_cos: Optional[jax.Array] = None,
     interleave: bool = False,  # experimental 2-half MXU/VPU overlap body
 ) -> jax.Array:
-    if block_q is None:
-        # v5e sweep at flagship shapes (B8 H32 L1536 D128): 512 beats 256
-        # by ~9%; past ~2k the (block_q, L) fp32 score tile + rope tables
-        # start crowding VMEM, so fall back to 256
-        block_q = 512 if q.shape[2] <= 2048 else 256
     b, h, lq_in, d = q.shape
     lk_in = k.shape[2]
     kvh = k.shape[1]
@@ -522,6 +532,22 @@ def flash_attention(
             "both q and k); rectangular callers pre-rotate"
         )
 
+    if block_q is None:
+        if bias is None:
+            # r05 chip sweep (rope-fused, B8 H32 D128): the largest
+            # row-block whose fp32 score tile fits a 10 MB VMEM budget
+            # wins — whole-row bq=1536 beats 512 by 8.8% at L=1536
+            # (3.210 vs 3.496 ms/call), bq=1024 beats 512 by 4.8% at
+            # L=2048; past the budget Mosaic fails to compile (bq=2048
+            # at L=2048). Fewer blocks = fewer softmax reduction passes
+            # (the reductions are 23% of kernel time, ATTN_PARTS_r05).
+            # Block choice is pure row-partitioning — outputs are
+            # bitwise-identical across block sizes (chip-verified).
+            block_q = _auto_block_q(lq, lk)
+        else:
+            # bias path stages a second (block_q, Lk) fp32 tile —
+            # conservative r03 defaults
+            block_q = 512 if lq <= 2048 else 256
     block_q = _fit_block(block_q, lq)
     scale = 1.0 / (d ** 0.5)
     grid = (b, h, lq // block_q)
