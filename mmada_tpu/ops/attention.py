@@ -105,7 +105,7 @@ def _pallas_tiers(q, k, v, bias, rope_sin, rope_cos):
     has_rope = rope_sin is not None
     if q.shape[2] > 4096:
         # one-pass kernel's (block_q, L) score tile outgrows VMEM.
-        # Online variant keeps K/V whole in VMEM (fine to ~16k); the
+        # Online variant keeps K/V whole in VMEM (fine to 8192); the
         # staged variant streams K/V AND bias per (block_q, block_k)
         # tile, so biased or very long sequences are unbounded. These
         # tiers still require 128-aligned L (the one-pass tier pads
@@ -114,7 +114,11 @@ def _pallas_tiers(q, k, v, bias, rope_sin, rope_cos):
         # caller's softmax_dtype is honored there).
         if has_rope:
             q, k = apply_rope(q, k, rope_sin, rope_cos)
-        if bias is not None or q.shape[2] > 16384:
+        # 8192 (was 16384): with the r05 block sizes the online tier's
+        # whole-in-VMEM K/V no longer fits past 8192, and the staged
+        # tier at the same blocks matches the online tier's old rate —
+        # the crossover moved down with no throughput loss anywhere
+        if bias is not None or q.shape[2] > 8192:
             return flash_attention_staged(q, k, v, bias=bias,
                                           interpret=_INTERPRET)
         return flash_attention_online(q, k, v, bias=bias,

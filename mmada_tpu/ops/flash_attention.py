@@ -10,7 +10,7 @@ by ops/attention.bidirectional_attention:
   * one-pass (`flash_attention`, L ≤ 4096): scores in fp32 on the MXU,
     softmax on the VPU, weighted sum back on the MXU — no online-softmax
     carry, which beats a flash-style two-pass at MMaDA's shapes;
-  * online (`flash_attention_online`, L ≤ ~16k unbiased): K/V whole in VMEM,
+  * online (`flash_attention_online`, L ≤ 8192 unbiased): K/V whole in VMEM,
     fori_loop over K blocks with a running (max, sum, acc);
   * staged (`flash_attention_staged`, unbounded L, biased or not): K is a
     sequential grid axis; K/V and the bias stream through VMEM per
@@ -327,14 +327,17 @@ def flash_attention_staged(
     k: jax.Array,  # (B, KVH, L, D)
     v: jax.Array,
     bias: Optional[jax.Array] = None,  # (B|1, 1|H, L, L) bool or float
-    block_q: int = 256,
-    block_k: int = 512,
+    block_q: int = 512,
+    block_k: int = 1024,
     interpret: bool = False,
 ) -> jax.Array:
     """Flash attention with K as a sequential grid axis: K/V and bias tiles
     stream through VMEM block-by-block, so both sequence length and biased
     sequence length are unbounded (the variant `flash_attention_online`'s
-    (block_q, L) bias tile could not reach past ~4k)."""
+    (block_q, L) bias tile could not reach past ~4k). Default blocks from
+    the r05 chip sweep at L=8192: (512, 1024) is +79% over the old
+    (256, 512) (86.1 vs 48.0 TFLOP/s) — the per-(bq, bk) carry update
+    cost dominates at small tiles; compiles through L=16384+."""
     b, h, l, d = q.shape
     kvh = k.shape[1]
     rep = h // kvh
@@ -415,12 +418,17 @@ def flash_attention_online(
     k: jax.Array,  # (B, KVH, L, D)
     v: jax.Array,
     bias: Optional[jax.Array] = None,  # (B|1, 1|H, L, L) bool or float
-    block_q: int = 256,
-    block_k: int = 512,
+    block_q: int = 512,
+    block_k: int = 1024,
     interpret: bool = False,
 ) -> jax.Array:
     """Length-unbounded flash attention (online softmax over K blocks),
-    with optional additive/boolean bias."""
+    with optional additive/boolean bias. Default blocks from the r05
+    chip sweep at L=8192: (512, 1024) is +13% over the old (256, 512)
+    (97.2 vs 86.0 TFLOP/s); (1024, 2048) fails to compile. Past 8192
+    the whole-in-VMEM K/V plus these tiles exceed VMEM — the dispatch
+    routes L > 8192 to the staged tier, which at the same blocks
+    matches this tier's OLD rate."""
     b, h, l, d = q.shape
     kvh = k.shape[1]
     rep = h // kvh
@@ -432,7 +440,8 @@ def flash_attention_online(
                           memory_space=pltpu.VMEM)
     # K/V stay whole in VMEM (2 MB per (b,h) at L=8k,D=128,bf16); the online
     # softmax removes the (block_q, L) score tile that capped the one-pass
-    # kernel, extending usable L to ~16k before K/V need HBM streaming.
+    # kernel, extending usable L to 8192 at the r05 blocks (the staged
+    # tier takes over beyond — same rate as this tier's old blocks).
     kv_spec = pl.BlockSpec((1, 1, l, d), lambda bi, hi, qi: (bi, hi // rep, 0, 0),
                            memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
