@@ -1093,8 +1093,8 @@ def flash_attention_bwd_staged(
     ct: jax.Array,
     bias: Optional[jax.Array] = None,  # (B|1, 1|H, Lq, Lk) float32
     block_q: int = 512,
-    block_k: int = 512,
-    interpret: bool = False,
+    block_k: int = 1024,  # r05 chip A/B at L=8192: (512,1024) 58.8
+    interpret: bool = False,  # TFLOP/s vs (512,512) 50.1 — +17%
 ):
     """(dq, dk, dv) with the reduction axes streamed — unbounded Lq/Lk.
     Same GQA contract as flash_attention_bwd (dk/dv reduce over the
