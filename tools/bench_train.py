@@ -130,7 +130,9 @@ def main(argv):
         if os.path.exists(args["out"]):
             with open(args["out"]) as f:
                 merged = json.load(f)
-        merged[f"remat={remat}_quantize={fq}"] = row
+        # key includes the shape — a seq-2048 run must not overwrite the
+        # seq-388 row (bit the first r05 sweep)
+        merged[f"remat={remat}_quantize={fq}_seq{seq}_b{batch}"] = row
         with open(args["out"], "w") as f:
             json.dump(merged, f, indent=1)
     return 0
