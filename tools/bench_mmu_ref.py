@@ -156,6 +156,7 @@ def main(argv):
                 f"{type(e).__name__}: {e}"[:300])
             logging.exception("w8a8+kv+parallel arm failed")
         save()
+        del m_c  # alias of m_w8a8 — both refs must drop before arm 2
 
     if "kv" not in arms:
         print(json.dumps(results))

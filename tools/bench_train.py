@@ -130,9 +130,12 @@ def main(argv):
         if os.path.exists(args["out"]):
             with open(args["out"]) as f:
                 merged = json.load(f)
-        # key includes the shape — a seq-2048 run must not overwrite the
-        # seq-388 row (bit the first r05 sweep)
-        merged[f"remat={remat}_quantize={fq}_seq{seq}_b{batch}"] = row
+        # key includes every arm-defining knob — a seq-2048 run must not
+        # overwrite the seq-388 row (bit the first r05 sweep), nor a
+        # bwd=xla A/B its kernel-backward sibling
+        key = (f"remat={remat}_quantize={fq}_seq{seq}_b{batch}"
+               f"_L{n_layers}_bwd{args.get('bwd', 'kernel')}")
+        merged[key] = row
         with open(args["out"], "w") as f:
             json.dump(merged, f, indent=1)
     return 0

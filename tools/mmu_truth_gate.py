@@ -81,8 +81,9 @@ def main(argv):
     # are ~0.5 GB per image on-device — one n=32 batch RESOURCE_EXHAUSTED
     # the 16 GB chip (round-5 pipeline, first mmu_gate attempt)
     codes = np.concatenate([
-        np.asarray(magvit2.get_code(vq_params, vq_cfg, jnp.asarray(chunk)))
-        for chunk in np.array_split(pats, max(1, n // 8))
+        np.asarray(magvit2.get_code(vq_params, vq_cfg,
+                                    jnp.asarray(pats[i:i + 8])))
+        for i in range(0, n, 8)
     ])
     fused = codes + vocab.image_offset
     frames = np.concatenate([

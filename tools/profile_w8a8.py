@@ -152,8 +152,12 @@ def analyze(logdir: str, wall: float, flops: float, batch: int,
         raise SystemExit("no xplane captured — tracing unsupported here?")
     data, _ = rtd.xspace_to_tool_data(files, "op_profile", {})
     prof = json.loads(data)
-    root = (prof.get("byCategory") or prof.get("byProgramExcludeIdle")
-            or prof.get("byProgram"))
+    # prefer the PROGRAM-rooted trees — the walk below assumes depth 1 =
+    # jit programs, depth 2 = HLO categories; a byCategory tree (one
+    # level shallower) would shift every level and silently reproduce
+    # the r04 mislabeling this rewrite fixed
+    root = (prof.get("byProgramExcludeIdle") or prof.get("byProgram")
+            or prof.get("byCategory"))
     programs = [_node_row(p) for p in root.get("children", [])]
 
     # merge the depth-2 category nodes across programs (the tiny helper
