@@ -671,3 +671,22 @@ def test_kernel_backward_dispatch_past_4096(rng, monkeypatch):
     for a, b in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_auto_block_q_policy():
+    """The r05 auto-block policy: largest 128-multiple divisor of Lq whose
+    fp32 score tile against Lk fits the VMEM budget — whole-row at the
+    t2i shape, 1024 at 2048, 512 at 4096, and the 128 floor for
+    divisor-poor lengths (2176 = 128*17)."""
+    from mmada_tpu.ops.flash_attention import _auto_block_q
+
+    assert _auto_block_q(1536, 1536) == 1536   # 9.4 MB tile — whole-row
+    assert _auto_block_q(2048, 2048) == 1024   # 16.8 MB whole fails budget
+    assert _auto_block_q(4096, 4096) == 512
+    assert _auto_block_q(2176, 2176) == 128    # 17 is prime — only 128 divides
+    assert _auto_block_q(640, 640) == 640      # text-decode padded frame
+    assert _auto_block_q(1024, 2176) == 1024   # rectangular cached-span decode
+    # block choice never exceeds Lq and is always a divisor
+    for lq in (256, 384, 1152, 2304, 8192):
+        bq = _auto_block_q(lq, lq)
+        assert lq % bq == 0 and bq * lq * 4 <= (10 << 20) or bq == 128
