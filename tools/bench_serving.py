@@ -279,16 +279,25 @@ def main(argv):
         # (cache_refresh_every=2 restored exact truth accuracy on the
         # trained proxy — BASELINE.md round-3r); its aggregate is the
         # honest serving number for the recommended text deployment.
-        for name, skw in (
+        arms = [
             ("exact", {}),
             ("kv_cached", {"block_kv_cache": True}),
             ("kv_refresh2", {"block_kv_cache": True,
                              "cache_refresh_every": 2}),
-        ):
+        ]
+        if ckpt != "bench8b":
+            # the full promoted composition is only meaningful on TRAINED
+            # weights (zero-weight margins never clear τ — see the module
+            # note); on a trained proxy this is the engine-level realized
+            # composed-stack number (MMU_GATE's kv_parallel_warmup2 analog)
+            arms.append(("composed_fast", {
+                "block_kv_cache": "int8", "cache_refresh_every": 2,
+                "parallel_threshold": 0.9, "parallel_warmup_steps": 2}))
+        for name, skw in arms:
             results[f"agg_{name}"] = run_agg(**skw)
             logging.info("agg %s: %s", name, results[f"agg_{name}"])
         if results["agg_exact"]["aggregate_tok_s"]:
-            for name in ("kv_cached", "kv_refresh2"):
+            for name, _ in arms[1:]:
                 results[f"agg_{name}_speedup"] = round(
                     results[f"agg_{name}"]["aggregate_tok_s"]
                     / results["agg_exact"]["aggregate_tok_s"], 2)
