@@ -259,6 +259,20 @@ def parse_kv_cache(value):
     return "int8" if value == "int8" else bool(value)
 
 
+def parse_bool(value):
+    """Strict bool parse for CLI/HTTP/yaml flags — `bool("false")` is
+    True (the parse_kv_cache bug class), so string values go through an
+    explicit table."""
+    if isinstance(value, str):
+        v = value.strip().lower()
+        if v in ("1", "true", "yes", "on"):
+            return True
+        if v in ("0", "false", "no", "off", ""):
+            return False
+        raise ValueError(f"expected a boolean, got {value!r}")
+    return bool(value)
+
+
 def parse_cfg_interval(value):
     """CLI/HTTP/yaml `cfg_interval` values -> (lo, hi) float tuple.
 

@@ -33,6 +33,22 @@ from mmada_tpu.prompting.universal import (
 logger = logging.getLogger(__name__)
 
 
+#: The gate-promoted composed fast stack, FAMILY-RESOLVED (the quality
+#: evidence is per-family — BASELINE.md rounds 3q-3u, MMU_GATE_r05):
+#: text needs the refresh cadence + warmup to preserve truth accuracy;
+#: MMU preserves under the full int8-KV freeze with the τ-parallel
+#: commit (2.80× at truth 0.9986, n=32 gate); t2i is within slack under
+#: the plain block-KV cache (MaskGIT re-sampling self-corrects).
+FAST_STACK_PRESET = {
+    "text": {"kv_cache": "int8", "parallel_threshold": 0.9,
+             "parallel_warmup_steps": 8, "cache_refresh_every": 4},
+    "mmu": {"kv_cache": "int8", "parallel_threshold": 0.9,
+            "parallel_warmup_steps": 2, "cache_refresh_every": 0},
+    "t2i": {"kv_cache": True, "parallel_threshold": 0.0,
+            "parallel_warmup_steps": 0, "cache_refresh_every": 0},
+}
+
+
 def task_serving_defaults(cfg: Config, task: str) -> dict:
     """Resolve the fast-decode deployment defaults for one task family.
 
@@ -49,8 +65,21 @@ def task_serving_defaults(cfg: Config, task: str) -> dict:
           mmu:  {kv_cache: int8}    # family override
           t2i:  {kv_cache: true}
 
-    Per-request fields still override both levels (app.py handlers)."""
-    from mmada_tpu.core.config import parse_cfg_interval, parse_kv_cache
+    Per-request fields still override both levels (app.py handlers).
+
+    `serving.fast_stack: true` (or per-family `serving.<task>.fast_stack`)
+    swaps the FALLBACK values for the gate-promoted composed fast stack —
+    the one-knob opt-in for the composition every r05 gate promotes
+    (MMU_GATE_r05 kv_parallel_warmup2 2.80×; SERVING_r05 engine aggregate
+    1.99×; text cadence per BASELINE.md rounds 3r-3u). Explicit
+    `serving.<key>` / `serving.<task>.<key>` / per-request fields still
+    override every individual knob. cfg_interval is deliberately NOT part
+    of the preset: its proxy gate cannot observe whether guiding has
+    value (guidance_informative=false), so it stays an individually
+    chosen opt-in."""
+    from mmada_tpu.core.config import (
+        parse_bool, parse_cfg_interval, parse_kv_cache,
+    )
 
     def g(key, fallback, cast):
         v = cfg.get_path(f"serving.{task}.{key}", None)
@@ -58,11 +87,20 @@ def task_serving_defaults(cfg: Config, task: str) -> dict:
             v = cfg.get_path(f"serving.{key}", fallback)
         return cast(v)
 
+    fb = {"kv_cache": False, "parallel_threshold": 0.0,
+          "parallel_warmup_steps": 0, "cache_refresh_every": 0}
+    if g("fast_stack", False, parse_bool):
+        # families without gate evidence (t2m) keep exact fallbacks
+        fb = {**fb, **FAST_STACK_PRESET.get(task, {})}
+
     return {
-        "kv_cache": g("kv_cache", False, parse_kv_cache),
-        "parallel_threshold": g("parallel_threshold", 0.0, float),
-        "parallel_warmup_steps": g("parallel_warmup_steps", 0, int),
-        "cache_refresh_every": g("cache_refresh_every", 0, int),
+        "kv_cache": g("kv_cache", fb["kv_cache"], parse_kv_cache),
+        "parallel_threshold": g("parallel_threshold",
+                                fb["parallel_threshold"], float),
+        "parallel_warmup_steps": g("parallel_warmup_steps",
+                                   fb["parallel_warmup_steps"], int),
+        "cache_refresh_every": g("cache_refresh_every",
+                                 fb["cache_refresh_every"], int),
         "segment_steps": g("segment_steps", 0, int),
         "segment_timesteps": g("segment_timesteps", 0, int),
         # t2i guidance interval (sampling/t2i.MaskGITConfig.cfg_interval):

@@ -1072,3 +1072,52 @@ def test_chunk_guard_single_near_floor_request_still_demoted(model,
         assert engine.stats["chunk_guard_skips"] == 1
     finally:
         engine.stop()
+
+
+def test_task_serving_defaults_fast_stack_preset():
+    """serving.fast_stack=true swaps the FALLBACKS for the gate-promoted
+    composed stack per family; explicit keys at any level still override;
+    cfg_interval is never part of the preset (its proxy gate is blind to
+    guidance value); families without gate evidence stay exact."""
+    from mmada_tpu.core.config import Config
+    from mmada_tpu.serve.loader import task_serving_defaults
+
+    cfg = Config({"serving": {"fast_stack": True}})
+    text = task_serving_defaults(cfg, "text")
+    assert text["kv_cache"] == "int8"
+    assert text["cache_refresh_every"] == 4
+    assert text["parallel_threshold"] == 0.9
+    assert text["parallel_warmup_steps"] == 8
+    assert text["cfg_interval"] == (0.0, 1.0)   # full CFG — not in preset
+
+    mmu = task_serving_defaults(cfg, "mmu")
+    assert mmu["kv_cache"] == "int8"
+    assert mmu["cache_refresh_every"] == 0    # MMU promotes the full freeze
+    assert mmu["parallel_warmup_steps"] == 2
+
+    t2i = task_serving_defaults(cfg, "t2i")
+    assert t2i["kv_cache"] is True
+    assert t2i["parallel_threshold"] == 0.0
+    assert t2i["cfg_interval"] == (0.0, 1.0)  # stays an individual opt-in
+
+    t2m = task_serving_defaults(cfg, "t2m")
+    assert t2m["kv_cache"] is False           # no gate evidence -> exact
+
+    # explicit keys override the preset at both levels
+    cfg2 = Config({"serving": {
+        "fast_stack": True,
+        "cache_refresh_every": 2,
+        "text": {"kv_cache": False},
+    }})
+    text2 = task_serving_defaults(cfg2, "text")
+    assert text2["kv_cache"] is False
+    assert text2["cache_refresh_every"] == 2
+
+    # per-family opt-in only
+    cfg3 = Config({"serving": {"mmu": {"fast_stack": True}}})
+    assert task_serving_defaults(cfg3, "mmu")["kv_cache"] == "int8"
+    assert task_serving_defaults(cfg3, "text")["kv_cache"] is False
+
+    # the "false" string trap (parse_bool)
+    cfg4 = Config({"serving": {"fast_stack": "false"}})
+    assert task_serving_defaults(cfg4, "text")["kv_cache"] is False
