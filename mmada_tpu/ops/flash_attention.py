@@ -190,6 +190,25 @@ def _fit_block(preferred: int, l: int) -> int:
 _SCORE_TILE_BUDGET = 10 << 20  # bytes of VMEM for the (block_q, Lk) fp32 tile
 
 
+def _overpad_lq(lq: int, lk: int) -> int:
+    """Query rows may pad BEYOND the 128 tile when a slightly longer Lq
+    admits a much larger row block. Divisor-poor lengths are otherwise
+    stuck at tiny blocks — the MMU frame's 2176 = 128·17 runs bq=128,
+    while 2304 = 2·1152 runs a 9x larger block 6% faster INCLUDING the
+    extra rows (r05 chip A/B; bitwise-identical — padded rows are sliced
+    off the output and attend nothing that exists). Candidates up to
+    ~+12.5% rows are priced with a measured per-row cost model
+    (c(bq) ≈ 1 + 16/bq, fit to the r05 block sweeps)."""
+    def cost(cand):
+        return cand * (1.0 + 16.0 / _auto_block_q(cand, lk))
+
+    best = lq
+    for cand in range(lq, lq + max(128, lq // 8) + 1, 128):
+        if cost(cand) < cost(best):
+            best = cand
+    return best
+
+
 def _auto_block_q(lq: int, lk: int) -> int:
     """Largest 128-multiple divisor of lq whose fp32 score tile against
     lk keys fits the VMEM budget (see the r05 sweep note at the call
@@ -517,7 +536,15 @@ def flash_attention(
     # the kernel AND the fused rope to the XLA fallback.
     lq = -(-lq_in // 128) * 128
     lk = -(-lk_in // 128) * 128
+    if block_q is None and bias is None:
+        # divisor-poor Lq may pad BEYOND the 128 tile when a slightly
+        # longer frame admits a much larger row block (see _overpad_lq)
+        lq = _overpad_lq(lq, lk)
     valid_len = lk_in if lk != lk_in else None
+    # rope tables pad per-axis: q tables to the (possibly over-padded)
+    # Lq, k tables to Lk — padded q rows are sliced off the output, so
+    # their zero-rotation is never observed
+    rope_sin_k, rope_cos_k = rope_sin, rope_cos
     if lq != lq_in:
         pad_q = ((0, 0), (0, 0), (0, lq - lq_in), (0, 0))
         q = jnp.pad(q, pad_q)
@@ -527,6 +554,9 @@ def flash_attention(
     if lk != lk_in:
         pad_k = ((0, 0), (0, 0), (0, lk - lk_in), (0, 0))
         k, v = jnp.pad(k, pad_k), jnp.pad(v, pad_k)
+        if rope_sin_k is not None:
+            rope_sin_k = jnp.pad(rope_sin_k, ((0, lk - lk_in), (0, 0)))
+            rope_cos_k = jnp.pad(rope_cos_k, ((0, lk - lk_in), (0, 0)))
     if bias is not None and (lq != lq_in or lk != lk_in):
         bias = jnp.pad(
             bias, ((0, 0), (0, 0), (0, lq - lq_in), (0, lk - lk_in)),
@@ -588,17 +618,20 @@ def flash_attention(
     rope_specs: list = []
     if rope_sin is not None:
         assert rope_sin.shape == (lq, d) and rope_cos.shape == (lq, d)
+        assert rope_sin_k.shape == (lk, d) and rope_cos_k.shape == (lk, d)
         sin32 = rope_sin.astype(jnp.float32)
         cos32 = rope_cos.astype(jnp.float32)
+        sink32 = rope_sin_k.astype(jnp.float32)
+        cosk32 = rope_cos_k.astype(jnp.float32)
         # q rotates per (block_q, D) tile; k is whole-in-VMEM so its tables
-        # ride along whole too
+        # ride along whole too — at their OWN length (lq may over-pad)
         sq_spec = pl.BlockSpec(
             (block_q, d), lambda bi, hi, qi: (qi, 0), memory_space=pltpu.VMEM
         )
         sk_spec = pl.BlockSpec(
-            (lq, d), lambda bi, hi, qi: (0, 0), memory_space=pltpu.VMEM
+            (lk, d), lambda bi, hi, qi: (0, 0), memory_space=pltpu.VMEM
         )
-        rope_args = (sin32, cos32, sin32, cos32)
+        rope_args = (sin32, cos32, sink32, cosk32)
         rope_specs = [sq_spec, sq_spec, sk_spec, sk_spec]
 
     if bias is None:

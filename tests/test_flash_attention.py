@@ -690,3 +690,36 @@ def test_auto_block_q_policy():
     for lq in (256, 384, 1152, 2304, 8192):
         bq = _auto_block_q(lq, lq)
         assert lq % bq == 0 and bq * lq * 4 <= (10 << 20) or bq == 128
+
+
+def test_overpad_lq_policy():
+    """Divisor-poor Lq over-pads to admit a large row block; good lengths
+    are left alone (the extra rows must pay for themselves under the
+    measured per-row cost model)."""
+    from mmada_tpu.ops.flash_attention import _auto_block_q, _overpad_lq
+
+    assert _overpad_lq(2176, 2176) == 2304          # 128*17 -> 2*1152
+    assert _auto_block_q(2304, 2176) == 1152
+    for l in (1536, 2048, 640, 4096, 256):          # already well-blocked
+        assert _overpad_lq(l, l) == l
+
+
+def test_flash_overpadded_query_rope_gqa(rng):
+    """The MMU-frame regime: unaligned Lq that pads past the 128 tile to
+    a block-friendlier length, with fused rope (whose k tables now pad to
+    Lk, not the over-padded Lq) and GQA. Must match XLA exactly like any
+    other padding case."""
+    from mmada_tpu.ops.attention import apply_rope, xla_attention
+    from mmada_tpu.models.llada import rope_sin_cos
+
+    l = 2150                     # pads 2176 -> over-pads 2304
+    q = jnp.asarray(rng.normal(size=(1, 4, l, 128)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(1, 2, l, 128)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(1, 2, l, 128)), jnp.float32)
+    sin, cos = rope_sin_cos(l, 128, 500000.0)
+    q_r, k_r = apply_rope(q, k, sin, cos)
+    want = xla_attention(q_r, k_r, v)
+    got = flash_attention(q, k, v, rope_sin=sin, rope_cos=cos,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5)
